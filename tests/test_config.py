@@ -1,0 +1,127 @@
+"""Config system: defaults, YAML inheritance, CLI, OPTS overrides."""
+
+import textwrap
+
+from clip_gp_tpu.core.config import (
+    Config,
+    config_to_dict,
+    merge_config_from_file,
+    merge_from_opts,
+    parse_args_to_config,
+)
+
+
+def test_defaults_match_reference_schema():
+    c = Config()
+    assert c.trainer_name == "Adapter"
+    assert c.adapter.num_templates == 1
+    assert c.adapter.gp_kernel_type == "rbf"
+    assert c.adapter.gp_num_mc_samples_train == 30
+    assert c.adapter.gp_num_mc_samples_eval == 100
+    assert c.adapter.gp_pca_dim == 256
+    assert c.optim.lr == 0.01
+    assert c.input.size == (224, 224)
+    assert c.input.pixel_mean == (0.48145466, 0.4578275, 0.40821073)
+    assert c.dataloader.batch_size_train == 128
+
+
+def test_yaml_merge_with_base_config(tmp_path):
+    base = tmp_path / "default.yaml"
+    base.write_text(
+        textwrap.dedent(
+            """
+            OPTIM:
+              NAME: adamw
+              LR: 0.01
+              MAX_EPOCH: 100
+            TRAINER:
+              ADAPTER:
+                NUM_TEMPLATES: 8
+                L2_LAMBDA: 0.5
+            """
+        )
+    )
+    child = tmp_path / "gp.yaml"
+    child.write_text(
+        textwrap.dedent(
+            """
+            BASE_CONFIG: default.yaml
+            TRAINER:
+              ADAPTER:
+                USE_GP: true
+                GP_KERNEL_TYPE: linear
+            OPTIM:
+              LR: 0.02
+            DATALOADER:
+              TRAIN_X:
+                BATCH_SIZE: 64
+              TEST:
+                BATCH_SIZE: 32
+            MODEL:
+              BACKBONE:
+                NAME: ViT-B/16
+            INPUT:
+              SIZE: [224, 224]
+            """
+        )
+    )
+    c = Config()
+    merge_config_from_file(c, str(child))
+    assert c.optim.name == "adamw"  # from base
+    assert c.optim.lr == 0.02  # overridden by child
+    assert c.adapter.num_templates == 8
+    assert c.adapter.use_gp is True
+    assert c.adapter.gp_kernel_type == "linear"
+    assert c.dataloader.batch_size_train == 64
+    assert c.dataloader.batch_size_test == 32
+    assert c.model.backbone_name == "ViT-B/16"
+    assert c.input.size == (224, 224)
+
+
+def test_opts_merge():
+    c = Config()
+    merge_from_opts(
+        c,
+        [
+            "TRAINER.ADAPTER.USE_GP", "True",
+            "TRAINER.ADAPTER.GP_BETA", "0.01",
+            "DATASET.NUM_SHOTS", "16",
+            "OPTIM.LR", "0.5",
+            "SEED", "7",
+        ],
+    )
+    assert c.adapter.use_gp is True
+    assert c.adapter.gp_beta == 0.01
+    assert c.dataset.num_shots == 16
+    assert c.optim.lr == 0.5
+    assert c.seed == 7
+
+
+def test_cli_parsing():
+    c = parse_args_to_config(
+        [
+            "--dataset", "Caltech101",
+            "--shots", "4",
+            "--backbone", "RN50",
+            "--use-gp",
+            "--gp-kernel-type", "rbf",
+            "--num-templates", "8",
+            "--seed", "3",
+            "--output-dir", "/tmp/x",
+            "TRAINER.ADAPTER.GP_LR", "0.005",
+        ]
+    )
+    assert c.dataset.name == "Caltech101"
+    assert c.dataset.num_shots == 4
+    assert c.adapter.use_gp is True
+    assert c.adapter.num_templates == 8
+    assert c.adapter.gp_lr == 0.005
+    assert c.seed == 3
+    assert c.output_dir == "/tmp/x"
+
+
+def test_config_roundtrip_dict():
+    d = config_to_dict(Config())
+    assert d["adapter"]["use_gp"] is False
+    assert d["input"]["size"] == [224, 224]
+    assert d["optim"]["betas"] == [0.9, 0.999]
