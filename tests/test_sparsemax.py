@@ -49,7 +49,8 @@ def test_grad_matches_finite_differences():
         p = sparsemax(z)
         return jnp.sum(p * jnp.arange(1.0, 8.0))
 
-    with jax.experimental.enable_x64():
+    jax.config.update("jax_enable_x64", True)
+    try:
         g = jax.grad(loss)(jnp.asarray(z))
         eps = 1e-6
         for i in range(7):
@@ -58,6 +59,8 @@ def test_grad_matches_finite_differences():
             zm[i] -= eps
             fd = (loss(jnp.asarray(zp)) - loss(jnp.asarray(zm))) / (2 * eps)
             assert float(g[i]) == pytest.approx(float(fd), abs=1e-4)
+    finally:
+        jax.config.update("jax_enable_x64", False)
 
 
 def test_grad_analytic_formula():
