@@ -1,0 +1,312 @@
+"""Batched variational Gaussian-Process template weighter.
+
+One GP per class (batch axis K), re-deriving everything the reference delegates
+to gpytorch (ref: trainers/gp_template_weigher.py):
+
+- PCA via SVD of all K·M template embeddings to ``gp_pca_dim`` dims;
+- inducing points = PCA'd templates + one learnable per-class token (the first
+  M inducing locations stay frozen — the reference achieves this with a
+  gradient-mask hook at ref:57-79; here the frozen block is simply a buffer);
+- whitened variational strategy (gpytorch ``VariationalStrategy`` semantics):
+    L  = chol(K_zz + jitter·I)
+    A  = L⁻¹ K_zx                               (interpolation term)
+    μ* = Aᵀ m + μ(x)
+    Σ* = K_xx + jitter·I + Aᵀ (S − I) A,   S = tril(Lq) tril(Lq)ᵀ
+    KL = ½ Σ_k [tr(S) + mᵀm − P − log det S]     (q(u) vs whitened N(0, I))
+- residual mean: frozen prior logits f0 = log softmax(cos(template, class
+  mean)/τ) + learnable per-class and per-template biases, tail-padded for
+  extra (visual-context) inputs (ref:225-244);
+- kernels: RBF (ARD, median-heuristic init, ScaleKernel), Matérn ν=½, Linear —
+  softplus-constrained raw parameters with gpytorch-equivalent initialization;
+- MC sampling: reparameterized draws from q(f), sparsemax → convex weights,
+  contraction with the *original* D-dim templates (ref:183-222).
+
+All linear algebra is batched over classes in one shot — Gram build, Cholesky,
+triangular solves and the [S,K,M]×[K,M,D] contraction map straight onto the
+MXU; there is no per-class Python loop anywhere.
+
+Differences from the reference worth noting (intentional, documented):
+- ``initialize_from_weights`` actually warm-starts the variational mean
+  (the reference version silently no-ops — quirk SURVEY §2.3.4);
+- randomness is explicit via PRNG keys.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clip_gp_tpu.ops.sparsemax import sparsemax
+
+Params = Dict[str, Any]
+
+
+class GPStatic(NamedTuple):
+    """Hashable config — static under jit."""
+
+    kernel_type: str  # rbf | matern | linear
+    num_classes: int
+    num_templates: int
+    red_dim: int
+    jitter: float = 1e-4
+    sample_jitter: float = 1e-6
+
+
+def softplus(x):
+    return jax.nn.softplus(x)
+
+
+def inv_softplus(y):
+    y = np.asarray(y, dtype=np.float64)
+    return np.where(y > 20, y, np.log(np.expm1(np.clip(y, 1e-10, None)))).astype(
+        np.float32
+    )
+
+
+def create_gp(
+    text_embeddings: jnp.ndarray, cfg
+) -> Tuple[GPStatic, Params, Params]:
+    """Build (static, trainable params, frozen buffers) from [K,M,D] templates.
+
+    Mirrors the reference constructor (ref: trainers/gp_template_weigher.py:13-132).
+    """
+    E = np.asarray(text_embeddings, dtype=np.float32)
+    K, M, D = E.shape
+    red_dim = min(int(getattr(cfg.adapter, "gp_pca_dim", 256)), K * M, D)
+
+    # PCA over all class-template embeddings
+    X = E.reshape(-1, D)
+    mu = X.mean(axis=0)
+    Xc = X - mu
+    _, _, Vt = np.linalg.svd(Xc, full_matrices=False)
+    W = Vt[:red_dim].T  # [D, d]
+
+    def project(x):
+        return (x - mu) @ W
+
+    templates_red = project(X).reshape(K, M, red_dim)
+    cls_mean = E.mean(axis=1)  # [K, D]
+    cls_mean_red = project(cls_mean)[:, None, :]  # [K, 1, d]
+
+    # frozen prior logits f0 = log softmax(cos(template, class mean) / tau)
+    En = E / np.linalg.norm(E, axis=-1, keepdims=True)
+    cn = cls_mean / np.linalg.norm(cls_mean, axis=-1, keepdims=True)
+    cos = np.einsum("kmd,kd->km", En, cn)
+    tau = max(float(getattr(cfg.adapter, "gp_prior_temp", 1.0) or 1.0), 1e-6)
+    logits = cos / tau
+    w0 = np.exp(logits - logits.max(axis=1, keepdims=True))
+    w0 = w0 / w0.sum(axis=1, keepdims=True)
+    f0 = np.log(np.clip(w0, 1e-12, None))
+
+    kernel_type = str(getattr(cfg.adapter, "gp_kernel_type", "rbf"))
+    P = M + 1  # inducing count: M frozen templates + 1 learnable token
+    params: Params = {
+        "inducing_token": jnp.asarray(cls_mean_red),  # [K,1,d] learnable tail
+        "variational_mean": jnp.zeros((K, P)),
+        "chol_variational_covar": jnp.broadcast_to(
+            jnp.eye(P), (K, P, P)
+        ).copy(),
+        "cls_bias": jnp.zeros((K, 1)),
+        "tmp_bias": jnp.zeros((1, M)),
+        # learnable kernel-space map (identity-init; kept for parity with the
+        # reference's unused `A`, ref:68-70 — not applied in forward)
+        "A": jnp.eye(red_dim),
+    }
+    if kernel_type == "rbf":
+        flat = templates_red.reshape(-1, red_dim)
+        flat = flat / np.clip(np.linalg.norm(flat, axis=-1, keepdims=True), 1e-12, None)
+        d2 = (
+            (flat**2).sum(-1)[:, None]
+            + (flat**2).sum(-1)[None, :]
+            - 2 * flat @ flat.T
+        )
+        pdist = np.sqrt(np.clip(d2, 0, None))
+        ls = float(np.median(pdist[pdist > 0])) if (pdist > 0).any() else 1.0
+        params["raw_lengthscale"] = jnp.full((K, 1, red_dim), inv_softplus(ls))
+        # gpytorch ScaleKernel: raw init 0 -> outputscale softplus(0)=0.6931
+        params["raw_outputscale"] = jnp.zeros((K,))
+    elif kernel_type == "matern":
+        params["raw_lengthscale"] = jnp.zeros((K, 1, red_dim))  # softplus(0)
+    elif kernel_type == "linear":
+        params["raw_variance"] = jnp.zeros((K,))  # softplus(0)
+    else:
+        raise ValueError(f"Unsupported kernel: {kernel_type}")
+
+    buffers: Params = {
+        "templates": jnp.asarray(E),  # [K,M,D] original space
+        "templates_red": jnp.asarray(templates_red),  # [K,M,d]
+        "inducing_frozen": jnp.asarray(templates_red),  # first M inducing locs
+        "pca_mean": jnp.asarray(mu),
+        "pca_W": jnp.asarray(W),
+        "f0": jnp.asarray(f0),
+    }
+    static = GPStatic(
+        kernel_type=kernel_type,
+        num_classes=K,
+        num_templates=M,
+        red_dim=red_dim,
+        jitter=float(getattr(cfg.adapter, "gp_jitter", 1e-4)),
+    )
+    return static, params, buffers
+
+
+def pca_project(buffers: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return (x - buffers["pca_mean"]) @ buffers["pca_W"]
+
+
+def _kernel(static: GPStatic, params: Params, x1: jnp.ndarray, x2: jnp.ndarray):
+    """Batched Gram matrix [K, N1, N2] for inputs [K,N1,d], [K,N2,d]."""
+    kt = static.kernel_type
+    if kt == "linear":
+        var = softplus(params["raw_variance"])[:, None, None]
+        return var * jnp.einsum("knd,kmd->knm", x1, x2)
+    ls = softplus(params["raw_lengthscale"])  # [K,1,d]
+    a = x1 / ls
+    b = x2 / ls
+    d2 = (
+        (a**2).sum(-1)[:, :, None]
+        + (b**2).sum(-1)[:, None, :]
+        - 2 * jnp.einsum("knd,kmd->knm", a, b)
+    )
+    d2 = jnp.maximum(d2, 0.0)
+    if kt == "rbf":
+        out = softplus(params["raw_outputscale"])[:, None, None]
+        return out * jnp.exp(-0.5 * d2)
+    if kt == "matern":
+        return jnp.exp(-jnp.sqrt(d2 + 1e-20))
+    raise ValueError(kt)
+
+
+def _mean_fn(static: GPStatic, params: Params, buffers: Params, n: int):
+    """ResidualMeanWithBias evaluated at n query points (ref:225-244)."""
+    base = buffers["f0"] + params["cls_bias"] + params["tmp_bias"]  # [K,M]
+    m = static.num_templates
+    if n == m:
+        return base
+    extra = n - m
+    tail = params["cls_bias"] + params["tmp_bias"].mean(axis=1, keepdims=True)
+    tail = jnp.broadcast_to(tail, (static.num_classes, extra))
+    return jnp.concatenate([base, tail], axis=1)
+
+
+def inducing_points(params: Params, buffers: Params) -> jnp.ndarray:
+    """[K, M+1, d]: frozen template locations + learnable token."""
+    return jnp.concatenate([buffers["inducing_frozen"], params["inducing_token"]], axis=1)
+
+
+def gp_predictive(
+    static: GPStatic, params: Params, buffers: Params, x: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Whitened SVGP predictive q(f(x)) = N(mean [K,N], cov [K,N,N])."""
+    z = inducing_points(params, buffers)  # [K,P,d]
+    p = z.shape[1]
+    n = x.shape[1]
+    eye_p = jnp.eye(p)
+
+    k_zz = _kernel(static, params, z, z) + static.jitter * eye_p
+    k_zx = _kernel(static, params, z, x)  # [K,P,N]
+    k_xx = _kernel(static, params, x, x)  # [K,N,N]
+
+    l_zz = jnp.linalg.cholesky(k_zz)
+    # A = L⁻¹ K_zx  via batched forward substitution
+    interp = jax.scipy.linalg.solve_triangular(l_zz, k_zx, lower=True)  # [K,P,N]
+
+    m = params["variational_mean"]  # [K,P]
+    lq = jnp.tril(params["chol_variational_covar"])  # [K,P,P]
+    s = lq @ jnp.swapaxes(lq, -1, -2)
+
+    mean = jnp.einsum("kpn,kp->kn", interp, m) + _mean_fn(static, params, buffers, n)
+    middle = s - eye_p
+    cov = (
+        k_xx
+        + static.jitter * jnp.eye(n)
+        + jnp.einsum("kpn,kpq,kqm->knm", interp, middle, interp)
+    )
+    return mean, cov
+
+
+def kl_divergence(params: Params) -> jnp.ndarray:
+    """KL(q(u) ‖ N(0, I)) per class, [K]."""
+    m = params["variational_mean"]
+    lq = jnp.tril(params["chol_variational_covar"])
+    p = m.shape[-1]
+    trace = jnp.sum(lq**2, axis=(-1, -2))
+    quad = jnp.sum(m**2, axis=-1)
+    logdet = 2.0 * jnp.sum(
+        jnp.log(jnp.abs(jnp.diagonal(lq, axis1=-2, axis2=-1)) + 1e-20), axis=-1
+    )
+    return 0.5 * (trace + quad - p - logdet)
+
+
+def sample_latent(
+    static: GPStatic,
+    params: Params,
+    buffers: Params,
+    key: jax.Array,
+    num_samples: int,
+    visual_embeddings: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Draw S reparameterized samples of f at the template inputs → [S,K,M].
+
+    When per-class visual context is supplied ([K, D] — one embedding per
+    class), it is PCA-projected and appended as an extra input; only the first
+    M outputs are kept (ref:193-215).
+    """
+    x = buffers["templates_red"]
+    if visual_embeddings is not None:
+        ctx = pca_project(buffers, visual_embeddings)[:, None, :]  # [K,1,d]
+        x = jnp.concatenate([x, ctx], axis=1)
+    mean, cov = gp_predictive(static, params, buffers, x)
+    n = mean.shape[-1]
+    l_f = jnp.linalg.cholesky(cov + static.sample_jitter * jnp.eye(n))
+    eps = jax.random.normal(key, (num_samples,) + mean.shape, dtype=mean.dtype)
+    f = mean[None] + jnp.einsum("knm,skm->skn", l_f, eps)
+    return f[..., : static.num_templates]
+
+
+def sample_prototypes(
+    static: GPStatic,
+    params: Params,
+    buffers: Params,
+    key: jax.Array,
+    num_samples: int,
+    visual_embeddings: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """S sets of template-weighted class prototypes.
+
+    Returns (prototypes [S,K,D], weights [S,K,M]); weights are the sparsemax
+    of the latent samples (ref:217-222).
+    """
+    f = sample_latent(static, params, buffers, key, num_samples, visual_embeddings)
+    w = sparsemax(f)
+    prototypes = jnp.einsum("skm,kmd->skd", w, buffers["templates"])
+    return prototypes, w
+
+
+def posterior_mean_weights(
+    static: GPStatic, params: Params, buffers: Params
+) -> jnp.ndarray:
+    """Deterministic sparsemax(E[f]) weights, [K,M] (diagnostics / export)."""
+    mean, _ = gp_predictive(static, params, buffers, buffers["templates_red"])
+    return sparsemax(mean[..., : static.num_templates])
+
+
+def initialize_from_weights(
+    params: Params, weights_km: jnp.ndarray, temperature: float = 1.0
+) -> Params:
+    """Warm-start the variational mean from [K,M] template weights.
+
+    The reference intends this but both branches silently no-op
+    (ref:139-164, quirk SURVEY §2.3.4); here the first M whitened inducing
+    values get log-weights (zero for the learnable-token slot).
+    """
+    f_init = jnp.log(jnp.clip(weights_km, 1e-12, None)) / max(
+        float(temperature), 1e-6
+    )
+    k, m = f_init.shape
+    vm = params["variational_mean"]
+    new_vm = jnp.concatenate([f_init, jnp.zeros((k, vm.shape[1] - m))], axis=1)
+    return {**params, "variational_mean": new_vm}

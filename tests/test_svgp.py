@@ -1,0 +1,199 @@
+"""SVGP template weighter: whitened predictive math, KL, sampling, warm start.
+
+Validated against an independent per-class numpy implementation of the
+whitened sparse-variational predictive equations (gpytorch
+``VariationalStrategy`` semantics) since gpytorch itself is not available.
+"""
+
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clip_gp_tpu.gp import svgp
+
+K, M, D = 5, 6, 32
+
+
+def _cfg(kernel="rbf", pca_dim=8):
+    adapter = types.SimpleNamespace(
+        gp_pca_dim=pca_dim,
+        gp_kernel_type=kernel,
+        gp_prior_temp=1.0,
+        gp_jitter=1e-4,
+    )
+    return types.SimpleNamespace(adapter=adapter)
+
+
+def _embeddings(seed=0):
+    rng = np.random.default_rng(seed)
+    E = rng.normal(size=(K, M, D)).astype(np.float32)
+    return E / np.linalg.norm(E, axis=-1, keepdims=True)
+
+
+@pytest.fixture(params=["rbf", "matern", "linear"])
+def gp(request):
+    E = _embeddings()
+    static, params, buffers = svgp.create_gp(jnp.asarray(E), _cfg(request.param))
+    return static, params, buffers
+
+
+def test_shapes_and_init(gp):
+    static, params, buffers = gp
+    assert static.num_classes == K and static.num_templates == M
+    assert params["variational_mean"].shape == (K, M + 1)
+    assert buffers["templates_red"].shape == (K, M, 8)
+    # at init q(u)=N(0,I) -> KL = 0
+    np.testing.assert_allclose(np.asarray(svgp.kl_divergence(params)), 0.0, atol=1e-6)
+
+
+def test_predictive_at_init_is_prior(gp):
+    # whitened strategy with m=0, S=I: mean = mean_fn, cov = K_xx + jitter I
+    static, params, buffers = gp
+    x = buffers["templates_red"]
+    mean, cov = svgp.gp_predictive(static, params, buffers, x)
+    expected_mean = buffers["f0"]  # cls_bias = tmp_bias = 0
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(expected_mean), atol=1e-5)
+    k_xx = np.asarray(svgp._kernel(static, params, x, x))
+    expected_cov = k_xx + static.jitter * np.eye(M)
+    np.testing.assert_allclose(np.asarray(cov), expected_cov, atol=1e-4)
+
+
+def test_predictive_matches_numpy_whitened_svgp(gp):
+    """Golden: dense per-class numpy whitened-SVGP with random q(u)."""
+    static, params, buffers = gp
+    rng = np.random.default_rng(1)
+    params = dict(params)
+    params["variational_mean"] = jnp.asarray(
+        rng.normal(size=(K, M + 1)).astype(np.float32)
+    )
+    lq = np.tril(rng.normal(size=(K, M + 1, M + 1)).astype(np.float32) * 0.3)
+    lq += np.eye(M + 1)[None]
+    params["chol_variational_covar"] = jnp.asarray(lq)
+    params["cls_bias"] = jnp.asarray(rng.normal(size=(K, 1)).astype(np.float32) * 0.1)
+    params["tmp_bias"] = jnp.asarray(rng.normal(size=(1, M)).astype(np.float32) * 0.1)
+
+    x = buffers["templates_red"]
+    mean, cov = svgp.gp_predictive(static, params, buffers, x)
+
+    z = np.asarray(svgp.inducing_points(params, buffers))
+    for k in range(K):
+        kzz = np.asarray(
+            svgp._kernel(static, params, jnp.asarray(z[k : k + 1]), jnp.asarray(z[k : k + 1]))
+        )[0] + static.jitter * np.eye(M + 1)
+        kzx = np.asarray(
+            svgp._kernel(static, params, jnp.asarray(z[k : k + 1]), x[k : k + 1])
+        )[0]
+        kxx = np.asarray(
+            svgp._kernel(static, params, x[k : k + 1], x[k : k + 1])
+        )[0]
+        l = np.linalg.cholesky(kzz)
+        a = np.linalg.solve(l, kzx)  # [P, M]
+        m_k = np.asarray(params["variational_mean"])[k]
+        s_k = np.tril(lq[k]) @ np.tril(lq[k]).T
+        mu_fn = (
+            np.asarray(buffers["f0"])[k]
+            + np.asarray(params["cls_bias"])[k]
+            + np.asarray(params["tmp_bias"])[0]
+        )
+        expected_mean = a.T @ m_k + mu_fn
+        expected_cov = (
+            kxx + static.jitter * np.eye(M) + a.T @ (s_k - np.eye(M + 1)) @ a
+        )
+        np.testing.assert_allclose(np.asarray(mean)[k], expected_mean, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(cov)[k], expected_cov, atol=2e-4)
+
+
+def test_kl_closed_form():
+    static, params, buffers = svgp.create_gp(jnp.asarray(_embeddings()), _cfg())
+    rng = np.random.default_rng(2)
+    p = M + 1
+    m = rng.normal(size=(K, p)).astype(np.float32)
+    lq = np.tril(rng.normal(size=(K, p, p)).astype(np.float32) * 0.2) + np.eye(p)
+    params = {
+        **params,
+        "variational_mean": jnp.asarray(m),
+        "chol_variational_covar": jnp.asarray(lq),
+    }
+    kl = np.asarray(svgp.kl_divergence(params))
+    for k in range(K):
+        s = np.tril(lq[k]) @ np.tril(lq[k]).T
+        sign, logdet = np.linalg.slogdet(s)
+        expected = 0.5 * (np.trace(s) + m[k] @ m[k] - p - logdet)
+        assert kl[k] == pytest.approx(expected, abs=1e-3)
+
+
+def test_sampling_statistics():
+    static, params, buffers = svgp.create_gp(jnp.asarray(_embeddings()), _cfg())
+    key = jax.random.key(0)
+    f = svgp.sample_latent(static, params, buffers, key, 4000)
+    assert f.shape == (4000, K, M)
+    mean, cov = svgp.gp_predictive(static, params, buffers, buffers["templates_red"])
+    emp_mean = np.asarray(f).mean(axis=0)
+    np.testing.assert_allclose(emp_mean, np.asarray(mean), atol=0.1)
+    # marginal variances
+    emp_var = np.asarray(f).var(axis=0)
+    pred_var = np.asarray(jnp.diagonal(cov, axis1=-2, axis2=-1))
+    np.testing.assert_allclose(emp_var, pred_var, rtol=0.15, atol=0.05)
+
+
+def test_prototypes_are_convex_combinations():
+    static, params, buffers = svgp.create_gp(jnp.asarray(_embeddings()), _cfg())
+    protos, w = svgp.sample_prototypes(
+        static, params, buffers, jax.random.key(1), 8
+    )
+    assert protos.shape == (8, K, D)
+    assert w.shape == (8, K, M)
+    np.testing.assert_allclose(np.asarray(w).sum(-1), 1.0, atol=1e-5)
+    assert (np.asarray(w) >= 0).all()
+    expected = np.einsum("skm,kmd->skd", np.asarray(w), np.asarray(buffers["templates"]))
+    np.testing.assert_allclose(np.asarray(protos), expected, atol=1e-5)
+
+
+def test_visual_context_path():
+    static, params, buffers = svgp.create_gp(jnp.asarray(_embeddings()), _cfg())
+    ctx = jnp.asarray(np.random.default_rng(3).normal(size=(K, D)).astype(np.float32))
+    f = svgp.sample_latent(static, params, buffers, jax.random.key(2), 3, ctx)
+    assert f.shape == (3, K, M)  # extra context column is dropped
+
+
+def test_warm_start_changes_mean():
+    static, params, buffers = svgp.create_gp(jnp.asarray(_embeddings()), _cfg())
+    w = np.full((K, M), 1.0 / M, dtype=np.float32)
+    w[:, 0] = 0.9
+    w /= w.sum(axis=1, keepdims=True)
+    params2 = svgp.initialize_from_weights(params, jnp.asarray(w))
+    assert not np.allclose(
+        np.asarray(params2["variational_mean"]), np.asarray(params["variational_mean"])
+    )
+    mean0, _ = svgp.gp_predictive(static, params, buffers, buffers["templates_red"])
+    mean1, _ = svgp.gp_predictive(static, params2, buffers, buffers["templates_red"])
+    assert not np.allclose(np.asarray(mean0), np.asarray(mean1))
+
+
+def test_gradients_flow_and_frozen_inducing_stay_frozen():
+    static, params, buffers = svgp.create_gp(jnp.asarray(_embeddings()), _cfg())
+
+    def loss(params):
+        protos, _ = svgp.sample_prototypes(
+            static, params, buffers, jax.random.key(0), 2
+        )
+        return jnp.sum(protos**2) + svgp.kl_divergence(params).sum()
+
+    grads = jax.grad(loss)(params)
+    assert float(jnp.abs(grads["variational_mean"]).sum()) > 0
+    assert float(jnp.abs(grads["cls_bias"]).sum()) > 0
+    # frozen template inducing locations live in buffers, not params
+    assert "inducing_frozen" not in params
+    assert grads["inducing_token"].shape == (K, 1, 8)
+
+
+def test_jit_compiles():
+    static, params, buffers = svgp.create_gp(jnp.asarray(_embeddings()), _cfg())
+    fn = jax.jit(
+        lambda p, key: svgp.sample_prototypes(static, p, buffers, key, 4)[0]
+    )
+    out = fn(params, jax.random.key(0))
+    assert out.shape == (4, K, D)
