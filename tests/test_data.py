@@ -1,0 +1,125 @@
+"""Data layer: splits, few-shot caches, transforms, loaders on the synthetic
+dataset fixture."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from clip_gp_tpu.core.config import Config
+from clip_gp_tpu.core.seeding import set_random_seed
+from clip_gp_tpu.data.datum import Datum, DatasetBase
+from clip_gp_tpu.data.pipeline import build_data_manager
+from clip_gp_tpu.data.templates import get_templates
+from clip_gp_tpu.data.transforms import build_transform, device_preprocess
+import clip_gp_tpu.data.datasets  # noqa: F401  (registers catalogs)
+
+
+@pytest.fixture
+def synth_config(tmp_path):
+    c = Config()
+    c.dataset.name = "Synthetic"
+    c.dataset.root = str(tmp_path)
+    c.dataset.num_shots = 2
+    c.dataloader.batch_size_train = 4
+    c.dataloader.batch_size_test = 8
+    c.dataloader.num_workers = 2
+    c.input.size = (32, 32)
+    c.seed = 1
+    return c
+
+
+def test_dataset_splits_and_fewshot(synth_config):
+    set_random_seed(1)
+    dm = build_data_manager(synth_config)
+    assert dm.num_classes == 4
+    assert len(dm.dataset.train_x) == 4 * 2  # 2-shot
+    assert len(dm.dataset.test) > 0
+    assert sorted(dm.dataset.classnames) == sorted(
+        ["red circle", "green square", "blue stripe", "yellow dot"]
+    )
+    # split JSON created with reference schema
+    split_path = os.path.join(
+        synth_config.dataset.root, "synthetic", "split_zhou_Synthetic.json"
+    )
+    with open(split_path) as f:
+        split = json.load(f)
+    assert set(split) == {"train", "val", "test"}
+    assert len(split["train"][0]) == 3
+    # few-shot pickle cache created and reused
+    cache = os.path.join(
+        synth_config.dataset.root,
+        "synthetic",
+        "split_fewshot",
+        "shot_2-seed_1.pkl",
+    )
+    assert os.path.exists(cache)
+    dm2 = build_data_manager(synth_config)
+    assert [d.impath for d in dm2.dataset.train_x] == [
+        d.impath for d in dm.dataset.train_x
+    ]
+
+
+def test_batch_loader_shapes(synth_config):
+    set_random_seed(1)
+    dm = build_data_manager(synth_config)
+    batch = next(iter(dm.test_loader))
+    assert batch["img"].shape == (8, 32, 32, 3)
+    assert batch["img"].dtype == np.uint8
+    assert batch["label"].dtype == np.int32
+    n = sum(b["img"].shape[0] for b in dm.test_loader)
+    assert n == len(dm.dataset.test)
+
+
+def test_device_preprocess(synth_config):
+    x = np.full((2, 4, 4, 3), 128, dtype=np.uint8)
+    out = np.asarray(device_preprocess(x))
+    mean = np.array([0.48145466, 0.4578275, 0.40821073])
+    std = np.array([0.26862954, 0.26130258, 0.27577711])
+    expected = (128 / 255.0 - mean) / std
+    np.testing.assert_allclose(out[0, 0, 0], expected, atol=1e-6)
+
+
+def test_train_transform_size_and_dtype(synth_config):
+    from PIL import Image
+
+    set_random_seed(0)
+    tfm = build_transform(synth_config, is_train=True)
+    img = Image.new("RGB", (100, 80), (10, 20, 30))
+    out = tfm(img)
+    assert out.shape == (32, 32, 3)
+    assert out.dtype == np.uint8
+    tfm_test = build_transform(synth_config, is_train=False)
+    out2 = tfm_test(img)
+    assert out2.shape == (32, 32, 3)
+
+
+def test_subsample_classes():
+    items = [
+        Datum(impath=f"x{label}.jpg", label=label, classname=f"c{label}")
+        for label in range(5)
+        for _ in range(2)
+    ]
+    (base,) = DatasetBase.subsample_classes(items, subsample="base")
+    assert {d.label for d in base} == {0, 1, 2}  # ceil(5/2)=3 base classes
+    (new,) = DatasetBase.subsample_classes(items, subsample="new")
+    assert {d.label for d in new} == {0, 1}  # relabeled from classes 3,4
+    assert sorted({d.classname for d in new}) == ["c3", "c4"]
+
+
+def test_templates():
+    c = Config()
+    c.adapter.num_templates = 1
+    assert get_templates(c) == ["a photo of a {}."]
+    c.adapter.num_templates = 8
+    t = get_templates(c)
+    assert len(t) == 8
+    assert t[0] == "a photo of a {}."
+    assert t[1] == "itap of a {}."
+    c.adapter.num_templates = 20
+    assert len(get_templates(c)) == 20
+    c.adapter.use_custom_templates = True
+    c.dataset.name = "EuroSAT"
+    assert len(get_templates(c)) == 15
+    assert "satellite" in get_templates(c)[0]
