@@ -1,0 +1,447 @@
+"""The Adapter method — baseline and GP-weighted variants (the flagship).
+
+Reference behavior (ref: trainers/adapter.py): a frozen CLIP backbone with
+per-class·template text embeddings [K,M,D], an identity-initialized bias-free
+visual projection W [D,D], and one of three template-weighting heads:
+  - GP weighter (``use_gp``): variational GP samples template weights;
+  - trainable per-class weight logits (``train_template_weights``);
+  - linear weighting head (``use_linear_template_weighting``).
+
+Training is **feature-cached**: the image tower runs exactly once per split,
+then every epoch iterates device-resident features. Loss = MC-averaged CE over
+S prototype samples + β·KL + (λ/shots)‖W−I‖² (ref: compute_loss:387-535).
+Eval MC-averages logits over ``gp_num_mc_samples_eval`` samples.
+
+TPU-native structure: the whole step (GP sampling → sparsemax → S
+cosine-CE → KL → L2 → adamw update) is ONE jitted function; the epoch loop
+feeds fixed-size batch slices so XLA compiles a single executable.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clip_gp_tpu.core.registry import TRAINER_REGISTRY
+from clip_gp_tpu.data.templates import get_templates
+from clip_gp_tpu.gp import svgp
+from clip_gp_tpu.methods import common
+from clip_gp_tpu.ops.metrics import AverageMeter, compute_accuracy
+from clip_gp_tpu.runtime.optim import MultiGroupOptimizer
+from clip_gp_tpu.runtime.trainer_base import BaseTrainer
+
+
+@TRAINER_REGISTRY.register("Adapter")
+class Trainer(BaseTrainer):
+    def __init__(self, config, dataset_manager):
+        if getattr(config.dataset, "full_finetune", False):
+            config.dataset.num_shots = 0
+        super().__init__(config, dataset_manager)
+        self.use_gp = bool(config.adapter.use_gp)
+        self.s_train = max(1, int(config.adapter.gp_num_mc_samples_train or 1))
+        self.s_eval = max(1, int(config.adapter.gp_num_mc_samples_eval or 1))
+
+    # ------------------------------------------------------------------
+    def build_model(self):
+        config = self.config
+        classnames = self.dm.dataset.classnames
+        print(f"Loading CLIP (backbone: {config.model.backbone_name})")
+        arch, clip_params = self.load_clip_model()
+        print("Building custom CLIP")
+        self.templates = get_templates(config)
+        self.text_embeddings = common.encode_templates(
+            clip_params, arch, classnames, self.templates
+        )  # [K,M,D]
+        self.logit_scale = float(np.exp(np.asarray(clip_params["logit_scale"])))
+        k, m, d = self.text_embeddings.shape
+
+        self.params: Dict = {"visual_proj": jnp.eye(d)}
+        self.gp_static = None
+        self.gp_buffers = None
+        self.mode = "uniform"
+        train_tw = bool(config.adapter.train_template_weights)
+        use_linear = bool(config.adapter.use_linear_template_weighting)
+        if self.use_gp:
+            self.mode = "gp"
+            self.gp_static, gp_params, self.gp_buffers = svgp.create_gp(
+                self.text_embeddings, config
+            )
+            self.params["gp"] = gp_params
+        elif train_tw and not use_linear:
+            self.mode = "logits"
+            shape = (1, m) if config.adapter.shared_template_weights else (k, m)
+            self.params["template_logits"] = jnp.zeros(shape)
+        elif use_linear:
+            self.mode = "linear"
+            self.params["template_weight_linear"] = 0.01 * jax.random.normal(
+                self.keys.next(), (d, 1)
+            )
+
+        self._build_optimizer()
+        self._build_jitted_fns()
+
+    def _build_optimizer(self):
+        config = self.config
+        freeze_proj = bool(config.adapter.freeze_visual_proj)
+
+        def label_fn(params):
+            labels = {}
+            for name in params:
+                if name == "visual_proj":
+                    labels[name] = "frozen" if freeze_proj else "base"
+                elif name == "gp":
+                    labels[name] = jax.tree.map(lambda _: "gp", params[name])
+                else:
+                    labels[name] = "base"
+            return labels
+
+        group_lrs = {"base": float(config.optim.lr), "frozen": None}
+        if self.use_gp:
+            group_lrs["gp"] = float(config.adapter.gp_lr)
+        self.opt = MultiGroupOptimizer(config.optim, group_lrs, label_fn)
+        self.opt_state = self.opt.init(self.params)
+
+    # ------------------------------------------------------------------
+    def _prototypes(self, params, key, num_samples: int):
+        """[S,K,D] (GP) or [K,D] (deterministic heads)."""
+        if self.mode == "gp":
+            protos, w = svgp.sample_prototypes(
+                self.gp_static, params["gp"], self.gp_buffers, key, num_samples
+            )
+            return protos, w
+        e = self.text_embeddings
+        if self.mode == "logits":
+            logits = params["template_logits"]
+            if logits.shape[0] == 1 and e.shape[0] > 1:
+                logits = jnp.broadcast_to(logits, e.shape[:2])
+            w = jax.nn.softmax(logits, axis=-1)
+            return jnp.einsum("km,kmd->kd", w, e), w
+        if self.mode == "linear":
+            logits = (e @ params["template_weight_linear"])[..., 0]
+            w = jax.nn.softmax(logits, axis=-1)
+            return jnp.einsum("km,kmd->kd", w, e), w
+        return e.mean(axis=1), None
+
+    def _build_jitted_fns(self):
+        scale = self.logit_scale
+        config = self.config
+        shots = int(config.dataset.num_shots)
+        l2_lambda = float(config.adapter.l2_lambda)
+        gp_beta = float(config.adapter.gp_beta)
+        freeze_proj = bool(config.adapter.freeze_visual_proj)
+
+        def loss_fn(params, features, labels, key):
+            projected = features @ params["visual_proj"].T
+            f_norm = common.l2_normalize(projected)
+            protos, _ = self._prototypes(params, key, self.s_train)
+            if protos.ndim == 3:
+                ce = common.mc_cross_entropy(f_norm, protos, labels, scale)
+            else:
+                logits = common.cosine_logits(projected, protos, scale)
+                ce = common.cross_entropy(logits, labels)
+            total = ce
+            kl = jnp.zeros(())
+            if self.mode == "gp":
+                kl = svgp.kl_divergence(params["gp"]).sum()
+                total = total + gp_beta * kl
+            l2 = jnp.zeros(())
+            if not freeze_proj and shots > 0:
+                w = params["visual_proj"]
+                l2 = ((w - jnp.eye(w.shape[0])) ** 2).sum() * (l2_lambda / shots)
+                total = total + l2
+            return total, {"ce": ce, "kl": kl, "l2_reg": l2}
+
+        def train_step(params, opt_state, features, labels, key):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, features, labels, key
+            )
+            updates, opt_state = self.opt.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            gnorms = {
+                "base": jnp.sqrt(sum(jnp.sum(g**2) for g in
+                                     [grads["visual_proj"]])),
+                "gp": jnp.sqrt(
+                    sum(jnp.sum(g**2) for g in jax.tree.leaves(grads.get("gp", 0.0)))
+                )
+                if self.mode == "gp"
+                else jnp.zeros(()),
+            }
+            return params, opt_state, loss, aux, gnorms
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+
+        def eval_logits(params, features, key):
+            projected = features @ params["visual_proj"].T
+            protos, _ = self._prototypes(params, key, self.s_eval)
+            return common.cosine_logits(projected, protos, scale)
+
+        self._eval_logits = jax.jit(eval_logits)
+
+        def train_acc_logits(params, features, key):
+            projected = features @ params["visual_proj"].T
+            protos, _ = self._prototypes(params, key, self.s_train)
+            return common.cosine_logits(projected, protos, scale)
+
+        self._train_acc_logits = jax.jit(train_acc_logits)
+
+    # ------------------------------------------------------------------
+    def predict_logits(self, features):
+        return self._eval_logits(self.params, features, self.keys.next())
+
+    def trainable_state(self):
+        return self.params
+
+    def load_trainable_state(self, state):
+        self.params = jax.tree.map(jnp.asarray, state)
+
+    # ------------------------------------------------------------------
+    def train(self):
+        start_time = time.time()
+        self.build_model()
+
+        # zero-shot block on pre-extracted test features
+        self.labels_test, zs_logits, self.features_test = self.extract_features(
+            "test"
+        )
+        self.compute_zero_shot_block(zs_logits, self.labels_test)
+
+        self.labels_train, _, self.features_train = self.extract_features("train")
+
+        template_weights = common.get_template_weights(
+            self.config,
+            self.text_embeddings,
+            jnp.asarray(self.features_train),
+            jnp.asarray(self.labels_train),
+            self.logit_scale,
+        )
+        if self.config.adapter.shared_template_weights:
+            template_weights = template_weights.mean(axis=0, keepdims=True)
+
+        if self.mode == "logits":
+            logits_init = jnp.log(jnp.clip(template_weights, 1e-12, None))
+            if logits_init.shape != self.params["template_logits"].shape:
+                logits_init = jnp.broadcast_to(
+                    logits_init, self.params["template_logits"].shape
+                )
+            self.params["template_logits"] = logits_init
+        elif self.mode == "gp":
+            self.params["gp"] = svgp.initialize_from_weights(
+                self.params["gp"], template_weights
+            )
+            print("[GP] One-step initialization applied to GP weights.")
+
+        self.before_train()
+        for self.epoch in range(self.start_epoch, self.max_epoch):
+            self.before_epoch()
+            self.run_epoch()
+            self.after_epoch()
+
+        if getattr(self.config.adapter, "finetune_on_test", False):
+            self._finetune_on_test()
+
+        self.after_train()
+        self._print_weight_stats()
+        print(f"Training completed in {time.time() - start_time:.2f} seconds")
+
+    # ------------------------------------------------------------------
+    def run_epoch(self):
+        losses = AverageMeter()
+        batch_time = AverageMeter()
+        features = self.features_train
+        labels = self.labels_train
+        # numpy shuffle, same construction as the reference
+        # (ref: trainers/adapter.py:732-735)
+        idx = np.random.rand(features.shape[0]).argsort(axis=0)
+        features = jnp.asarray(features[idx])
+        labels_np = labels[idx]
+        labels_dev = jnp.asarray(labels_np.astype(np.int32))
+
+        batch_size = self.config.dataloader.batch_size_train
+        slices = common.batch_slices(features.shape[0], batch_size)
+        self.num_batches = len(slices)
+        print_freq = int(self.config.train.print_freq)
+        verbose_epoch = (self.epoch + 1) % 10 == 0 or self.epoch == 0
+
+        end = time.time()
+        for self.batch_idx, (lo, hi) in enumerate(slices):
+            key = self.keys.next()
+            self.params, self.opt_state, loss, aux, gnorms = self._train_step(
+                self.params,
+                self.opt_state,
+                features[lo:hi],
+                labels_dev[lo:hi],
+                key,
+            )
+            loss = float(loss)
+            losses.update(loss)
+            batch_time.update(time.time() - end)
+
+            meet_freq = (self.batch_idx + 1) % print_freq == 0
+            few_batches = self.num_batches < print_freq
+            if (meet_freq or few_batches) and verbose_epoch:
+                acc_train = compute_accuracy(
+                    np.asarray(
+                        self._train_acc_logits(
+                            self.params, features[lo:hi], self.keys.next()
+                        )
+                    ),
+                    labels_np[lo:hi],
+                )[0]
+                acc_test = compute_accuracy(
+                    np.asarray(
+                        self._eval_logits(
+                            self.params,
+                            jnp.asarray(self.features_test),
+                            self.keys.next(),
+                        )
+                    ),
+                    self.labels_test,
+                )[0]
+                nb_remain = (self.num_batches - self.batch_idx - 1) + (
+                    self.max_epoch - self.epoch - 1
+                ) * self.num_batches
+                eta = int(batch_time.avg * nb_remain)
+                print(
+                    f"epoch [{self.epoch + 1}/{self.max_epoch}] "
+                    f"batch [{self.batch_idx + 1}/{self.num_batches}] "
+                    f"loss {loss:.4f} acc_train {acc_train:.4f} "
+                    f"acc_test {acc_test:.4f} eta {eta}s"
+                )
+                print(
+                    f"  [DBG] loss: CE={float(aux['ce']):.4f} "
+                    f"KL={float(aux['kl']):.4f} l2_reg={float(aux['l2_reg']):.4f} "
+                    f"Total={loss:.4f}"
+                )
+                print(
+                    f"  [DBG] grad_norms: base={float(gnorms['base']):.6f} "
+                    f"gp={float(gnorms['gp']):.6f}"
+                )
+                if self.mode == "gp":
+                    self._print_gp_diagnostics()
+            end = time.time()
+
+        self.opt_state = self.opt.set_epoch(self.opt_state, self.epoch + 1)
+        return {"loss": losses.avg}
+
+    def _print_gp_diagnostics(self):
+        gp = self.params["gp"]
+        q_m = np.asarray(gp["variational_mean"])
+        lq = np.tril(np.asarray(gp["chol_variational_covar"]))
+        q_var = np.einsum("kpq,krq->kpr", lq, lq).diagonal(axis1=-2, axis2=-1)
+        parts = [
+            f"q_m[min={q_m.min():.4f} max={q_m.max():.4f}]",
+            f"q_var[min={q_var.min():.4f} max={q_var.max():.4f}]",
+        ]
+        if "raw_lengthscale" in gp:
+            ls = float(np.mean(np.log1p(np.exp(np.asarray(gp["raw_lengthscale"])))))
+            parts.append(f"lengthscale={ls:.6f}")
+        if "raw_outputscale" in gp:
+            os_ = float(np.mean(np.log1p(np.exp(np.asarray(gp["raw_outputscale"])))))
+            parts.append(f"outputscale={os_:.6f}")
+        print("  [DBG][GP] " + " ".join(parts))
+        w = np.asarray(
+            svgp.posterior_mean_weights(self.gp_static, gp, self.gp_buffers)
+        )
+        w0 = ", ".join(f"{v:.3f}" for v in w[0])
+        print(f"  [DBG][GP] template_weights[class=0]: [{w0}]")
+
+    def _print_weight_stats(self):
+        if self.mode == "gp":
+            _, w = svgp.sample_prototypes(
+                self.gp_static,
+                self.params["gp"],
+                self.gp_buffers,
+                self.keys.next(),
+                self.s_eval,
+            )
+            w = np.asarray(w)
+            mean_vals = w.mean(axis=0)[0]
+            std_vals = w.std(axis=0)[0]
+            print(
+                "Weights: mean = [{}]".format(
+                    ", ".join(f"{v:.4f}" for v in mean_vals)
+                )
+            )
+            print(
+                "          std = [{}]".format(
+                    ", ".join(f"{v:.4f}" for v in std_vals)
+                )
+            )
+        elif self.mode in ("logits", "linear"):
+            _, w = self._prototypes(self.params, self.keys.next(), 1)
+            w = np.asarray(w)
+            mean_vals = w.mean(axis=0)
+            print(
+                "Weights: mean = [{}]".format(
+                    ", ".join(f"{v:.4f}" for v in mean_vals)
+                )
+            )
+
+    # ------------------------------------------------------------------
+    def _finetune_on_test(self):
+        """Sanity ceiling check: optimize only the weighting head on the test
+        set (ref: trainers/adapter.py:968-1065). Not for regular training."""
+        print("[SANITY] Template weights fine-tuning on TEST set")
+        freeze = {"visual_proj"}
+
+        def label_fn(params):
+            labels = {}
+            for name in params:
+                if name in freeze:
+                    labels[name] = "frozen"
+                elif name == "gp":
+                    labels[name] = jax.tree.map(lambda _: "base", params[name])
+                else:
+                    labels[name] = "base"
+            return labels
+
+        opt = MultiGroupOptimizer(
+            self.config.optim,
+            {"base": float(self.config.optim.lr), "frozen": None},
+            label_fn,
+        )
+        opt_state = opt.init(self.params)
+        features = jnp.asarray(self.features_test)
+        labels = jnp.asarray(self.labels_test.astype(np.int32))
+        scale = self.logit_scale
+
+        def loss_fn(params, key):
+            projected = features @ params["visual_proj"].T
+            f_norm = common.l2_normalize(projected)
+            protos, _ = self._prototypes(params, key, self.s_train)
+            if protos.ndim == 3:
+                ce = common.mc_cross_entropy(f_norm, protos, labels, scale)
+            else:
+                ce = common.cross_entropy(
+                    common.cosine_logits(projected, protos, scale), labels
+                )
+            if self.mode == "gp":
+                ce = ce + float(self.config.adapter.gp_beta) * svgp.kl_divergence(
+                    params["gp"]
+                ).sum()
+            return ce
+
+        @jax.jit
+        def step(params, opt_state, key):
+            loss, grads = jax.value_and_grad(loss_fn)(params, key)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return jax.tree.map(lambda p, u: p + u, params, updates), opt_state, loss
+
+        for ep in range(100):
+            self.params, opt_state, loss = step(
+                self.params, opt_state, self.keys.next()
+            )
+            if (ep + 1) % 20 == 0:
+                logits = np.asarray(
+                    self._eval_logits(self.params, features, self.keys.next())
+                )
+                acc = compute_accuracy(logits, self.labels_test)[0]
+                print(
+                    f"[SANITY] epoch {ep + 1}/100: loss={float(loss):.4f} "
+                    f"acc_test={acc:.4f}"
+                )

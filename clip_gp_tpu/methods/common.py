@@ -1,0 +1,167 @@
+"""Shared building blocks for all adaptation methods.
+
+Covers the text side (per-class·template embeddings, zero-shot classifier) and
+the few-shot template-weight initialization scan that several methods share
+(ref: utils/trainer.py:178-237, trainers/adapter.py:30-142).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clip_gp_tpu.models import clip_model
+from clip_gp_tpu.models.tokenizer import tokenize
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    return x / jnp.linalg.norm(x, axis=axis, keepdims=True)
+
+
+def encode_templates(
+    params,
+    arch,
+    classnames: List[str],
+    templates: List[str],
+    batch_size: int = 256,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Text embeddings [K, M, D] for every class × template.
+
+    The reference loops one class at a time (ref: trainers/adapter.py:30-45);
+    here all K·M prompts tokenize at once and encode in fixed-size jitted
+    batches so the text tower compiles exactly once.
+    """
+    k, m = len(classnames), len(templates)
+    prompts = [t.format(name) for name in classnames for t in templates]
+    tokens = tokenize(prompts)  # [K*M, 77]
+    n = tokens.shape[0]
+    pad = (-n) % batch_size
+    if pad:
+        tokens = np.concatenate([tokens, np.tile(tokens[-1:], (pad, 1))], axis=0)
+    chunks = []
+    for i in range(0, tokens.shape[0], batch_size):
+        chunk = clip_model.encode_text_jit(
+            params, arch, jnp.asarray(tokens[i : i + batch_size]), compute_dtype
+        )
+        chunks.append(chunk)
+    feats = jnp.concatenate(chunks, axis=0)[:n]
+    return feats.reshape(k, m, -1)
+
+
+def zero_shot_classifier(text_embeddings: jnp.ndarray) -> jnp.ndarray:
+    """[K,M,D] → [D,K] zero-shot weights: per-template L2-normalize, average
+    over templates, L2-normalize again (ref: utils/trainer.py:223-237)."""
+    e = l2_normalize(text_embeddings)
+    mean = e.mean(axis=1)
+    return l2_normalize(mean).T
+
+
+@partial(jax.jit, static_argnames=("num_classes",))
+def _template_scores(features, labels, text_embeddings, scale, num_classes):
+    """Per-class per-template few-shot accuracy S[k,m]."""
+    feats = l2_normalize(features)  # [N,D]
+    protos = l2_normalize(text_embeddings)  # [K,M,D]
+    logits = scale * jnp.einsum("nd,kmd->nmk", feats, protos)  # [N,M,K]
+    preds = logits.argmax(axis=-1)  # [N,M]
+    correct = (preds == labels[:, None]).astype(jnp.float32)  # [N,M]
+    onehot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)  # [N,K]
+    sums = jnp.einsum("nk,nm->km", onehot, correct)
+    counts = jnp.clip(onehot.sum(axis=0), 1.0, None)[:, None]
+    return sums / counts
+
+
+def get_template_weights(
+    config,
+    text_embeddings: jnp.ndarray,
+    features: Optional[jnp.ndarray],
+    labels: Optional[jnp.ndarray],
+    logit_scale: float,
+) -> jnp.ndarray:
+    """Per-class template weights [K,M], rows summing to 1
+    (ref: trainers/adapter.py:48-142).
+
+    Methods: uniform | val_weighted | top3 | minmax — all non-uniform methods
+    score templates by per-class few-shot accuracy, then map scores through
+    softmax(log(S+eps)).
+    """
+    method = str(getattr(config.adapter, "template_init_method", "uniform")).lower()
+    k, m = int(text_embeddings.shape[0]), int(text_embeddings.shape[1])
+    if m == 0:
+        return jnp.zeros((k, 0))
+    if method == "uniform" or features is None or labels is None:
+        return jnp.full((k, m), 1.0 / m)
+
+    scores = np.asarray(
+        _template_scores(
+            features, labels.astype(jnp.int32), text_embeddings, float(logit_scale), k
+        )
+    )
+    if method == "top3":
+        top_k = min(3, m)
+        top_idx = np.argsort(-scores.mean(axis=0))[:top_k]
+        keep = np.zeros(m)
+        keep[top_idx] = 1.0
+        scores = scores * keep[None]
+        zero_rows = scores.sum(axis=1) <= 1e-12
+        scores[zero_rows] = keep / top_k
+    elif method == "minmax":
+        s_min = scores.min(axis=1, keepdims=True)
+        s_max = scores.max(axis=1, keepdims=True)
+        rng = s_max - s_min
+        flat = rng <= 1e-12
+        scaled = (scores - s_min) / np.clip(rng, 1e-12, None)
+        scores = np.where(flat, 1.0 / m, scaled)
+    logits = np.log(np.clip(scores, 1e-12, None))
+    w = np.exp(logits - logits.max(axis=1, keepdims=True))
+    w = w / w.sum(axis=1, keepdims=True)
+    return jnp.asarray(w, dtype=jnp.float32)
+
+
+def cosine_logits(
+    features: jnp.ndarray, prototypes: jnp.ndarray, scale
+) -> jnp.ndarray:
+    """scale · cos(features, prototypes): [N,D] × [K,D] → [N,K], or with MC
+    prototype samples [S,K,D] → mean over S of per-sample logits
+    (ref: trainers/adapter.py:246-252)."""
+    f = l2_normalize(features)
+    if prototypes.ndim == 3:
+        p = l2_normalize(prototypes)
+        return (scale * jnp.einsum("nd,skd->nsk", f, p)).mean(axis=1)
+    return scale * f @ l2_normalize(prototypes).T
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.take_along_axis(logp, labels[:, None], axis=1).mean()
+
+
+def mc_cross_entropy(
+    features_norm: jnp.ndarray,
+    prototypes: jnp.ndarray,
+    labels: jnp.ndarray,
+    scale,
+) -> jnp.ndarray:
+    """Mean over S of CE(scale · f̂ · p̂_sᵀ, labels) — the MC-averaged loss
+    (ref: trainers/adapter.py:401-428). Note: the *loss* averages CEs over
+    samples; the *eval* path averages logits."""
+    p = l2_normalize(prototypes)  # [S,K,D]
+    logits = scale * jnp.einsum("nd,skd->snk", features_norm, p)  # [S,N,K]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    picked = jnp.take_along_axis(
+        logp, labels[None, :, None].repeat(logits.shape[0], 0), axis=2
+    )
+    return -picked.mean()
+
+
+def batch_slices(n: int, batch_size: int):
+    """Full batches like the reference's drop_last loader; one batch when the
+    dataset is smaller than batch_size (ref: trainers/adapter.py:722-745)."""
+    if n <= batch_size:
+        return [(0, n)]
+    n_batches = n // batch_size
+    return [(b * batch_size, (b + 1) * batch_size) for b in range(n_batches)]

@@ -72,6 +72,13 @@ ARCHITECTURES: Dict[str, ClipArchitecture] = {
                                  transformer_width=512, transformer_heads=8),
     "ViT-B/16": ClipArchitecture("ViT-B/16", 512, 224, 12, 768, 16,
                                  transformer_width=512, transformer_heads=8),
+    # tiny towers for CPU tests and CI — not real CLIP checkpoints
+    "TEST-ViT": ClipArchitecture("TEST-ViT", 32, 32, 2, 64, 8,
+                                 transformer_width=64, transformer_heads=1,
+                                 transformer_layers=2),
+    "TEST-RN": ClipArchitecture("TEST-RN", 32, 64, (1, 1, 1, 1), 8, None,
+                                transformer_width=64, transformer_heads=1,
+                                transformer_layers=2),
 }
 
 

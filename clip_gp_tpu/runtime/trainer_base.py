@@ -1,0 +1,341 @@
+"""Trainer lifecycle runtime: feature extraction, evaluation, checkpoints,
+metrics.json.
+
+Behavioral parity with the reference BaseTrainer (ref: utils/trainer.py:240-663):
+same lifecycle hooks (train → before_train → [epoch loop] → after_train →
+test), the same ``metrics.json`` schema (timestamp/dataset/shots/seed/method/
+backbone/zero_shot/metrics/config/output_dir/train_time_s), the
+``<out>/adapter/`` checkpoint directory contract, and the documented quirk
+that ``max_epoch`` comes from ``adapter.clip_adapter_epochs`` for every
+trainer (ref quirk SURVEY §2.3.3 — the knob the experiment YAMLs actually
+tune).
+
+TPU-native differences: models are (arch, params-pytree) pairs, evaluation
+batches are padded to a fixed shape so XLA compiles one executable per split,
+and checkpoints are torch-free ``.npz`` pytrees.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import re
+import time
+from pathlib import Path
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clip_gp_tpu.core.seeding import KeySequence
+from clip_gp_tpu.data.transforms import preprocess_fn
+from clip_gp_tpu.models import clip_model
+from clip_gp_tpu.models.clip_loader import (
+    _flatten,
+    _unflatten,
+    load_clip,
+)
+from clip_gp_tpu.ops.metrics import (
+    compute_accuracy,
+    compute_aece,
+    compute_aece_with_bins,
+    compute_ece,
+    compute_ece_with_bins,
+    compute_macro_f1,
+)
+
+CKPT_PREFIX = "model.ckpt-"
+
+
+def infer_method_name(config) -> str:
+    """Method tag for metrics.json (ref: utils/trainer.py:604-619)."""
+    tname = getattr(config, "trainer_name", "")
+    mapping = {
+        "Adapter-TipA-F": "tipaf",
+        "Tip-Adapter-F": "tipaf",
+        "Adapter-TipA": "tipa",
+        "Tip-Adapter": "tipaf" if config.adapter.tip_adapter_trainable else "tipa",
+        "Adapter-CoOp": "coop",
+        "Adapter-CoCoOp": "cocoop",
+        "Adapter-CLIP-Adapter": "clip-adapter",
+        "CLIP-Adapter": "clip-adapter",
+        "TaskRes": "taskres",
+    }
+    if tname in mapping:
+        return mapping[tname]
+    return "gp" if bool(getattr(config.adapter, "use_gp", False)) else "baseline"
+
+
+class BaseTrainer:
+    def __init__(self, config, dataset_manager):
+        self.config = config
+        self.dm = dataset_manager
+        self.start_epoch = self.epoch = 0
+        # parity quirk: every trainer's epoch budget comes from
+        # adapter.clip_adapter_epochs (ref: utils/trainer.py:256)
+        self.max_epoch = int(config.adapter.clip_adapter_epochs)
+        self.output_dir = config.output_dir
+        self.train_loader_x = dataset_manager.train_loader_x
+        self.val_loader = dataset_manager.val_loader
+        self.test_loader = dataset_manager.test_loader
+        self.num_classes = dataset_manager.num_classes
+        self.lab2cname = dataset_manager.lab2cname
+        self.best_result = -np.inf
+        self.time_start: Optional[float] = None
+        self.keys = KeySequence(int(config.seed))
+        self.preprocess = preprocess_fn(config)
+        self.zero_shot_metrics: Optional[Dict] = None
+        # set by build_model
+        self.clip_arch = None
+        self.clip_params = None
+
+    # ------------------------------------------------------------------
+    # model plumbing provided by subclasses
+    # ------------------------------------------------------------------
+    def build_model(self):
+        raise NotImplementedError
+
+    def predict_logits(self, features: jnp.ndarray) -> jnp.ndarray:
+        """Eval-mode logits from CLIP visual features [N,D] → [N,K]."""
+        raise NotImplementedError
+
+    def trainable_state(self) -> Dict:
+        """Small trainable pytree for checkpointing."""
+        return {}
+
+    def load_trainable_state(self, state: Dict) -> None:
+        pass
+
+    # ------------------------------------------------------------------
+    # CLIP + feature extraction
+    # ------------------------------------------------------------------
+    def load_clip_model(self):
+        allow_random = os.environ.get("CLIP_GP_TPU_ALLOW_RANDOM_WEIGHTS") == "1"
+        self.clip_arch, self.clip_params = load_clip(
+            self.config, allow_random=allow_random, seed=int(self.config.seed)
+        )
+        return self.clip_arch, self.clip_params
+
+    def encode_images_batched(
+        self, loader
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """One pass of the frozen image tower over a loader → (labels [N],
+        features [N,D]). Batches are padded to the loader batch size so the
+        encoder compiles once per split shape."""
+        arch, params = self.clip_arch, self.clip_params
+        batch_size = loader.batch_size
+
+        @jax.jit
+        def encode(images_u8):
+            images = self.preprocess(images_u8)
+            return clip_model.encode_image(params, arch, images)
+
+        feats, labels = [], []
+        for batch in loader:
+            imgs = batch["img"]
+            n = imgs.shape[0]
+            if n < batch_size:
+                pad = np.tile(imgs[-1:], (batch_size - n, 1, 1, 1))
+                imgs = np.concatenate([imgs, pad], axis=0)
+            out = np.asarray(encode(jnp.asarray(imgs)))[:n]
+            feats.append(out)
+            labels.append(batch["label"])
+        return np.concatenate(labels), np.concatenate(feats).astype(np.float32)
+
+    def extract_features(self, partition: str = "train"):
+        """(labels, logits, features) for a split, with logits from the
+        current model (ref: trainers/adapter.py:886-926)."""
+        print(f"Extracting features from: {partition}")
+        loader = {
+            "train": self.dm.eval_train_loader()
+            if hasattr(self.dm, "eval_train_loader")
+            else self.train_loader_x,
+            "val": self.val_loader,
+            "test": self.test_loader,
+        }[partition]
+        labels, feats = self.encode_images_batched(loader)
+        logits = np.asarray(self.predict_logits(jnp.asarray(feats)))
+        return labels, logits, feats
+
+    # ------------------------------------------------------------------
+    # lifecycle
+    # ------------------------------------------------------------------
+    def before_train(self):
+        if self.config.resume:
+            self.start_epoch = self.load_model(self.config.resume)
+        self.time_start = time.time()
+
+    def after_train(self):
+        print("Finish training")
+        if not getattr(self.config, "no_test", False):
+            if getattr(self.config, "final_model", "last") == "best_val":
+                print("Deploy the model with the best val performance")
+                self.load_model(self.output_dir)
+            else:
+                print("Deploy the last-epoch model")
+            self.test()
+        if self.time_start is not None:
+            elapsed = str(datetime.timedelta(seconds=round(time.time() - self.time_start)))
+            print(f"Elapsed: {elapsed}")
+
+    def before_epoch(self):
+        pass
+
+    def after_epoch(self):
+        last = (self.epoch + 1) == self.max_epoch
+        freq = int(getattr(self.config.train, "checkpoint_freq", 0))
+        meet_freq = freq > 0 and (self.epoch + 1) % freq == 0
+        if (meet_freq or last) and getattr(
+            self.config.train, "enable_adapter_checkpoints", False
+        ):
+            self.save_model(self.epoch, self.output_dir)
+
+    def train(self):
+        self.build_model()
+        self.before_train()
+        for self.epoch in range(self.start_epoch, self.max_epoch):
+            self.before_epoch()
+            self.run_epoch()
+            self.after_epoch()
+        self.after_train()
+
+    def run_epoch(self):
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    # evaluation + metrics.json
+    # ------------------------------------------------------------------
+    def compute_zero_shot_block(self, logits: np.ndarray, labels: np.ndarray):
+        """Zero-shot metrics block recorded before training
+        (ref: trainers/adapter.py:589-611)."""
+        zs_acc = compute_accuracy(logits, labels)[0]
+        zs_ece, zs_bins = compute_ece_with_bins(logits, labels)
+        zs_aece, zs_abins = compute_aece_with_bins(logits, labels)
+        print("Zero-Shot accuracy on test: " + str(round(zs_acc, 2)))
+        print("Zero-Shot ECE on test: " + str(round(zs_ece, 2)))
+        print("Zero-Shot AECE on test: " + str(round(zs_aece, 2)))
+        self.zero_shot_metrics = {
+            "top1_acc": zs_acc,
+            "ece": zs_ece,
+            "aece": zs_aece,
+            "calibration": zs_bins,
+            "adaptive_calibration": zs_abins,
+        }
+        return self.zero_shot_metrics
+
+    def eval_logits_labels(self, split: str = "test"):
+        labels, feats = self.encode_images_batched(
+            self.test_loader if split == "test" else self.val_loader
+        )
+        logits = np.asarray(self.predict_logits(jnp.asarray(feats)))
+        return logits, labels
+
+    def test(self, split: Optional[str] = None) -> float:
+        split = split or "test"
+        print(f"Evaluate on the *{split}* set")
+        logits, labels = self.eval_logits_labels(split)
+        accuracy = compute_accuracy(logits, labels)[0]
+        macro_f1 = compute_macro_f1(logits, labels)
+        ece = compute_ece(logits, labels)
+        aece = compute_aece(logits, labels)
+        _, ece_bins = compute_ece_with_bins(logits, labels)
+        _, aece_bins = compute_aece_with_bins(logits, labels)
+        results = {
+            "accuracy": accuracy,
+            "macro_f1": macro_f1,
+            "ece": ece,
+            "aece": aece,
+            "calibration": ece_bins,
+            "adaptive_calibration": aece_bins,
+        }
+        print("=> result")
+        print(f"* total: {len(labels):,}")
+        print(f"* correct: {int((logits.argmax(1) == labels).sum()):,}")
+        print(f"* accuracy: {accuracy:.1f}%")
+        print(f"* error: {100 - accuracy:.1f}%")
+        print(f"* macro_f1: {macro_f1:.1f}%")
+        print(f"* ECE: {ece:.2f}%")
+        print(f"* AECE: {aece:.2f}%")
+        self.write_run_summary_json(results, start_time=self.time_start or time.time())
+        return accuracy
+
+    def compute_final_metrics(self) -> Dict:
+        """metrics.json "metrics" block (ref: utils/trainer.py:559-597)."""
+        logits, labels = self.eval_logits_labels("test")
+        _, ece_bins = compute_ece_with_bins(logits, labels)
+        _, aece_bins = compute_aece_with_bins(logits, labels)
+        return {
+            "top1_acc": float(compute_accuracy(logits, labels)[0]),
+            "ece": float(compute_ece(logits, labels)),
+            "aece": float(compute_aece(logits, labels)),
+            "calibration": ece_bins,
+            "adaptive_calibration": aece_bins,
+        }
+
+    def write_run_summary_json(self, metrics: Dict, start_time: float) -> None:
+        """metrics.json with the reference schema (ref: utils/trainer.py:599-639)."""
+        from clip_gp_tpu.core.config import config_to_dict
+
+        out_dir = Path(self.output_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        payload = {
+            "timestamp": datetime.datetime.now().isoformat(),
+            "dataset": self.config.dataset.name,
+            "shots": int(self.config.dataset.num_shots),
+            "seed": int(self.config.seed),
+            "method": infer_method_name(self.config),
+            "backbone": self.config.model.backbone_name,
+            "zero_shot": self.zero_shot_metrics,
+            "metrics": metrics,
+            "config": config_to_dict(self.config),
+            "output_dir": str(out_dir),
+            "train_time_s": float(max(0.0, time.time() - start_time)),
+        }
+        with (out_dir / "metrics.json").open("w") as f:
+            json.dump(payload, f, indent=2)
+
+    # ------------------------------------------------------------------
+    # checkpoints (torch-free npz of the small trainable pytree)
+    # ------------------------------------------------------------------
+    def save_model(
+        self, epoch: int, output_dir: str, model_name: Optional[str] = None
+    ) -> None:
+        state = self.trainable_state()
+        if not state:
+            return
+        save_dir = Path(output_dir) / "adapter"
+        save_dir.mkdir(parents=True, exist_ok=True)
+        name = model_name or f"{CKPT_PREFIX}{epoch + 1}"
+        flat = _flatten({"state": state})
+        np.savez_compressed(
+            save_dir / f"{name}.npz", __epoch__=np.asarray(epoch + 1), **flat
+        )
+        print(f"Checkpoint saved to {save_dir / name}.npz")
+
+    def load_model(self, model_dir: str, epoch: Optional[int] = None) -> int:
+        adapter_dir = Path(model_dir) / "adapter"
+        if epoch is not None:
+            path = adapter_dir / f"{CKPT_PREFIX}{epoch}.npz"
+        else:
+            best = adapter_dir / "model-best.npz"
+            if best.exists():
+                path = best
+            else:
+                cands = sorted(
+                    adapter_dir.glob(f"{CKPT_PREFIX}*.npz"),
+                    key=lambda p: int(re.search(r"(\d+)", p.stem).group(1)),
+                )
+                if not cands:
+                    return 0
+                path = cands[-1]
+        if not path.exists():
+            print(f"No checkpoint found at {path}")
+            return 0
+        print(f"Loading checkpoint from {path}")
+        with np.load(path, allow_pickle=False) as data:
+            epoch_loaded = int(data["__epoch__"])
+            flat = {k: data[k] for k in data.files if k != "__epoch__"}
+        self.load_trainable_state(_unflatten(flat)["state"])
+        return epoch_loaded

@@ -1,0 +1,117 @@
+"""End-to-end Adapter training (baseline + GP) on the synthetic dataset with a
+tiny random-weight CLIP: exercises data → towers → feature cache → train loop
+→ MC eval → metrics.json."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from clip_gp_tpu.core.config import Config
+from clip_gp_tpu.core.registry import build_trainer
+from clip_gp_tpu.core.seeding import set_random_seed
+from clip_gp_tpu.data.pipeline import build_data_manager
+import clip_gp_tpu.data.datasets  # noqa: F401
+import clip_gp_tpu.methods  # noqa: F401
+
+
+def make_config(tmp_path, **adapter_overrides):
+    c = Config()
+    c.dataset.name = "Synthetic"
+    c.dataset.root = str(tmp_path / "data")
+    c.dataset.num_shots = 4
+    c.model.backbone_name = "TEST-ViT"
+    c.input.size = (32, 32)
+    c.dataloader.batch_size_train = 8
+    c.dataloader.batch_size_test = 8
+    c.dataloader.num_workers = 2
+    c.adapter.num_templates = 2
+    c.adapter.clip_adapter_epochs = 3
+    c.adapter.gp_num_mc_samples_train = 4
+    c.adapter.gp_num_mc_samples_eval = 8
+    c.optim.max_epoch = 3
+    c.optim.name = "adamw"
+    c.optim.lr = 0.01
+    c.train.print_freq = 100  # quiet
+    c.output_dir = str(tmp_path / "out")
+    c.seed = 1
+    for k, v in adapter_overrides.items():
+        setattr(c.adapter, k, v)
+    return c
+
+
+@pytest.fixture(autouse=True)
+def _random_weights_env(monkeypatch):
+    monkeypatch.setenv("CLIP_GP_TPU_ALLOW_RANDOM_WEIGHTS", "1")
+
+
+def _run(config):
+    set_random_seed(config.seed)
+    dm = build_data_manager(config)
+    trainer = build_trainer(config, dm)
+    trainer.train()
+    return trainer
+
+
+def _check_metrics_json(output_dir, method):
+    path = os.path.join(output_dir, "metrics.json")
+    assert os.path.exists(path)
+    with open(path) as f:
+        payload = json.load(f)
+    assert set(payload) >= {
+        "timestamp", "dataset", "shots", "seed", "method", "backbone",
+        "zero_shot", "metrics", "config", "output_dir", "train_time_s",
+    }
+    assert payload["method"] == method
+    assert payload["dataset"] == "Synthetic"
+    m = payload["metrics"]
+    assert np.isfinite(m["accuracy"])
+    assert 0 <= m["accuracy"] <= 100
+    assert 0 <= m["ece"] <= 100
+    assert payload["zero_shot"] is not None
+    assert len(m["calibration"]["bin_acc"]) == 10
+    return payload
+
+
+def test_adapter_baseline_e2e(tmp_path):
+    config = make_config(tmp_path)
+    trainer = _run(config)
+    payload = _check_metrics_json(config.output_dir, "baseline")
+    assert payload["config"]["adapter"]["use_gp"] is False
+    # template logits were warm-started and trained
+    assert "template_logits" in trainer.params
+
+
+def test_adapter_gp_e2e(tmp_path):
+    config = make_config(tmp_path, use_gp=True, gp_kernel_type="rbf", gp_pca_dim=8)
+    trainer = _run(config)
+    payload = _check_metrics_json(config.output_dir, "gp")
+    assert "gp" in trainer.params
+    # GP variational mean moved away from warm start during training
+    vm = np.asarray(trainer.params["gp"]["variational_mean"])
+    assert np.isfinite(vm).all()
+
+
+def test_adapter_linear_tw_e2e(tmp_path):
+    config = make_config(
+        tmp_path, train_template_weights=False, use_linear_template_weighting=True
+    )
+    trainer = _run(config)
+    _check_metrics_json(config.output_dir, "baseline")
+    assert "template_weight_linear" in trainer.params
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    config = make_config(tmp_path)
+    config.train.enable_adapter_checkpoints = True
+    trainer = _run(config)
+    ckpt_dir = os.path.join(config.output_dir, "adapter")
+    assert any(f.startswith("model.ckpt-") for f in os.listdir(ckpt_dir))
+    before = np.asarray(trainer.params["visual_proj"]).copy()
+    trainer.params["visual_proj"] = trainer.params["visual_proj"] * 0
+    loaded_epoch = trainer.load_model(config.output_dir)
+    assert loaded_epoch == 3
+    np.testing.assert_allclose(
+        np.asarray(trainer.params["visual_proj"]), before, atol=1e-7
+    )
