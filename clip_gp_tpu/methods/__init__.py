@@ -1,3 +1,12 @@
-"""Method registration: importing this package registers all trainers."""
+"""Method registration: importing this package registers all six trainers
+(Adapter, CLIP-Adapter, TaskRes, Tip-Adapter[-F], Adapter-CoOp,
+Adapter-CoCoOp)."""
 
-from clip_gp_tpu.methods import adapter  # noqa: F401
+from clip_gp_tpu.methods import (  # noqa: F401
+    adapter,
+    clip_adapter,
+    cocoop,
+    coop,
+    taskres,
+    tip_adapter,
+)

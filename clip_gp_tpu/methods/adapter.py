@@ -193,6 +193,15 @@ class Trainer(BaseTrainer):
     def predict_logits(self, features):
         return self._eval_logits(self.params, features, self.keys.next())
 
+    def eval_logits_labels(self, split: str = "test"):
+        if split == "test" and hasattr(self, "features_test"):
+            import jax.numpy as jnp
+            import numpy as np
+
+            logits = np.asarray(self.predict_logits(jnp.asarray(self.features_test)))
+            return logits, self.labels_test
+        return super().eval_logits_labels(split)
+
     def trainable_state(self):
         return self.params
 

@@ -1,0 +1,204 @@
+"""CLIP-Adapter: bottleneck MLP on visual features blended with the original
+(ref: trainers/clip_adapter.py).
+
+Adapter = Linear(D→D/r) → ReLU → Linear(D/r→D) → ReLU (bias-free), blended as
+``ratio·adapted + (1−ratio)·orig``; classifier is the zero-shot clip_weights
+[D,K] — optionally replaced by GP-mean prototypes or learned template weights
+via the shared pre-stages. The adapter trains with CE on augmented images per
+epoch under its own optimizer settings (clip_adapter_{optimizer,lr,epochs}).
+
+TPU note: the frozen tower re-encodes augmented few-shot images each epoch
+(augmentation is the point of re-encoding); encode + adapter-step compile once
+and test features are cached for quick eval.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clip_gp_tpu.core.registry import TRAINER_REGISTRY
+from clip_gp_tpu.data.templates import get_templates
+from clip_gp_tpu.methods import common, pre_stages
+from clip_gp_tpu.models import clip_model
+from clip_gp_tpu.ops.metrics import AverageMeter, compute_accuracy
+from clip_gp_tpu.runtime.optim import EpochOptimizer, _OverrideLr
+from clip_gp_tpu.runtime.trainer_base import BaseTrainer
+
+
+@TRAINER_REGISTRY.register("CLIP-Adapter")
+class Trainer(BaseTrainer):
+    def build_model(self):
+        config = self.config
+        classnames = self.dm.dataset.classnames
+        print(f"Loading CLIP (backbone: {config.model.backbone_name})")
+        arch, clip_params = self.load_clip_model()
+        print("Building CLIP-Adapter")
+        self.templates = get_templates(config)
+        self.text_embeddings = common.encode_templates(
+            clip_params, arch, classnames, self.templates
+        )
+        self.clip_weights = common.zero_shot_classifier(self.text_embeddings)  # [D,K]
+        self.logit_scale = float(np.exp(np.asarray(clip_params["logit_scale"])))
+        d = int(self.text_embeddings.shape[-1])
+        reduction = max(1, int(config.adapter.clip_adapter_reduction))
+        hidden = max(1, d // reduction)
+        k1, k2 = jax.random.split(self.keys.next())
+        # torch Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+        self.params: Dict = {
+            "fc1": jax.random.uniform(
+                k1, (d, hidden), minval=-1 / np.sqrt(d), maxval=1 / np.sqrt(d)
+            ),
+            "fc2": jax.random.uniform(
+                k2,
+                (hidden, d),
+                minval=-1 / np.sqrt(hidden),
+                maxval=1 / np.sqrt(hidden),
+            ),
+        }
+        self.ratio = float(config.adapter.clip_adapter_ratio)
+
+        # adapter-specific optimizer settings (ref: _TmpOptim shim,
+        # trainers/clip_adapter.py:152-167)
+        opt_cfg = _OverrideLr(config.optim, float(config.adapter.clip_adapter_lr))
+        opt_cfg.name = str(config.adapter.clip_adapter_optimizer)
+        opt_cfg.max_epoch = int(config.adapter.clip_adapter_epochs)
+        self.opt = EpochOptimizer(opt_cfg)
+        self.opt_state = self.opt.init(self.params)
+        self._build_jitted_fns(arch, clip_params)
+
+    def _build_jitted_fns(self, arch, clip_params):
+        scale = self.logit_scale
+        ratio = self.ratio
+        preprocess = self.preprocess
+
+        def apply_adapter(params, feats):
+            adapted = jax.nn.relu(jax.nn.relu(feats @ params["fc1"]) @ params["fc2"])
+            return ratio * adapted + (1.0 - ratio) * feats
+
+        def logits_fn(params, feats, clip_weights):
+            blended = apply_adapter(params, feats)
+            f = common.l2_normalize(blended)
+            w = clip_weights / jnp.linalg.norm(clip_weights, axis=0, keepdims=True)
+            return scale * f @ w
+
+        self._logits_fn = jax.jit(logits_fn)
+
+        @jax.jit
+        def encode(clip_params, images_u8):
+            return clip_model.encode_image(clip_params, arch, preprocess(images_u8))
+
+        self._clip_params = clip_params
+        self._encode = lambda images: encode(self._clip_params, images)
+
+        def train_step(params, opt_state, feats, labels, clip_weights):
+            def loss_fn(params):
+                logits = logits_fn(params, feats, clip_weights)
+                return common.cross_entropy(logits, labels), logits
+
+            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = self.opt.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return params, opt_state, loss, logits
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------
+    def predict_logits(self, features):
+        return self._logits_fn(self.params, features, self.clip_weights)
+
+    def eval_logits_labels(self, split: str = "test"):
+        if split == "test" and hasattr(self, "features_test"):
+            import jax.numpy as jnp
+            import numpy as np
+
+            logits = np.asarray(self.predict_logits(jnp.asarray(self.features_test)))
+            return logits, self.labels_test
+        return super().eval_logits_labels(split)
+
+    def trainable_state(self):
+        return {"adapter": self.params, "clip_weights": self.clip_weights}
+
+    def load_trainable_state(self, state):
+        self.params = jax.tree.map(jnp.asarray, state["adapter"])
+        self.clip_weights = jnp.asarray(state["clip_weights"])
+
+    # ------------------------------------------------------------------
+    def train(self):
+        start_time = time.time()
+        self.build_model()
+
+        # cache test features + zero-shot block
+        self.labels_test, self.features_test = self.encode_images_batched(
+            self.test_loader
+        )
+        zs_logits = np.asarray(self.predict_logits(jnp.asarray(self.features_test)))
+        self.compute_zero_shot_block(zs_logits, self.labels_test)
+
+        if bool(self.config.adapter.use_gp):
+            tr_labels, tr_feats = self.encode_images_batched(self.train_loader_x)
+            _, mean_protos = pre_stages.train_gp_stage(
+                self.config,
+                self.text_embeddings,
+                common.l2_normalize(jnp.asarray(tr_feats)),
+                tr_labels,
+                self.keys,
+                warm_start_scale=self.logit_scale,
+            )
+            self.clip_weights = mean_protos.T
+            print("[CLIP-Adapter] Using trained GP-based template weighter for prototypes.")
+        elif bool(self.config.adapter.clip_adapter_use_template_weight_training):
+            tr_labels, tr_feats = self.encode_images_batched(self.train_loader_x)
+            _, protos = pre_stages.train_template_weight_stage(
+                self.config,
+                self.text_embeddings,
+                common.l2_normalize(jnp.asarray(tr_feats)),
+                tr_labels,
+            )
+            self.clip_weights = protos.T
+
+        self.before_train()
+        for self.epoch in range(self.start_epoch, self.max_epoch):
+            self.before_epoch()
+            self.run_epoch()
+            self.after_epoch()
+        self.after_train()
+        print(f"Training completed in {time.time() - start_time:.2f} seconds")
+
+    def run_epoch(self):
+        losses = AverageMeter()
+        loader = self.train_loader_x
+        self.num_batches = len(loader)
+        verbose = self.epoch == 0 or (self.epoch + 1) % 10 == 0
+        bs = loader.batch_size
+        for self.batch_idx, batch in enumerate(loader):
+            imgs = batch["img"]
+            n = imgs.shape[0]
+            if n < bs:
+                imgs = np.concatenate(
+                    [imgs, np.tile(imgs[-1:], (bs - n, 1, 1, 1))], axis=0
+                )
+            feats = self._encode(jnp.asarray(imgs))[:n]
+            labels = jnp.asarray(batch["label"].astype(np.int32))
+            self.params, self.opt_state, loss, logits = self._train_step(
+                self.params, self.opt_state, feats, labels, self.clip_weights
+            )
+            losses.update(float(loss))
+            if verbose:
+                acc_train = compute_accuracy(np.asarray(logits), batch["label"])[0]
+                logits_test = np.asarray(
+                    self.predict_logits(jnp.asarray(self.features_test))
+                )
+                acc_test = compute_accuracy(logits_test, self.labels_test)[0]
+                print(
+                    f"epoch [{self.epoch + 1}/{self.max_epoch}] "
+                    f"batch [{self.batch_idx + 1}/{self.num_batches}] "
+                    f"loss {float(loss):.4f} acc_train {acc_train:.4f} "
+                    f"acc_test {acc_test:.4f}"
+                )
+        self.opt_state = self.opt.set_epoch(self.opt_state, self.epoch + 1)
+        return losses.avg

@@ -1,0 +1,202 @@
+"""CoCoOp: conditional prompt learning with a per-image meta-net
+(ref: trainers/adapter_cocoop.py).
+
+CoOp's shared context gets an image-conditioned shift: ``meta_net`` =
+Linear(vis_dim → vis_dim/16) → ReLU → Linear(→ ctx_dim) maps each normalized
+image feature to a context bias; every image re-encodes all K class prompts.
+The reference iterates a Python loop over images (ref: cocoop.py:739-745);
+here the per-image K-prompt text encode is a ``lax.map`` over the batch —
+same memory profile, one compiled program.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clip_gp_tpu.core.registry import TRAINER_REGISTRY
+from clip_gp_tpu.methods import common
+from clip_gp_tpu.methods.coop import build_prompt_parts
+from clip_gp_tpu.models import clip_model
+from clip_gp_tpu.ops.metrics import AverageMeter, compute_accuracy
+from clip_gp_tpu.runtime.optim import EpochOptimizer
+from clip_gp_tpu.runtime.trainer_base import BaseTrainer
+
+
+@TRAINER_REGISTRY.register("Adapter-CoCoOp")
+class Trainer(BaseTrainer):
+    def build_model(self):
+        config = self.config
+        classnames = self.dm.dataset.classnames
+        print(f"Loading CLIP (backbone: {config.model.backbone_name})")
+        arch, clip_params = self.load_clip_model()
+        print("Building CoCoOp adapter")
+        self.arch = arch
+        self.logit_scale = float(np.exp(np.asarray(clip_params["logit_scale"])))
+        config.adapter.csc = False  # CoCoOp always uses shared context
+        (
+            ctx_vectors,
+            self.token_prefix,
+            self.token_suffix,
+            self.tokenized,
+            self.n_ctx,
+        ) = build_prompt_parts(config, classnames, clip_params, self.keys.next())
+        vis_dim = int(arch.embed_dim)
+        ctx_dim = int(arch.transformer_width)
+        hidden = max(1, vis_dim // 16)
+        k1, k2 = jax.random.split(self.keys.next())
+
+        def lin_init(key, fan_in, shape):
+            bound = 1 / np.sqrt(fan_in)
+            return jax.random.uniform(key, shape, minval=-bound, maxval=bound)
+
+        self.params: Dict = {
+            "ctx": ctx_vectors,
+            "meta_fc1": {"w": lin_init(k1, vis_dim, (vis_dim, hidden)),
+                         "b": jnp.zeros(hidden)},
+            "meta_fc2": {"w": lin_init(k2, hidden, (hidden, ctx_dim)),
+                         "b": jnp.zeros(ctx_dim)},
+        }
+        self.num_classes_k = len(classnames)
+        self.opt = EpochOptimizer(config.optim)
+        self.opt_state = self.opt.init(self.params)
+        self._build_jitted_fns(arch, clip_params)
+
+    def _build_jitted_fns(self, arch, clip_params):
+        scale = self.logit_scale
+        k = self.num_classes_k
+        prefix, suffix, tokenized = (
+            self.token_prefix,
+            self.token_suffix,
+            self.tokenized,
+        )
+        eot = tokenized.argmax(axis=-1)
+        preprocess = self.preprocess
+
+        self._clip_params = clip_params
+
+        @jax.jit
+        def encode(clip_params, images_u8):
+            feats = clip_model.encode_image(clip_params, arch, preprocess(images_u8))
+            return common.l2_normalize(feats)
+
+        self._encode_norm = lambda images: encode(self._clip_params, images)
+
+        def logits_fn(clip_params, params, img_feats):
+            # img_feats: [B, D] normalized
+            h = jax.nn.relu(
+                img_feats @ params["meta_fc1"]["w"] + params["meta_fc1"]["b"]
+            )
+            bias = h @ params["meta_fc2"]["w"] + params["meta_fc2"]["b"]  # [B,ctx_dim]
+            ctx = params["ctx"]  # [n_ctx, ctx_dim]
+
+            def per_image(args):
+                img_feat, bias_i = args
+                ctx_i = jnp.broadcast_to(
+                    (ctx + bias_i[None])[None], (k,) + ctx.shape
+                )
+                prompts = jnp.concatenate([prefix, ctx_i, suffix], axis=1)
+                text = clip_model.text_features_from_embeddings(
+                    clip_params, arch, prompts, eot
+                )
+                text = common.l2_normalize(text)
+                return scale * img_feat @ text.T
+
+            return jax.lax.map(per_image, (img_feats, bias))
+
+        logits_jit = jax.jit(logits_fn)
+        self._logits_fn = lambda params, feats: logits_jit(
+            self._clip_params, params, feats
+        )
+
+        def train_step(clip_params, params, opt_state, img_feats, labels):
+            def loss_fn(params):
+                logits = logits_fn(clip_params, params, img_feats)
+                return common.cross_entropy(logits, labels), logits
+
+            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = self.opt.update(grads, opt_state, params)
+            return (
+                jax.tree.map(lambda p, u: p + u, params, updates),
+                opt_state,
+                loss,
+                logits,
+            )
+
+        step_jit = jax.jit(train_step, donate_argnums=(1, 2))
+        self._train_step = lambda params, opt_state, feats, labels: step_jit(
+            self._clip_params, params, opt_state, feats, labels
+        )
+
+    # ------------------------------------------------------------------
+    def predict_logits(self, features):
+        return self._logits_fn(self.params, common.l2_normalize(features))
+
+    def trainable_state(self):
+        return self.params
+
+    def load_trainable_state(self, state):
+        self.params = jax.tree.map(jnp.asarray, state)
+
+    # ------------------------------------------------------------------
+    def train(self):
+        start_time = time.time()
+        self.build_model()
+        self.before_train()
+        for self.epoch in range(self.start_epoch, self.max_epoch):
+            self.before_epoch()
+            self.run_epoch()
+            self.after_epoch()
+        self.after_train()
+        print(f"Training completed in {time.time() - start_time:.2f} seconds")
+
+    def eval_logits_labels(self, split: str = "test"):
+        loader = self.test_loader if split == "test" else self.val_loader
+        bs = loader.batch_size
+        logits_all, labels_all = [], []
+        for batch in loader:
+            imgs = batch["img"]
+            n = imgs.shape[0]
+            if n < bs:
+                imgs = np.concatenate(
+                    [imgs, np.tile(imgs[-1:], (bs - n, 1, 1, 1))], axis=0
+                )
+            feats = self._encode_norm(jnp.asarray(imgs))
+            logits = np.asarray(self._logits_fn(self.params, feats))[:n]
+            logits_all.append(logits)
+            labels_all.append(batch["label"])
+        return np.concatenate(logits_all), np.concatenate(labels_all)
+
+    def run_epoch(self):
+        losses = AverageMeter()
+        loader = self.train_loader_x
+        self.num_batches = len(loader)
+        print_freq = int(self.config.train.print_freq)
+        bs = loader.batch_size
+        for self.batch_idx, batch in enumerate(loader):
+            imgs = batch["img"]
+            n = imgs.shape[0]
+            if n < bs:
+                imgs = np.concatenate(
+                    [imgs, np.tile(imgs[-1:], (bs - n, 1, 1, 1))], axis=0
+                )
+            img_feats = self._encode_norm(jnp.asarray(imgs))[:n]
+            labels = jnp.asarray(batch["label"].astype(np.int32))
+            self.params, self.opt_state, loss, logits = self._train_step(
+                self.params, self.opt_state, img_feats, labels
+            )
+            losses.update(float(loss))
+            meet_freq = (self.batch_idx + 1) % print_freq == 0
+            if meet_freq or self.num_batches < print_freq:
+                acc_train = compute_accuracy(np.asarray(logits), batch["label"])[0]
+                print(
+                    f"epoch [{self.epoch + 1}/{self.max_epoch}] "
+                    f"batch [{self.batch_idx + 1}/{self.num_batches}] "
+                    f"loss {float(loss):.4f} acc_train {acc_train:.4f}"
+                )
+        self.opt_state = self.opt.set_epoch(self.opt_state, self.epoch + 1)
+        return losses.avg

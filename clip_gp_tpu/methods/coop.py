@@ -1,0 +1,229 @@
+"""CoOp: learnable prompt context vectors (ref: trainers/adapter_coop.py).
+
+n_ctx learnable context embeddings (shared, class-specific with ``csc``, or
+initialized from a phrase with ``ctx_init``) are spliced between the SOS
+embedding and the class-name suffix, and the assembled prompts re-encode
+through the frozen text transformer every step — gradients flow through the
+tower to the context vectors only. The image tower output is treated as a
+constant (ref: adapter_coop.py:514-522).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clip_gp_tpu.core.registry import TRAINER_REGISTRY
+from clip_gp_tpu.data.templates import get_templates
+from clip_gp_tpu.methods import common
+from clip_gp_tpu.models import clip_model
+from clip_gp_tpu.models.tokenizer import tokenize
+from clip_gp_tpu.ops.metrics import AverageMeter, compute_accuracy
+from clip_gp_tpu.runtime.optim import EpochOptimizer
+from clip_gp_tpu.runtime.trainer_base import BaseTrainer
+
+
+def build_prompt_parts(config, classnames, clip_params, key):
+    """(ctx_vectors, token_prefix, token_suffix, tokenized) for prompt
+    learning (ref: adapter_coop.py:453-502)."""
+    n_ctx = int(config.adapter.n_ctx)
+    ctx_init = str(config.adapter.ctx_init or "")
+    use_csc = bool(config.adapter.csc)
+    token_embedding = np.asarray(clip_params["token_embedding"])
+    ctx_dim = token_embedding.shape[1]
+
+    if ctx_init:
+        phrase = ctx_init.replace("_", " ").strip()
+        n_ctx = len(phrase.split(" "))
+        tok = tokenize(phrase)[0]
+        embedding = token_embedding[tok]
+        ctx_vectors = jnp.asarray(embedding[1 : 1 + n_ctx])
+        prompt_prefix = phrase
+    else:
+        shape = (
+            (len(classnames), n_ctx, ctx_dim) if use_csc else (n_ctx, ctx_dim)
+        )
+        ctx_vectors = 0.02 * jax.random.normal(key, shape)
+        prompt_prefix = " ".join(["X"] * n_ctx)
+
+    prompts = [f"{prompt_prefix} {name}." for name in classnames]
+    tokenized = tokenize(prompts)  # [K,77]
+    embedding = token_embedding[tokenized]  # [K,77,dim]
+    token_prefix = jnp.asarray(embedding[:, :1])
+    token_suffix = jnp.asarray(embedding[:, 1 + n_ctx :])
+    return ctx_vectors, token_prefix, token_suffix, jnp.asarray(tokenized), n_ctx
+
+
+def assemble_prompts(ctx, token_prefix, token_suffix, num_classes):
+    if ctx.ndim == 2:
+        ctx = jnp.broadcast_to(ctx[None], (num_classes,) + ctx.shape)
+    return jnp.concatenate([token_prefix, ctx, token_suffix], axis=1)
+
+
+@TRAINER_REGISTRY.register("Adapter-CoOp")
+class Trainer(BaseTrainer):
+    def build_model(self):
+        config = self.config
+        classnames = self.dm.dataset.classnames
+        print(f"Loading CLIP (backbone: {config.model.backbone_name})")
+        arch, clip_params = self.load_clip_model()
+        print("Building CoOp adapter")
+        self.arch = arch
+        self.logit_scale = float(np.exp(np.asarray(clip_params["logit_scale"])))
+        (
+            ctx_vectors,
+            self.token_prefix,
+            self.token_suffix,
+            self.tokenized,
+            self.n_ctx,
+        ) = build_prompt_parts(config, classnames, clip_params, self.keys.next())
+        self.params: Dict = {"ctx": ctx_vectors}
+        self.num_classes_k = len(classnames)
+        self.opt = EpochOptimizer(config.optim)
+        self.opt_state = self.opt.init(self.params)
+        self._build_jitted_fns(arch, clip_params)
+        # zero-shot classifier for the baseline block
+        self.templates = get_templates(config)
+        self.text_embeddings = common.encode_templates(
+            clip_params, arch, classnames, self.templates
+        )
+
+    def _build_jitted_fns(self, arch, clip_params):
+        scale = self.logit_scale
+        k = self.num_classes_k
+        prefix, suffix, tokenized = (
+            self.token_prefix,
+            self.token_suffix,
+            self.tokenized,
+        )
+        eot = tokenized.argmax(axis=-1)
+        preprocess = self.preprocess
+
+        # clip_params stays an explicit argument of every jitted function —
+        # closing over the tower weights would embed them as HLO constants
+        self._clip_params = clip_params
+
+        @jax.jit
+        def encode(clip_params, images_u8):
+            feats = clip_model.encode_image(clip_params, arch, preprocess(images_u8))
+            return common.l2_normalize(feats)
+
+        self._encode_norm = lambda images: encode(self._clip_params, images)
+
+        def text_features(clip_params, params):
+            prompts = assemble_prompts(params["ctx"], prefix, suffix, k)
+            feats = clip_model.text_features_from_embeddings(
+                clip_params, arch, prompts, eot
+            )
+            return common.l2_normalize(feats)
+
+        text_features_jit = jax.jit(text_features)
+        self._text_features = lambda params: text_features_jit(
+            self._clip_params, params
+        )
+
+        def train_step(clip_params, params, opt_state, img_feats, labels):
+            def loss_fn(params):
+                text = text_features(clip_params, params)
+                logits = scale * img_feats @ text.T
+                return common.cross_entropy(logits, labels), logits
+
+            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = self.opt.update(grads, opt_state, params)
+            return (
+                jax.tree.map(lambda p, u: p + u, params, updates),
+                opt_state,
+                loss,
+                logits,
+            )
+
+        step_jit = jax.jit(train_step, donate_argnums=(1, 2))
+        self._train_step = lambda params, opt_state, feats, labels: step_jit(
+            self._clip_params, params, opt_state, feats, labels
+        )
+
+    # ------------------------------------------------------------------
+    def predict_logits(self, features):
+        text = self._text_features(self.params)
+        return self.logit_scale * common.l2_normalize(features) @ text.T
+
+    def eval_logits_labels(self, split: str = "test"):
+        if split == "test" and hasattr(self, "features_test"):
+            logits = np.asarray(self.predict_logits(jnp.asarray(self.features_test)))
+            return logits, self.labels_test
+        return super().eval_logits_labels(split)
+
+    def trainable_state(self):
+        return {"ctx": self.params["ctx"]}
+
+    def load_trainable_state(self, state):
+        self.params = {"ctx": jnp.asarray(state["ctx"])}
+
+    # ------------------------------------------------------------------
+    def train(self):
+        start_time = time.time()
+        self.build_model()
+
+        # zero-shot baseline + cached normalized test features
+        feats, labels = [], []
+        bs = self.test_loader.batch_size
+        for batch in self.test_loader:
+            imgs = batch["img"]
+            n = imgs.shape[0]
+            if n < bs:
+                imgs = np.concatenate(
+                    [imgs, np.tile(imgs[-1:], (bs - n, 1, 1, 1))], axis=0
+                )
+            feats.append(np.asarray(self._encode_norm(jnp.asarray(imgs)))[:n])
+            labels.append(batch["label"])
+        self.features_test = np.concatenate(feats)
+        self.labels_test = np.concatenate(labels)
+        zs_w = common.zero_shot_classifier(self.text_embeddings)
+        zs_logits = np.asarray(100.0 * jnp.asarray(self.features_test) @ zs_w)
+        self.compute_zero_shot_block(zs_logits, self.labels_test)
+
+        self.before_train()
+        for self.epoch in range(self.start_epoch, self.max_epoch):
+            self.before_epoch()
+            self.run_epoch()
+            self.after_epoch()
+        self.after_train()
+        print(f"Training completed in {time.time() - start_time:.2f} seconds")
+
+    def run_epoch(self):
+        losses = AverageMeter()
+        loader = self.train_loader_x
+        self.num_batches = len(loader)
+        verbose = self.epoch == 0 or (self.epoch + 1) % 10 == 0
+        bs = loader.batch_size
+        for self.batch_idx, batch in enumerate(loader):
+            imgs = batch["img"]
+            n = imgs.shape[0]
+            if n < bs:
+                imgs = np.concatenate(
+                    [imgs, np.tile(imgs[-1:], (bs - n, 1, 1, 1))], axis=0
+                )
+            img_feats = self._encode_norm(jnp.asarray(imgs))[:n]
+            labels = jnp.asarray(batch["label"].astype(np.int32))
+            self.params, self.opt_state, loss, logits = self._train_step(
+                self.params, self.opt_state, img_feats, labels
+            )
+            losses.update(float(loss))
+            if verbose:
+                acc_train = compute_accuracy(np.asarray(logits), batch["label"])[0]
+                acc_test = compute_accuracy(
+                    np.asarray(self.predict_logits(jnp.asarray(self.features_test))),
+                    self.labels_test,
+                )[0]
+                print(
+                    f"epoch [{self.epoch + 1}/{self.max_epoch}] "
+                    f"batch [{self.batch_idx + 1}/{self.num_batches}] "
+                    f"loss {float(loss):.4f} acc_train {acc_train:.4f} "
+                    f"acc_test {acc_test:.4f}"
+                )
+        self.opt_state = self.opt.set_epoch(self.opt_state, self.epoch + 1)
+        return losses.avg

@@ -1,0 +1,205 @@
+"""TaskRes: learnable residual on frozen base text features
+(ref: trainers/taskres.py).
+
+Base text features t [K,D] are the mean over M template embeddings; the only
+trainable state is the residual x with t' = t + α·x
+(``taskres_residual_scale``). Optional pre-stages replace the base features
+with GP-mean prototypes or learned template-weight prototypes. With GP, MC
+prototype samples get the residual added per sample at inference
+(ref: taskres.py:101-116).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clip_gp_tpu.core.registry import TRAINER_REGISTRY
+from clip_gp_tpu.data.templates import get_templates
+from clip_gp_tpu.gp import svgp
+from clip_gp_tpu.methods import common, pre_stages
+from clip_gp_tpu.models import clip_model
+from clip_gp_tpu.ops.metrics import AverageMeter, compute_accuracy
+from clip_gp_tpu.runtime.optim import EpochOptimizer, _OverrideLr
+from clip_gp_tpu.runtime.trainer_base import BaseTrainer
+
+
+@TRAINER_REGISTRY.register("TaskRes")
+class Trainer(BaseTrainer):
+    def build_model(self):
+        config = self.config
+        classnames = self.dm.dataset.classnames
+        print(f"Loading CLIP (backbone: {config.model.backbone_name})")
+        arch, clip_params = self.load_clip_model()
+        print("Building TaskRes adapter")
+        self.templates = get_templates(config)
+        self.text_embeddings = common.encode_templates(
+            clip_params, arch, classnames, self.templates
+        )
+        self.logit_scale = float(np.exp(np.asarray(clip_params["logit_scale"])))
+        self.alpha = float(config.adapter.taskres_residual_scale)
+        print(f">> TaskRes scale factor: {self.alpha}")
+        # base text features: plain mean over templates (ref: taskres.py:72-94)
+        self.base_text_features = self.text_embeddings.mean(axis=1)  # [K,D]
+        self.params: Dict = {"residuals": jnp.zeros_like(self.base_text_features)}
+        self.gp_bundle = None
+        self.s_eval = max(1, int(config.adapter.gp_num_mc_samples_eval or 1))
+
+        opt_cfg = _OverrideLr(config.optim, float(config.adapter.taskres_lr))
+        opt_cfg.name = str(config.adapter.taskres_optimizer)
+        opt_cfg.max_epoch = int(config.adapter.taskres_epochs)
+        self.opt = EpochOptimizer(opt_cfg)
+        self.opt_state = self.opt.init(self.params)
+        self._build_jitted_fns(arch, clip_params)
+
+    def _build_jitted_fns(self, arch, clip_params):
+        scale = self.logit_scale
+        alpha = self.alpha
+        preprocess = self.preprocess
+
+        @jax.jit
+        def encode(clip_params, images_u8):
+            return clip_model.encode_image(clip_params, arch, preprocess(images_u8))
+
+        self._clip_params = clip_params
+        self._encode = lambda images: encode(self._clip_params, images)
+
+        def logits_fn(params, feats, base):
+            text = base + alpha * params["residuals"]
+            return common.cosine_logits(feats, text, scale)
+
+        self._logits_fn = jax.jit(logits_fn)
+
+        def gp_logits_fn(params, feats, protos):
+            # residuals added to each normalized MC prototype sample
+            residuals = alpha * params["residuals"]
+            text_s = common.l2_normalize(protos) + residuals[None]
+            return common.cosine_logits(feats, text_s, scale)
+
+        self._gp_logits_fn = jax.jit(gp_logits_fn)
+
+        def train_step(params, opt_state, feats, labels, base):
+            def loss_fn(params):
+                logits = logits_fn(params, feats, base)
+                return common.cross_entropy(logits, labels), logits
+
+            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = self.opt.update(grads, opt_state, params)
+            return (
+                jax.tree.map(lambda p, u: p + u, params, updates),
+                opt_state,
+                loss,
+                logits,
+            )
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------
+    def predict_logits(self, features):
+        if self.gp_bundle is not None and bool(self.config.adapter.use_gp):
+            static, gp_params, buffers = self.gp_bundle
+            protos, _ = svgp.sample_prototypes(
+                static, gp_params, buffers, self.keys.next(), self.s_eval
+            )
+            return self._gp_logits_fn(self.params, features, protos)
+        return self._logits_fn(self.params, features, self.base_text_features)
+
+    def eval_logits_labels(self, split: str = "test"):
+        if split == "test" and hasattr(self, "features_test"):
+            logits = np.asarray(self.predict_logits(jnp.asarray(self.features_test)))
+            return logits, self.labels_test
+        return super().eval_logits_labels(split)
+
+    def trainable_state(self):
+        return {"residuals": self.params["residuals"],
+                "base_text_features": self.base_text_features}
+
+    def load_trainable_state(self, state):
+        self.params = {"residuals": jnp.asarray(state["residuals"])}
+        self.base_text_features = jnp.asarray(state["base_text_features"])
+
+    # ------------------------------------------------------------------
+    def train(self):
+        start_time = time.time()
+        self.build_model()
+
+        self.labels_test, self.features_test = self.encode_images_batched(
+            self.test_loader
+        )
+        # zero-shot baseline with the standard zero-shot classifier
+        zs_w = common.zero_shot_classifier(self.text_embeddings)
+        zs_logits = np.asarray(
+            100.0
+            * common.l2_normalize(jnp.asarray(self.features_test))
+            @ zs_w
+        )
+        self.compute_zero_shot_block(zs_logits, self.labels_test)
+
+        config = self.config
+        if bool(config.adapter.use_gp):
+            tr_labels, tr_feats = self.encode_images_batched(self.train_loader_x)
+            self.gp_bundle, mean_protos = pre_stages.train_gp_stage(
+                config,
+                self.text_embeddings,
+                common.l2_normalize(jnp.asarray(tr_feats)),
+                tr_labels,
+                self.keys,
+                warm_start_scale=self.logit_scale,
+            )
+            self.base_text_features = mean_protos
+            print("[TaskRes] Using trained GP-based template weighter for prototypes.")
+        elif bool(config.adapter.taskres_use_template_weight_training):
+            tr_labels, tr_feats = self.encode_images_batched(self.train_loader_x)
+            _, protos = pre_stages.train_template_weight_stage(
+                config,
+                self.text_embeddings,
+                common.l2_normalize(jnp.asarray(tr_feats)),
+                tr_labels,
+                l2_to_uniform_lambda=float(config.adapter.template_tw_l2_lambda),
+            )
+            self.base_text_features = protos
+
+        self.before_train()
+        for self.epoch in range(self.start_epoch, self.max_epoch):
+            self.before_epoch()
+            self.run_epoch()
+            self.after_epoch()
+        self.after_train()
+        print(f"Training completed in {time.time() - start_time:.2f} seconds")
+
+    def run_epoch(self):
+        losses = AverageMeter()
+        loader = self.train_loader_x
+        self.num_batches = len(loader)
+        verbose = self.epoch == 0 or (self.epoch + 1) % 10 == 0
+        bs = loader.batch_size
+        for self.batch_idx, batch in enumerate(loader):
+            imgs = batch["img"]
+            n = imgs.shape[0]
+            if n < bs:
+                imgs = np.concatenate(
+                    [imgs, np.tile(imgs[-1:], (bs - n, 1, 1, 1))], axis=0
+                )
+            feats = self._encode(jnp.asarray(imgs))[:n]
+            labels = jnp.asarray(batch["label"].astype(np.int32))
+            self.params, self.opt_state, loss, logits = self._train_step(
+                self.params,
+                self.opt_state,
+                feats,
+                labels,
+                self.base_text_features,
+            )
+            losses.update(float(loss))
+            if verbose:
+                acc_train = compute_accuracy(np.asarray(logits), batch["label"])[0]
+                print(
+                    f"epoch [{self.epoch + 1}/{self.max_epoch}] "
+                    f"batch [{self.batch_idx + 1}/{self.num_batches}] "
+                    f"loss {float(loss):.4f} acc_train {acc_train:.4f}"
+                )
+        self.opt_state = self.opt.set_epoch(self.opt_state, self.epoch + 1)
+        return losses.avg

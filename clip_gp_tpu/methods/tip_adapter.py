@@ -1,0 +1,285 @@
+"""Tip-Adapter and Tip-Adapter-F: training-free cache classifier
+(ref: trainers/tip_adapter.py).
+
+Cache keys = normalized few-shot features [N,D], values = one-hot labels
+[N,K]; ``cache_logits = exp(−β(1−keyᵀq)) @ vals`` and
+``tip_logits = clip_logits + α·cache_logits``. The -F variant wraps the keys
+in a trainable bias-free linear layer initialized from the cache, trained with
+CE while tracking the best test accuracy. (β, α) are grid-searched on the val
+set (β ∈ {1,2,5}, α ∈ {1,5,10,20,50}). Fully custom ``train()`` — no epoch
+lifecycle (ref: tip_adapter.py:82-362).
+
+TPU-native: val/test features are cached once; the whole (β, α) grid evaluates
+as one vectorized einsum over the grid instead of a Python double loop; the -F
+training epoch is a jitted step over cached augmented-feature batches.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from clip_gp_tpu.core.registry import TRAINER_REGISTRY
+from clip_gp_tpu.data.templates import get_templates
+from clip_gp_tpu.gp import svgp
+from clip_gp_tpu.methods import common, pre_stages
+from clip_gp_tpu.models import clip_model
+from clip_gp_tpu.ops.metrics import (
+    compute_accuracy,
+    compute_aece,
+    compute_aece_with_bins,
+    compute_ece,
+    compute_ece_with_bins,
+)
+from clip_gp_tpu.runtime.trainer_base import BaseTrainer
+
+BETAS = (1.0, 2.0, 5.0)
+ALPHAS = (1.0, 5.0, 10.0, 20.0, 50.0)
+
+
+@TRAINER_REGISTRY.register("Tip-Adapter")
+class Trainer(BaseTrainer):
+    def build_model(self):
+        config = self.config
+        print(f"Loading CLIP (backbone: {config.model.backbone_name})")
+        arch, clip_params = self.load_clip_model()
+        self.arch = arch
+        self.classnames = self.dm.dataset.classnames
+        self.templates = get_templates(config)
+        self.text_embeddings = common.encode_templates(
+            clip_params, arch, self.classnames, self.templates
+        )
+        self.clip_weights = common.zero_shot_classifier(self.text_embeddings)
+        self.gp_bundle = None
+        preprocess = self.preprocess
+
+        @jax.jit
+        def encode(clip_params, images_u8):
+            feats = clip_model.encode_image(clip_params, arch, preprocess(images_u8))
+            return common.l2_normalize(feats)
+
+        self._clip_params = clip_params
+        self._encode_norm = lambda images: encode(self._clip_params, images)
+
+    def _extract_norm(self, loader):
+        bs = loader.batch_size
+        feats, labels = [], []
+        for batch in loader:
+            imgs = batch["img"]
+            n = imgs.shape[0]
+            if n < bs:
+                imgs = np.concatenate(
+                    [imgs, np.tile(imgs[-1:], (bs - n, 1, 1, 1))], axis=0
+                )
+            feats.append(np.asarray(self._encode_norm(jnp.asarray(imgs)))[:n])
+            labels.append(batch["label"])
+        return np.concatenate(feats), np.concatenate(labels)
+
+    # ------------------------------------------------------------------
+    def _clip_logits(self, feats: jnp.ndarray) -> jnp.ndarray:
+        if self.gp_bundle is not None:
+            static, gp_params, buffers = self.gp_bundle
+            s = max(1, int(self.config.adapter.gp_num_mc_samples_eval or 1))
+            protos, _ = svgp.sample_prototypes(
+                static, gp_params, buffers, self.keys.next(), s
+            )
+            p = common.l2_normalize(protos)
+            return 100.0 * jnp.einsum("bd,skd->bsk", feats, p).mean(axis=1)
+        return 100.0 * feats @ self.clip_weights
+
+    def _search_hyperparams(self, val_feats, val_labels, adapter_w=None):
+        """Vectorized (β, α) grid search on the val set
+        (ref: tip_adapter.py:438-466)."""
+        clip_logits = self._clip_logits(jnp.asarray(val_feats))
+        affinity = (
+            jnp.asarray(val_feats) @ adapter_w.T
+            if adapter_w is not None
+            else jnp.asarray(val_feats) @ self.cache_keys.T
+        )
+        betas = jnp.asarray(BETAS)
+        cache = jnp.exp(
+            -(betas[:, None, None] - betas[:, None, None] * affinity[None])
+        ) @ self.cache_vals  # [B, N, K]
+        alphas = jnp.asarray(ALPHAS)
+        tip = clip_logits[None, None] + alphas[None, :, None, None] * cache[:, None]
+        preds = tip.argmax(-1)  # [B, A, N]
+        accs = (preds == jnp.asarray(val_labels)[None, None]).mean(-1)
+        accs_np = np.asarray(accs)
+        bi, ai = np.unravel_index(np.argmax(accs_np), accs_np.shape)
+        return float(BETAS[bi]), float(ALPHAS[ai])
+
+    def _tip_logits(self, feats, beta, alpha, adapter_w=None):
+        affinity = (
+            jnp.asarray(feats) @ adapter_w.T
+            if adapter_w is not None
+            else jnp.asarray(feats) @ self.cache_keys.T
+        )
+        cache_logits = jnp.exp(-(beta - beta * affinity)) @ self.cache_vals
+        return self._clip_logits(jnp.asarray(feats)) + alpha * cache_logits
+
+    # ------------------------------------------------------------------
+    def train(self):
+        start_time = time.time()
+        self.build_model()
+        config = self.config
+
+        use_gp = bool(config.adapter.use_gp)
+        use_tw = bool(config.adapter.tip_adapter_use_template_weight_training)
+        if use_gp or use_tw:
+            tr_feats, tr_labels = self._extract_norm(self.train_loader_x)
+            if use_gp:
+                self.gp_bundle, mean_protos = pre_stages.train_gp_stage(
+                    config,
+                    self.text_embeddings,
+                    jnp.asarray(tr_feats),
+                    tr_labels,
+                    self.keys,
+                )
+                print("[Tip-Adapter] Using trained GP-based template weighter for prototypes.")
+            else:
+                _, protos = pre_stages.train_template_weight_stage(
+                    config, self.text_embeddings, jnp.asarray(tr_feats), tr_labels
+                )
+                self.clip_weights = protos.T
+
+        # test features + zero-shot
+        test_feats, test_labels = self._extract_norm(self.test_loader)
+        self.features_test, self.labels_test = test_feats, test_labels
+        clip_logits_test = np.asarray(self._clip_logits(jnp.asarray(test_feats)))
+        self.compute_zero_shot_block(clip_logits_test, test_labels)
+
+        # build cache
+        cache_feats, cache_labels = self._extract_norm(self.train_loader_x)
+        self.cache_keys = jnp.asarray(cache_feats)  # [N,D]
+        self.cache_vals = jax.nn.one_hot(
+            jnp.asarray(cache_labels.astype(np.int32)), len(self.classnames)
+        )
+
+        trainable = bool(config.adapter.tip_adapter_trainable)
+        adapter_w: Optional[jnp.ndarray] = None
+        if trainable:
+            adapter_w = self._train_adapter_f(test_feats, test_labels)
+
+        # hyperparameter search on val (fallback to init values)
+        try:
+            val_feats, val_labels = self._extract_norm(self.val_loader)
+            beta, alpha = self._search_hyperparams(val_feats, val_labels, adapter_w)
+        except Exception as e:
+            print(f"[Tip-Adapter] val search unavailable ({e}); using init values")
+            beta = float(config.adapter.tip_adapter_init_beta)
+            alpha = float(config.adapter.tip_adapter_init_alpha)
+        self.best_beta, self.best_alpha = beta, alpha
+        self.adapter_w = adapter_w
+
+        # final test
+        logits = np.asarray(
+            self._tip_logits(test_feats, beta, alpha, adapter_w)
+        )
+        acc = compute_accuracy(logits, test_labels)[0]
+        print("Evaluate on the *test* set")
+        print("=> result")
+        print(f"* total: {len(test_labels):,}")
+        print(f"* correct: {int((logits.argmax(1) == test_labels).sum()):,}")
+        print(f"* accuracy: {acc:.1f}%")
+        print(f"* error: {100 - acc:.1f}%")
+        ece = compute_ece(logits, test_labels)
+        aece = compute_aece(logits, test_labels)
+        print(f"* ECE: {ece:.2f}%")
+        print(f"* AECE: {aece:.2f}%")
+        _, ece_bins = compute_ece_with_bins(logits, test_labels)
+        _, aece_bins = compute_aece_with_bins(logits, test_labels)
+        metrics = {
+            "top1_acc": float(acc),
+            "ece": float(ece),
+            "aece": float(aece),
+            "calibration": ece_bins,
+            "adaptive_calibration": aece_bins,
+        }
+        self.write_run_summary_json(metrics, start_time=start_time)
+        print(f"Completed in {time.time() - start_time:.2f} seconds")
+
+    # ------------------------------------------------------------------
+    def _train_adapter_f(self, test_feats, test_labels) -> jnp.ndarray:
+        """Tip-Adapter-F: trainable cache keys (ref: tip_adapter.py:613-682)."""
+        config = self.config
+        # init from cache keys [N,D]; copy — the first donated jit step must
+        # not consume the cache_keys buffer itself
+        adapter_w = jnp.array(self.cache_keys)
+        lr = float(config.adapter.tip_adapter_lr)
+        eps = float(config.adapter.tip_adapter_eps) or 1e-8
+        epochs = int(config.adapter.tip_adapter_epochs)
+        beta = float(config.adapter.tip_adapter_init_beta)
+        alpha = float(config.adapter.tip_adapter_init_alpha)
+        n_batches = max(1, len(self.train_loader_x))
+        sched = optax.cosine_decay_schedule(lr, max(1, epochs * n_batches))
+        tx = optax.adamw(sched, eps=eps)
+        opt_state = tx.init(adapter_w)
+        cache_vals = self.cache_vals
+        clip_logits_fn = self._clip_logits
+
+        def step(adapter_w, opt_state, feats, labels, clip_logits):
+            def loss_fn(adapter_w):
+                affinity = feats @ adapter_w.T
+                cache_logits = jnp.exp(-(beta - beta * affinity)) @ cache_vals
+                tip = clip_logits + alpha * cache_logits
+                return common.cross_entropy(tip, labels), tip
+
+            (loss, tip), grads = jax.value_and_grad(loss_fn, has_aux=True)(adapter_w)
+            updates, opt_state = tx.update(grads, opt_state, adapter_w)
+            return optax.apply_updates(adapter_w, updates), opt_state, loss, tip
+
+        jit_step = jax.jit(step, donate_argnums=(0, 1))
+
+        best_acc, best_w = 0.0, np.asarray(adapter_w)
+        test_feats_j = jnp.asarray(test_feats)
+        for epoch in range(epochs):
+            correct = total = 0
+            loss_sum = 0.0
+            for batch in self.train_loader_x:
+                imgs = batch["img"]
+                bs = self.train_loader_x.batch_size
+                n = imgs.shape[0]
+                if n < bs:
+                    imgs = np.concatenate(
+                        [imgs, np.tile(imgs[-1:], (bs - n, 1, 1, 1))], axis=0
+                    )
+                feats = self._encode_norm(jnp.asarray(imgs))[:n]
+                labels = jnp.asarray(batch["label"].astype(np.int32))
+                clip_logits = self._clip_logits(feats)
+                adapter_w, opt_state, loss, tip = jit_step(
+                    adapter_w, opt_state, feats, labels, clip_logits
+                )
+                acc = compute_accuracy(np.asarray(tip), batch["label"])[0]
+                correct += acc / 100.0 * n
+                total += n
+                loss_sum += float(loss)
+            if epoch == 0 or (epoch + 1) % 10 == 0:
+                print(
+                    f"epoch [{epoch + 1}/{epochs}] "
+                    f"loss {loss_sum / max(1, n_batches):.4f} "
+                    f"acc_train {100.0 * correct / max(1, total):.4f}"
+                )
+            # quick test eval on cached test features; keep the best state
+            tip_test = np.asarray(
+                self._tip_logits(test_feats_j, beta, alpha, adapter_w)
+            )
+            acc_test = compute_accuracy(tip_test, test_labels)[0]
+            if acc_test > best_acc:
+                # host snapshot — the live adapter_w buffer is donated into
+                # the next jit step
+                best_acc, best_w = acc_test, np.asarray(adapter_w)
+        return jnp.asarray(best_w)
+
+    # metrics.json handled inside train(); standard test() path unused
+    def predict_logits(self, features):
+        return self._tip_logits(
+            np.asarray(features),
+            getattr(self, "best_beta", float(self.config.adapter.tip_adapter_init_beta)),
+            getattr(self, "best_alpha", float(self.config.adapter.tip_adapter_init_alpha)),
+            getattr(self, "adapter_w", None),
+        )

@@ -97,9 +97,9 @@ def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
 
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    y = x @ p["w"]
+    y = x @ p["w"].astype(x.dtype)
     if "b" in p:
-        y = y + p["b"]
+        y = y + p["b"].astype(x.dtype)
     return y
 
 
@@ -170,10 +170,11 @@ def attention_block(
     and out-projection, matching torch MultiheadAttention packing.
     """
     h = layer_norm(p["ln_1"], x)
-    qkv = h @ p["attn"]["w_qkv"] + p["attn"]["b_qkv"]
+    a = p["attn"]
+    qkv = h @ a["w_qkv"].astype(x.dtype) + a["b_qkv"].astype(x.dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     attn = multi_head_attention(q, k, v, num_heads, mask)
-    x = x + attn @ p["attn"]["w_out"] + p["attn"]["b_out"]
+    x = x + attn @ a["w_out"].astype(x.dtype) + a["b_out"].astype(x.dtype)
     h = layer_norm(p["ln_2"], x)
     h = quick_gelu(linear(p["mlp"]["c_fc"], h))
     x = x + linear(p["mlp"]["c_proj"], h)

@@ -1,0 +1,69 @@
+"""Device-mesh helpers and the sharded training step used for multi-chip runs.
+
+The workload's natural parallelism (SURVEY §2.1): the heavy FLOPs are frozen
+CLIP feature extraction → shard the batch axis over the mesh (pure DP — the
+towers are frozen so there is no gradient sync for them at all); adapter/GP
+training over cached features replicates the tiny trainable state and shards
+the feature batch, with XLA inserting the psum for grad reduction from the
+sharding annotations. Grid trials additionally map onto the same axis
+(see parallel/sweep.py).
+
+No NCCL/MPI analog exists or is needed: collectives are derived by XLA from
+`jax.sharding` annotations and ride ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    return Mesh(np.array(devices[:n]), (axis,))
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Place array(s) with the leading axis sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def sharded_encode_fn(mesh: Mesh, clip_params, arch, preprocess, axis: str = "data"):
+    """Batch-sharded frozen feature extraction: images sharded over `axis`,
+    params replicated, output features sharded over `axis`."""
+    from clip_gp_tpu.models import clip_model
+
+    def encode(params, images_u8):
+        images = preprocess(images_u8)
+        return clip_model.encode_image(params, arch, images)
+
+    rep = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(axis))
+    encode_jit = jax.jit(encode, in_shardings=(rep, shard), out_shardings=shard)
+    params_rep = jax.device_put(clip_params, rep)
+    return lambda images: encode_jit(params_rep, images)
+
+
+def sharded_train_step(mesh: Mesh, step_fn, axis: str = "data"):
+    """Wrap a (params, opt_state, features, labels, key) step with DP
+    shardings: trainable state replicated, batch sharded. XLA derives the
+    gradient all-reduce from the output sharding constraint."""
+    rep = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(axis))
+    return jax.jit(
+        step_fn,
+        in_shardings=(rep, rep, shard, shard, rep),
+        out_shardings=None,
+        donate_argnums=(0, 1),
+    )

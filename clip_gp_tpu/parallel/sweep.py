@@ -1,0 +1,301 @@
+"""Grid experiment runner (ref: utils/hparam_search.py).
+
+Same experiment-YAML contract: ``datasets``/``seeds``/``shots``/``grid``
+Cartesian expansion, human-readable trial signatures, ``template`` output-dir
+formatting, skip-if-``log.txt``-exists resumability, OK/FAIL progress lines.
+
+Execution backends, replacing per-GPU subprocess pinning:
+- ``inprocess`` (default): trials run sequentially inside one process. On TPU
+  this is the fast path — the XLA executables and CLIP weights persist across
+  trials, so each trial after the first skips all compilation; a whole sweep
+  behaves like one long program. Per-trial stdout is teed into each trial's
+  ``log.txt``.
+- ``subprocess``: reference-style isolation, one ``train.py`` child per trial,
+  with a worker pool of ``--jobs-per-device`` × devices. Use for multi-host
+  dispatch or fault isolation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import os
+import queue
+import subprocess
+import sys
+import threading
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import yaml
+
+DATASET_NAME_MAP = {
+    "caltech101": "Caltech101",
+    "oxford_pets": "OxfordPets",
+    "oxford_flowers": "OxfordFlowers",
+    "fgvc_aircraft": "FGVCAircraft",
+    "dtd": "DescribableTextures",
+    "eurosat": "EuroSAT",
+    "stanford_cars": "StanfordCars",
+    "food101": "Food101",
+    "sun397": "SUN397",
+    "ucf101": "UCF101",
+    "imagenet": "ImageNet",
+    "imagenet_sketch": "ImageNetSketch",
+    "imagenetv2": "ImageNetV2",
+    "imagenet_a": "ImageNetA",
+    "imagenet_r": "ImageNetR",
+    "synthetic": "Synthetic",
+}
+
+
+@dataclass
+class Trial:
+    index: int
+    dataset: str
+    seed: int
+    shots: int
+    dataset_cfg: str
+    output_root: Path
+    output_template: str
+    grid_overrides: Dict[str, Any]
+    root_override: Optional[str]
+    experiment_name: str
+    config_file: str
+    extra_env: Dict[str, str] = field(default_factory=dict)
+
+    def signature(self) -> str:
+        if not self.grid_overrides:
+            return ""
+        return "_".join(
+            f"{k.split('.')[-1]}{v}" for k, v in sorted(self.grid_overrides.items())
+        )
+
+    def format_outdir(self) -> Path:
+        placeholders = {
+            "sweep": self.experiment_name,
+            "experiment": self.experiment_name,
+            "dataset": self.dataset,
+            "shots": self.shots,
+            "seed": self.seed,
+            "sig": self.signature(),
+        }
+        placeholders.update(self.grid_overrides)
+        return (self.output_root / self.output_template.format(**placeholders)).resolve()
+
+    def to_argv(self) -> List[str]:
+        out_dir = self.format_outdir()
+        out_dir.mkdir(parents=True, exist_ok=True)
+        argv = [
+            "--dataset-config-file", self.dataset_cfg,
+            "--config-file", self.config_file,
+            "--dataset", DATASET_NAME_MAP.get(self.dataset.lower(), self.dataset),
+            "--seed", str(self.seed),
+            "--output-dir", str(out_dir),
+        ]
+        if self.root_override:
+            argv += ["--root", self.root_override]
+        for k, v in sorted(self.grid_overrides.items()):
+            argv += [k, str(v)]
+        argv += ["DATASET.NUM_SHOTS", str(self.shots)]
+        return argv
+
+
+def build_trials(cfg: Dict[str, Any]) -> Tuple[List[Trial], Dict[str, Any]]:
+    name = cfg.get("name") or "experiment"
+    datasets = cfg.get("datasets")
+    if isinstance(datasets, str):
+        datasets = [datasets]
+    seeds = list(cfg.get("seeds", [1]))
+    shots = list(cfg.get("shots", [1]))
+    output_root = Path(cfg.get("output_root", "output"))
+    grid: Dict[str, Any] = cfg.get("grid") or {}
+    template = cfg.get("template", "{experiment}/{dataset}/{sig}/seed{seed}")
+    keys = list(grid.keys())
+    values = [grid[k] if isinstance(grid[k], list) else [grid[k]] for k in keys]
+    trials: List[Trial] = []
+    for ds in datasets:
+        dataset_cfg = cfg.get("dataset_config") or f"configs/datasets/{ds}.yaml"
+        for seed in seeds:
+            for nshot in shots:
+                for combo in itertools.product(*values) if keys else [()]:
+                    trials.append(
+                        Trial(
+                            index=len(trials),
+                            dataset=ds,
+                            seed=int(seed),
+                            shots=int(nshot),
+                            dataset_cfg=dataset_cfg,
+                            output_root=output_root,
+                            output_template=template,
+                            grid_overrides=dict(zip(keys, combo)),
+                            root_override=cfg.get("root"),
+                            experiment_name=name,
+                            config_file=str(cfg.get("__config_file__", "")),
+                        )
+                    )
+    return trials, {"experiment_name": name, "n_trials": len(trials)}
+
+
+def pending_trials(trials: List[Trial], skip_logged: bool = True) -> List[Trial]:
+    out = []
+    for t in trials:
+        if skip_logged and (t.format_outdir() / "log.txt").exists():
+            print(
+                f"[SKIP] Existing log found, skipping: dataset={t.dataset} "
+                f"shots={t.shots} seed={t.seed} sig={t.signature()}"
+            )
+            continue
+        out.append(t)
+    return out
+
+
+def run_trials_inprocess(trials: List[Trial]) -> List[Dict[str, Any]]:
+    """Sequential in-process execution with persistent jit caches."""
+    from clip_gp_tpu.core.logging import reset_tee
+
+    results = []
+    total = len(trials)
+    for i, trial in enumerate(trials):
+        import train as train_main
+
+        rc = 0
+        try:
+            train_main.main(trial.to_argv())
+        except Exception as e:  # a failed trial must not kill the sweep
+            import traceback
+
+            traceback.print_exc()
+            print(f"[ERROR] trial failed: {e}")
+            rc = 1
+        finally:
+            reset_tee()
+        status = "OK" if rc == 0 else "FAIL"
+        print(
+            f"[{i + 1}/{total}] {status} dataset={trial.dataset} "
+            f"shots={trial.shots} seed={trial.seed} config={trial.signature()}"
+        )
+        results.append(
+            {
+                "index": trial.index,
+                "dataset": trial.dataset,
+                "seed": trial.seed,
+                "shots": trial.shots,
+                "sig": trial.signature(),
+                "out_dir": str(trial.format_outdir()),
+                "return_code": rc,
+            }
+        )
+    return results
+
+
+def run_trials_subprocess(
+    trials: List[Trial],
+    devices: List[str],
+    jobs_per_device: int,
+    verbose: bool = False,
+) -> List[Dict[str, Any]]:
+    """Reference-style process-per-trial worker pool
+    (ref: utils/hparam_search.py:209-281)."""
+    results: List[Dict[str, Any]] = []
+    total = len(trials)
+    completed = {"n": 0}
+    task_q: "queue.Queue[Trial]" = queue.Queue()
+    for i, t in enumerate(trials):
+        if devices:
+            t.extra_env["CLIP_GP_TPU_DEVICE"] = devices[i % len(devices)]
+        task_q.put(t)
+    lock = threading.Lock()
+    dev_ids = devices or [""]
+    semaphores = {d: threading.Semaphore(max(1, jobs_per_device)) for d in dev_ids}
+    n_threads = max(1, len(dev_ids) * max(1, jobs_per_device))
+    train_py = str(Path(__file__).resolve().parents[2] / "train.py")
+
+    def worker():
+        while True:
+            try:
+                trial = task_q.get_nowait()
+            except queue.Empty:
+                return
+            dev = trial.extra_env.get("CLIP_GP_TPU_DEVICE", "")
+            sem = semaphores.get(dev, semaphores[dev_ids[0]])
+            with sem:
+                env = os.environ.copy()
+                env.update(trial.extra_env)
+                cmd = [sys.executable, train_py] + trial.to_argv()
+                kwargs = (
+                    {}
+                    if verbose
+                    else {"stdout": subprocess.DEVNULL, "stderr": subprocess.DEVNULL}
+                )
+                rc = subprocess.call(cmd, env=env, **kwargs)
+                with lock:
+                    completed["n"] += 1
+                    status = "OK" if rc == 0 else "FAIL"
+                    print(
+                        f"[{completed['n']}/{total}] {status} "
+                        f"dataset={trial.dataset} shots={trial.shots} "
+                        f"seed={trial.seed} config={trial.signature()}"
+                    )
+                    results.append(
+                        {
+                            "index": trial.index,
+                            "dataset": trial.dataset,
+                            "seed": trial.seed,
+                            "shots": trial.shots,
+                            "sig": trial.signature(),
+                            "out_dir": str(trial.format_outdir()),
+                            "return_code": rc,
+                        }
+                    )
+            task_q.task_done()
+
+    threads = [threading.Thread(target=worker, daemon=True) for _ in range(n_threads)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    return results
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="Run grid experiments")
+    ap.add_argument("--config-file", required=True)
+    ap.add_argument("--devices", default=None,
+                    help="comma-separated device ids (subprocess backend)")
+    ap.add_argument("--jobs-per-gpu", "--jobs-per-device", type=int, default=1,
+                    dest="jobs_per_device")
+    ap.add_argument("--experiment-name", default=None)
+    ap.add_argument("--backend", choices=["inprocess", "subprocess"],
+                    default="inprocess")
+    ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--no-skip-logged", action="store_true")
+    args = ap.parse_args(argv)
+
+    t0 = time.time()
+    config_path = Path(args.config_file)
+    with open(config_path) as f:
+        cfg = yaml.safe_load(f)
+    cfg["__config_file__"] = str(config_path)
+    if args.experiment_name:
+        cfg["name"] = args.experiment_name
+    elif not cfg.get("name"):
+        cfg["name"] = config_path.stem
+
+    trials, meta = build_trials(cfg)
+    todo = pending_trials(trials, skip_logged=not args.no_skip_logged)
+    devices = [d.strip() for d in (args.devices or "").split(",") if d.strip()]
+    if args.backend == "subprocess" or devices:
+        run_trials_subprocess(todo, devices, args.jobs_per_device, args.verbose)
+    else:
+        run_trials_inprocess(todo)
+    exp = meta["experiment_name"]
+    out = trials[0].output_root / exp if trials else Path("output") / exp
+    print(f"Experiment complete: {exp} -> {out}")
+    print(f"Completed in {time.time() - t0} seconds")
+
+
+if __name__ == "__main__":
+    main()

@@ -126,11 +126,14 @@ class BaseTrainer:
         encoder compiles once per split shape."""
         arch, params = self.clip_arch, self.clip_params
         batch_size = loader.batch_size
+        preprocess = self.preprocess
 
+        # params is an explicit argument: closing over the weights would bake
+        # them into the HLO as constants (huge executables / remote-compile
+        # payloads on tunneled TPU backends)
         @jax.jit
-        def encode(images_u8):
-            images = self.preprocess(images_u8)
-            return clip_model.encode_image(params, arch, images)
+        def encode(params, images_u8):
+            return clip_model.encode_image(params, arch, preprocess(images_u8))
 
         feats, labels = [], []
         for batch in loader:
@@ -139,7 +142,7 @@ class BaseTrainer:
             if n < batch_size:
                 pad = np.tile(imgs[-1:], (batch_size - n, 1, 1, 1))
                 imgs = np.concatenate([imgs, pad], axis=0)
-            out = np.asarray(encode(jnp.asarray(imgs)))[:n]
+            out = np.asarray(encode(params, jnp.asarray(imgs)))[:n]
             feats.append(out)
             labels.append(batch["label"])
         return np.concatenate(labels), np.concatenate(feats).astype(np.float32)
@@ -242,8 +245,12 @@ class BaseTrainer:
         aece = compute_aece(logits, labels)
         _, ece_bins = compute_ece_with_bins(logits, labels)
         _, aece_bins = compute_aece_with_bins(logits, labels)
+        # both spellings appear in the reference pipeline ("accuracy" from
+        # BaseTrainer.test, "top1_acc" from _compute_final_metrics); the
+        # aggregator reads either — write the superset.
         results = {
             "accuracy": accuracy,
+            "top1_acc": accuracy,
             "macro_f1": macro_f1,
             "ece": ece,
             "aece": aece,

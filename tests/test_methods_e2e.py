@@ -1,0 +1,125 @@
+"""End-to-end runs of the five non-flagship methods on the synthetic dataset
+with tiny towers (the Adapter method has its own e2e file)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from clip_gp_tpu.core.config import Config
+from clip_gp_tpu.core.registry import build_trainer
+from clip_gp_tpu.core.seeding import set_random_seed
+from clip_gp_tpu.data.pipeline import build_data_manager
+import clip_gp_tpu.data.datasets  # noqa: F401
+import clip_gp_tpu.methods  # noqa: F401
+
+
+@pytest.fixture(autouse=True)
+def _random_weights_env(monkeypatch):
+    monkeypatch.setenv("CLIP_GP_TPU_ALLOW_RANDOM_WEIGHTS", "1")
+
+
+def make_config(tmp_path, trainer_name, **adapter_overrides):
+    c = Config()
+    c.trainer_name = trainer_name
+    c.dataset.name = "Synthetic"
+    c.dataset.root = str(tmp_path / "data")
+    c.dataset.num_shots = 4
+    c.model.backbone_name = "TEST-ViT"
+    c.input.size = (32, 32)
+    c.dataloader.batch_size_train = 8
+    c.dataloader.batch_size_test = 8
+    c.dataloader.num_workers = 2
+    c.adapter.num_templates = 2
+    c.adapter.clip_adapter_epochs = 2
+    c.adapter.taskres_epochs = 2
+    c.adapter.tip_adapter_epochs = 2
+    c.adapter.gp_num_mc_samples_train = 4
+    c.adapter.gp_num_mc_samples_eval = 8
+    c.adapter.n_ctx = 2
+    c.optim.max_epoch = 2
+    c.optim.name = "adamw"
+    c.optim.lr = 0.01
+    c.train.print_freq = 100
+    c.output_dir = str(tmp_path / "out")
+    c.seed = 1
+    for key, val in adapter_overrides.items():
+        setattr(c.adapter, key, val)
+    return c
+
+
+def _run(config):
+    set_random_seed(config.seed)
+    dm = build_data_manager(config)
+    trainer = build_trainer(config, dm)
+    trainer.train()
+    path = os.path.join(config.output_dir, "metrics.json")
+    assert os.path.exists(path)
+    with open(path) as f:
+        payload = json.load(f)
+    assert np.isfinite(payload["metrics"]["top1_acc"])
+    assert 0 <= payload["metrics"]["top1_acc"] <= 100
+    return trainer, payload
+
+
+def test_clip_adapter(tmp_path):
+    trainer, payload = _run(make_config(tmp_path, "CLIP-Adapter"))
+    assert payload["method"] == "clip-adapter"
+    assert "fc1" in trainer.params
+
+
+def test_clip_adapter_with_gp_stage(tmp_path):
+    _, payload = _run(make_config(tmp_path, "CLIP-Adapter", use_gp=True, gp_pca_dim=8))
+    assert payload["method"] == "clip-adapter"
+
+
+def test_taskres(tmp_path):
+    trainer, payload = _run(make_config(tmp_path, "TaskRes"))
+    assert payload["method"] == "taskres"
+    assert float(np.abs(np.asarray(trainer.params["residuals"])).sum()) > 0
+
+
+def test_taskres_with_tw_stage(tmp_path):
+    _, payload = _run(
+        make_config(
+            tmp_path, "TaskRes", taskres_use_template_weight_training=True,
+            template_tw_l2_lambda=0.1,
+        )
+    )
+    assert payload["method"] == "taskres"
+
+
+def test_tip_adapter(tmp_path):
+    trainer, payload = _run(make_config(tmp_path, "Tip-Adapter"))
+    assert payload["method"] == "tipa"
+    assert trainer.best_beta in (1.0, 2.0, 5.0)
+    assert trainer.best_alpha in (1.0, 5.0, 10.0, 20.0, 50.0)
+
+
+def test_tip_adapter_f(tmp_path):
+    config = make_config(tmp_path, "Tip-Adapter-F")
+    _, payload = _run(config)
+    assert payload["method"] == "tipaf"
+    assert config.adapter.tip_adapter_trainable is True
+
+
+def test_coop(tmp_path):
+    trainer, payload = _run(make_config(tmp_path, "Adapter-CoOp"))
+    assert payload["method"] == "coop"
+    assert trainer.params["ctx"].shape == (2, 64)
+
+
+def test_coop_csc_and_ctx_init(tmp_path):
+    trainer, _ = _run(make_config(tmp_path, "Adapter-CoOp", csc=True))
+    assert trainer.params["ctx"].shape == (4, 2, 64)  # per-class contexts
+    trainer2, _ = _run(
+        make_config(tmp_path, "Adapter-CoOp", ctx_init="a photo of a")
+    )
+    assert trainer2.params["ctx"].shape == (4, 64)  # 4 words from the phrase
+
+
+def test_cocoop(tmp_path):
+    trainer, payload = _run(make_config(tmp_path, "Adapter-CoCoOp"))
+    assert payload["method"] == "cocoop"
+    assert "meta_fc1" in trainer.params

@@ -1,0 +1,100 @@
+"""Sweep runner trial expansion + skip-if-done, and aggregator outputs."""
+
+import json
+import textwrap
+from pathlib import Path
+
+from clip_gp_tpu.parallel.sweep import build_trials, pending_trials
+from clip_gp_tpu.reporting import aggregate
+
+
+def _experiment_cfg(tmp_path):
+    return {
+        "name": "exp1",
+        "datasets": ["caltech101", "eurosat"],
+        "seeds": [1, 2],
+        "shots": [1, 4],
+        "output_root": str(tmp_path / "output"),
+        "template": "{experiment}/{dataset}/GP_{shots}shots{sig}/seed{seed}",
+        "grid": {"TRAINER.ADAPTER.GP_BETA": [0.01, 0.1]},
+        "__config_file__": "configs/trainers/gp.yaml",
+    }
+
+
+def test_trial_expansion_and_signature(tmp_path):
+    trials, meta = build_trials(_experiment_cfg(tmp_path))
+    assert meta["n_trials"] == 2 * 2 * 2 * 2  # ds x seeds x shots x grid
+    t = trials[0]
+    assert t.signature() == "GP_BETA0.01"
+    out = t.format_outdir()
+    assert "exp1/caltech101/GP_1shotsGP_BETA0.01/seed1" in str(out)
+    argv = t.to_argv()
+    assert "--dataset" in argv
+    assert argv[argv.index("--dataset") + 1] == "Caltech101"
+    assert "DATASET.NUM_SHOTS" in argv
+    assert "TRAINER.ADAPTER.GP_BETA" in argv
+
+
+def test_skip_if_done(tmp_path):
+    trials, _ = build_trials(_experiment_cfg(tmp_path))
+    done = trials[0].format_outdir()
+    done.mkdir(parents=True)
+    (done / "log.txt").write_text("done")
+    todo = pending_trials(trials)
+    assert len(todo) == len(trials) - 1
+
+
+def _write_run(root, exp, ds, cfg, seed, shots, acc, ece, zs_acc=50.0):
+    d = root / exp / ds / cfg / f"seed{seed}"
+    d.mkdir(parents=True, exist_ok=True)
+    payload = {
+        "dataset": ds,
+        "shots": shots,
+        "seed": seed,
+        "method": "gp",
+        "backbone": "RN50",
+        "zero_shot": {"top1_acc": zs_acc, "ece": 10.0, "aece": 9.0},
+        "metrics": {"top1_acc": acc, "ece": ece, "aece": ece + 1},
+    }
+    (d / "metrics.json").write_text(json.dumps(payload))
+
+
+def test_aggregate_end_to_end(tmp_path, capsys):
+    root = tmp_path / "output"
+    for ds in ("caltech101", "eurosat"):
+        for shots in (1, 4):
+            for seed in (1, 2):
+                _write_run(
+                    root, "exp1", ds, f"GP_{shots}shots", seed, shots,
+                    acc=60.0 + shots + seed, ece=5.0 + seed,
+                )
+    runs = aggregate.load_runs(root / "exp1")
+    assert len(runs) == 8
+    grouped = aggregate.group_runs(runs)
+    aggregate.print_summary(grouped)
+    aggregate.print_average_summary(grouped)
+    out = capsys.readouterr().out
+    assert "=== Dataset: caltech101 ===" in out
+    assert "GP_0shots" in out  # zero-shot row synthesized from 1-shot runs
+    assert "Average across datasets (2 datasets)" in out
+
+    aggregate.write_experiment_tables(grouped, "exp1", root)
+    avg_csv = (root / "exp1" / "_tables" / "Average.csv").read_text()
+    assert "method,acc_1,acc_2,acc_4" in avg_csv
+    assert "GP" in avg_csv
+    assert (root / "exp1" / "_tables" / "caltech101.csv").exists()
+
+    aggregate.make_plots(grouped, "exp1", root, show_zero_shot=True)
+    assert (root / "exp1" / "_plots" / "perf_per_shots" / "caltech101.png").exists()
+    assert (root / "exp1" / "_plots" / "perf_per_shots" / "Average.png").exists()
+    assert (root / "exp1" / "_plots" / "acc_vs_ece" / "eurosat.png").exists()
+
+
+def test_aggregate_delete_prunes_unfinished(tmp_path):
+    root = tmp_path / "output"
+    _write_run(root, "exp1", "caltech101", "GP_1shots", 1, 1, 60.0, 5.0)
+    empty = root / "exp1" / "caltech101" / "GP_1shots" / "seed2"
+    empty.mkdir(parents=True)
+    runs = aggregate.load_runs(root / "exp1", delete=True)
+    assert len(runs) == 1
+    assert not empty.exists()
