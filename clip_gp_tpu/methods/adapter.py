@@ -332,6 +332,11 @@ class Trainer(BaseTrainer):
                 )
                 if self.mode == "gp":
                     self._print_gp_diagnostics()
+            n_iter = self.epoch * self.num_batches + self.batch_idx
+            self.write_scalar("train/loss", loss, n_iter)
+            self.write_scalar(
+                "train/lr", self.opt.current_lrs.get("base", 0.0), n_iter
+            )
             end = time.time()
 
         self.opt_state = self.opt.set_epoch(self.opt_state, self.epoch + 1)

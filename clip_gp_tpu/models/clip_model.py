@@ -143,13 +143,24 @@ def multi_head_attention(
     num_heads: int,
     mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Batched MHA core. q: [B,Nq,D], k/v: [B,Nk,D]; softmax in fp32."""
+    """Batched MHA core. q: [B,Nq,D], k/v: [B,Nk,D]; softmax in fp32.
+
+    Self-attention (Nq == Nk) dispatches to the fused Pallas kernel on TPU;
+    cross-attention (the 1-query attention pool) and non-TPU backends use the
+    XLA path.
+    """
     b, nq, d = q.shape
     nk = k.shape[1]
     hd = d // num_heads
     q = q.reshape(b, nq, num_heads, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, nk, num_heads, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, nk, num_heads, hd).transpose(0, 2, 1, 3)
+    if nq == nk:
+        from clip_gp_tpu.ops.flash_attention import flash_attention, use_flash
+
+        if use_flash():
+            out = flash_attention(q, k, v, mask)
+            return out.transpose(0, 2, 1, 3).reshape(b, nq, d)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(q.dtype)
     if mask is not None:
         scores = scores + mask.astype(scores.dtype)

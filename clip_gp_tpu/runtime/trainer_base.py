@@ -87,6 +87,7 @@ class BaseTrainer:
         self.keys = KeySequence(int(config.seed))
         self.preprocess = preprocess_fn(config)
         self.zero_shot_metrics: Optional[Dict] = None
+        self._writer = None
         # set by build_model
         self.clip_arch = None
         self.clip_params = None
@@ -168,7 +169,31 @@ class BaseTrainer:
     def before_train(self):
         if self.config.resume:
             self.start_epoch = self.load_model(self.config.resume)
+        if getattr(self.config.train, "enable_tensorboard", False):
+            writer_dir = Path(self.output_dir) / "tensorboard"
+            writer_dir.mkdir(parents=True, exist_ok=True)
+            self.init_writer(str(writer_dir))
         self.time_start = time.time()
+
+    def init_writer(self, log_dir: str) -> None:
+        """TensorBoard scalars via tensorboardX (ref: utils/trainer.py:331-345)."""
+        if self._writer is None:
+            try:
+                from tensorboardX import SummaryWriter
+            except ImportError:
+                print("tensorboardX unavailable; scalar logging disabled")
+                return
+            print(f"Initialize tensorboard (log_dir={log_dir})")
+            self._writer = SummaryWriter(log_dir=log_dir)
+
+    def write_scalar(self, tag: str, value, global_step=None) -> None:
+        if self._writer is not None and isinstance(value, (int, float)):
+            self._writer.add_scalar(tag, value, global_step)
+
+    def close_writer(self) -> None:
+        if self._writer is not None:
+            self._writer.close()
+            self._writer = None
 
     def after_train(self):
         print("Finish training")
@@ -182,6 +207,7 @@ class BaseTrainer:
         if self.time_start is not None:
             elapsed = str(datetime.timedelta(seconds=round(time.time() - self.time_start)))
             print(f"Elapsed: {elapsed}")
+        self.close_writer()
 
     def before_epoch(self):
         pass
@@ -266,6 +292,8 @@ class BaseTrainer:
         print(f"* ECE: {ece:.2f}%")
         print(f"* AECE: {aece:.2f}%")
         self.write_run_summary_json(results, start_time=self.time_start or time.time())
+        for key, value in results.items():
+            self.write_scalar(f"{split}/{key}", value, self.epoch)
         return accuracy
 
     def compute_final_metrics(self) -> Dict:

