@@ -42,6 +42,10 @@ class AdapterConfig:
     finetune_on_test: bool = False
     shared_template_weights: bool = False
 
+    # score template weights on the FULL train split instead of the few-shot
+    # subset (latent OPTS-only key in the reference — ref: trainers/adapter.py:71)
+    prefit_on_full_set: bool = False
+
     # GP template weighter
     use_gp: bool = False
     gp_kernel_type: str = "rbf"  # rbf | linear | matern
@@ -316,7 +320,11 @@ DATASET_CHOICES = [
     "ImageNetA", "ImageNetR", "Synthetic",
 ]
 
-BACKBONE_CHOICES = ["RN50", "RN101", "RN50x4", "RN50x16", "ViT-B/32", "ViT-B/16"]
+BACKBONE_CHOICES = [
+    "RN50", "RN101", "RN50x4", "RN50x16", "ViT-B/32", "ViT-B/16",
+    # tiny random-weight towers for tests/smoke runs
+    "TEST-ViT", "TEST-RN",
+]
 
 # The reference CLI offers both its registered trainer names and a set of
 # legacy aliases (ref: utils/config.py:282 vs utils/trainer_registry use); we

@@ -221,11 +221,40 @@ class Trainer(BaseTrainer):
 
         self.labels_train, _, self.features_train = self.extract_features("train")
 
+        tw_feats, tw_labels = self.features_train, self.labels_train
+        if bool(getattr(self.config.adapter, "prefit_on_full_set", False)):
+            # score template weights on the full train split
+            # (ref: trainers/adapter.py:71-100)
+            try:
+                import copy as _copy
+
+                from clip_gp_tpu.data.pipeline import BatchLoader
+                from clip_gp_tpu.core.registry import build_dataset
+
+                cfg_full = _copy.deepcopy(self.config)
+                cfg_full.dataset.num_shots = 0
+                ds_full = build_dataset(cfg_full)
+                loader = BatchLoader(
+                    ds_full.train_x,
+                    self.dm.tfm_train,
+                    self.config.dataloader.batch_size_train,
+                    shuffle=False,
+                    drop_last=False,
+                    num_workers=self.config.dataloader.num_workers,
+                )
+                tw_labels, tw_feats = self.encode_images_batched(loader)
+                print(f"[INFO] Prefit on full set: {len(tw_feats)} samples used.")
+            except Exception as e:
+                print(
+                    f"[WARN] prefit_on_full_set failed ({e}); "
+                    "falling back to few-shot features."
+                )
+
         template_weights = common.get_template_weights(
             self.config,
             self.text_embeddings,
-            jnp.asarray(self.features_train),
-            jnp.asarray(self.labels_train),
+            jnp.asarray(tw_feats),
+            jnp.asarray(tw_labels),
             self.logit_scale,
         )
         if self.config.adapter.shared_template_weights:

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from clip_gp_tpu.core.seeding import KeySequence
+from clip_gp_tpu.runtime.profiling import maybe_trace, phase_timer
 from clip_gp_tpu.data.transforms import preprocess_fn
 from clip_gp_tpu.models import clip_model
 from clip_gp_tpu.models.clip_loader import (
@@ -137,15 +138,16 @@ class BaseTrainer:
             return clip_model.encode_image(params, arch, preprocess(images_u8))
 
         feats, labels = [], []
-        for batch in loader:
-            imgs = batch["img"]
-            n = imgs.shape[0]
-            if n < batch_size:
-                pad = np.tile(imgs[-1:], (batch_size - n, 1, 1, 1))
-                imgs = np.concatenate([imgs, pad], axis=0)
-            out = np.asarray(encode(params, jnp.asarray(imgs)))[:n]
-            feats.append(out)
-            labels.append(batch["label"])
+        with phase_timer("feature_extraction"):
+            for batch in loader:
+                imgs = batch["img"]
+                n = imgs.shape[0]
+                if n < batch_size:
+                    pad = np.tile(imgs[-1:], (batch_size - n, 1, 1, 1))
+                    imgs = np.concatenate([imgs, pad], axis=0)
+                out = np.asarray(encode(params, jnp.asarray(imgs)))[:n]
+                feats.append(out)
+                labels.append(batch["label"])
         return np.concatenate(labels), np.concatenate(feats).astype(np.float32)
 
     def extract_features(self, partition: str = "train"):
@@ -222,13 +224,15 @@ class BaseTrainer:
             self.save_model(self.epoch, self.output_dir)
 
     def train(self):
-        self.build_model()
-        self.before_train()
-        for self.epoch in range(self.start_epoch, self.max_epoch):
-            self.before_epoch()
-            self.run_epoch()
-            self.after_epoch()
-        self.after_train()
+        with maybe_trace("train"):
+            self.build_model()
+            self.before_train()
+            with phase_timer("train_epochs"):
+                for self.epoch in range(self.start_epoch, self.max_epoch):
+                    self.before_epoch()
+                    self.run_epoch()
+                    self.after_epoch()
+            self.after_train()
 
     def run_epoch(self):
         raise NotImplementedError
