@@ -31,9 +31,9 @@ import numpy as np
 
 REFERENCE_TORCH_V100_IMGS_PER_SEC = 325.0
 
-BATCH = 128
+BATCH = 512
 WARMUP_ITERS = 3
-TIMED_ITERS = 20
+TIMED_ITERS = 24
 
 
 def main():
@@ -61,7 +61,7 @@ def main():
     # distinct device-resident batches per iteration — identical (executable,
     # args) pairs can be served from a remote-execution cache on tunneled
     # backends, which would fake the timing
-    n_bufs = 4
+    n_bufs = 6
     image_bufs = [
         jnp.asarray(rng.integers(0, 256, size=(BATCH, 224, 224, 3), dtype=np.uint8))
         for _ in range(n_bufs)
