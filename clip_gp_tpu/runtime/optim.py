@@ -122,9 +122,29 @@ def _core_transform(config) -> optax.GradientTransformation:
             optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps),
             optax.add_decayed_weights(wd),  # decoupled
         )
-    if name == "muon":
-        return optax.contrib.scale_by_muon()
     raise ValueError(f"Unsupported optimizer: {name}")
+
+
+def _tx_factory(config) -> Callable[[float], optax.GradientTransformation]:
+    """learning-rate → full transform. Muon is special-cased: optax.contrib.muon
+    already implements the 2-D→Newton-Schulz / rest→Adam partition with its own
+    lr handling (the MuonWithAuxAdam split, ref: utils/optimization.py:105-141)."""
+    name = str(config.name).lower()
+    if name == "muon":
+        wd = float(getattr(config, "weight_decay", 0.0))
+        betas = tuple(getattr(config, "betas", (0.9, 0.999)))
+        eps = float(getattr(config, "eps", 1e-8))
+        return lambda learning_rate: optax.contrib.muon(
+            learning_rate,
+            weight_decay=wd,
+            adam_b1=betas[0],
+            adam_b2=betas[1],
+            adam_weight_decay=wd,
+        )
+    return lambda learning_rate: optax.chain(
+        _core_transform(config),
+        optax.scale_by_learning_rate(learning_rate),
+    )
 
 
 class EpochOptimizer:
@@ -136,12 +156,9 @@ class EpochOptimizer:
 
     def __init__(self, config, warmup: bool = False):
         self.schedule = build_lr_schedule(config, warmup=warmup)
-        self._tx = optax.inject_hyperparams(
-            lambda learning_rate: optax.chain(
-                _core_transform(config),
-                optax.scale_by_learning_rate(learning_rate),
-            )
-        )(learning_rate=self.schedule(0))
+        self._tx = optax.inject_hyperparams(_tx_factory(config))(
+            learning_rate=self.schedule(0)
+        )
         self.current_lr = self.schedule(0)
 
     def init(self, params):
@@ -178,12 +195,9 @@ class MultiGroupOptimizer:
                 continue
             gcfg = _OverrideLr(config, lr)
             self.schedules[group] = build_lr_schedule(gcfg)
-            transforms[group] = optax.inject_hyperparams(
-                lambda learning_rate, _c=gcfg: optax.chain(
-                    _core_transform(_c),
-                    optax.scale_by_learning_rate(learning_rate),
-                )
-            )(learning_rate=self.schedules[group](0))
+            transforms[group] = optax.inject_hyperparams(_tx_factory(gcfg))(
+                learning_rate=self.schedules[group](0)
+            )
         self._tx = optax.multi_transform(transforms, label_fn)
         self.current_lrs = {g: self.schedules[g](0) for g in self.group_names}
 
