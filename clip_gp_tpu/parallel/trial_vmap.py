@@ -50,14 +50,29 @@ def _stack(trees):
 
 
 class VmappedAdapterTrials:
-    """Train the Adapter method for several seeds simultaneously."""
+    """Train the Adapter method for several seeds simultaneously.
 
-    def __init__(self, config, seeds: Sequence[int]):
+    With ``mesh`` (axis name ``trial``), the stacked [T, ...] trial state and
+    per-trial feature gathers shard over devices — trials never communicate,
+    so this is pure placement and scales a sweep linearly across chips.
+    """
+
+    def __init__(self, config, seeds: Sequence[int], mesh=None):
         self.config = config
         self.seeds = list(seeds)
+        self.mesh = mesh
         self.use_gp = bool(config.adapter.use_gp)
         self.s_train = max(1, int(config.adapter.gp_num_mc_samples_train or 1))
         self.s_eval = max(1, int(config.adapter.gp_num_mc_samples_eval or 1))
+
+    def _shard_trials(self, tree):
+        """Place [T, ...] arrays with the leading axis over the trial mesh axis."""
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(self.mesh, P("trial"))
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
     # ------------------------------------------------------------------
     def _build_per_seed_splits(self):
@@ -132,6 +147,8 @@ class VmappedAdapterTrials:
         feats_train = jnp.asarray(union_feats)[jnp.asarray(seed_index)]  # [T,N,D]
         labels_train = jnp.asarray(seed_labels)  # [T,N]
         feats_test_j = jnp.asarray(feats_test)
+        feats_train = self._shard_trials(feats_train)
+        labels_train = self._shard_trials(labels_train)
 
         # per-trial params (identical init; divergence comes from RNG/shuffles)
         gp_static = None
@@ -198,6 +215,7 @@ class VmappedAdapterTrials:
             },
             label_fn,
         )
+        params = self._shard_trials(params)
         opt_state = tx.init(params)
 
         shots = int(config.dataset.num_shots)
@@ -340,5 +358,6 @@ class VmappedAdapterTrials:
         return results
 
 
-def run_seed_vmapped_adapter(config, seeds: Sequence[int], trial_outdirs=None):
-    return VmappedAdapterTrials(config, seeds).run(trial_outdirs)
+def run_seed_vmapped_adapter(config, seeds: Sequence[int], trial_outdirs=None,
+                             mesh=None):
+    return VmappedAdapterTrials(config, seeds, mesh=mesh).run(trial_outdirs)

@@ -55,3 +55,19 @@ def test_vmapped_seeds(tmp_path, use_gp):
     # final metrics
     accs = [r["metrics"]["top1_acc"] for r in results]
     assert len(set(round(a, 6) for a in accs)) >= 1  # sanity: finite run
+
+
+def test_vmapped_seeds_sharded_over_mesh(tmp_path):
+    """Trial axis sharded over a 4-device mesh (pure placement, no collectives)."""
+    import jax
+    from jax.sharding import Mesh
+    import numpy as np
+
+    config = _config(tmp_path, use_gp=True)
+    devices = jax.devices()[:4]
+    mesh = Mesh(np.array(devices), ("trial",))
+    seeds = [1, 2, 3, 4]  # must be divisible by the trial-axis size
+    results = run_seed_vmapped_adapter(config, seeds, mesh=mesh)
+    assert len(results) == 4
+    for r in results:
+        assert np.isfinite(r["metrics"]["top1_acc"])
