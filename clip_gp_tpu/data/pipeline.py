@@ -9,6 +9,7 @@ array per batch (normalization happens on device, see transforms.py).
 from __future__ import annotations
 
 import concurrent.futures
+import os
 import random
 from typing import Callable, Dict, Iterator, List, Optional
 
@@ -20,8 +21,27 @@ from clip_gp_tpu.data.datum import Datum
 # tolerate truncated files like the reference (ref: train.py:32-33)
 ImageFile.LOAD_TRUNCATED_IMAGES = True
 
+# Opt-in native fused JPEG decode->resize->crop (2-3x faster host pipeline;
+# within a few gray levels of the PIL bicubic path — see native/fast_decode.cpp)
+_USE_NATIVE = os.environ.get("CLIP_GP_TPU_NATIVE_DECODE") == "1"
+
 
 def _load_one(item: Datum, transform) -> np.ndarray:
+    target = getattr(transform, "native_target", None)
+    if (
+        _USE_NATIVE
+        and target is not None
+        and item.impath.lower().endswith((".jpg", ".jpeg"))
+    ):
+        from clip_gp_tpu.native import decode_resize_crop
+
+        try:
+            with open(item.impath, "rb") as f:
+                out = decode_resize_crop(f.read(), target)
+            if out is not None:
+                return out
+        except OSError:
+            pass
     img = Image.open(item.impath).convert("RGB")
     return transform(img)
 

@@ -169,6 +169,10 @@ def build_transform(config, is_train: bool = False) -> Callable[[Image.Image], n
         img = center_crop(img, size)
         return np.asarray(img.convert("RGB"), dtype=np.uint8)
 
+    if size[0] == size[1] and config.input.interpolation == "bicubic":
+        # deterministic square resize+crop: eligible for the native fused
+        # JPEG decode path (see data/pipeline.py)
+        test_tfm.native_target = size[0]
     return test_tfm
 
 

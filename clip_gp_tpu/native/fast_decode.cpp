@@ -1,0 +1,235 @@
+// Fused JPEG decode → shortest-side bicubic resize → center crop.
+//
+// The host side of the data pipeline is the practical bottleneck once the
+// frozen tower runs at >10k imgs/s per chip: PIL decodes the full-resolution
+// JPEG and then resizes. This path instead uses libjpeg's DCT-domain scaling
+// (decode directly at 1/2, 1/4, 1/8 scale — skipping most of the IDCT work
+// for large photos), then a separable Catmull-Rom bicubic (a = -0.5, the same
+// kernel family as PIL's BICUBIC) to the exact target, then center crop.
+// Plain C ABI for ctypes; no Python API dependency; releases the GIL by
+// construction (called via ctypes).
+//
+// Build: g++ -O3 -shared -fPIC fast_decode.cpp -ljpeg -o libfastdecode.so
+
+#include <algorithm>
+#include <cmath>
+#include <csetjmp>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#include <cstdio>  // jpeglib.h needs FILE
+#include <jpeglib.h>
+
+namespace {
+
+struct ErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void error_exit(j_common_ptr cinfo) {
+  ErrorMgr* err = reinterpret_cast<ErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// Catmull-Rom bicubic kernel, a = -0.5 (PIL BICUBIC's kernel).
+inline float cubic(float x) {
+  constexpr float a = -0.5f;
+  x = std::fabs(x);
+  if (x < 1.0f) return ((a + 2.0f) * x - (a + 3.0f)) * x * x + 1.0f;
+  if (x < 2.0f) return (((x - 5.0f) * x + 8.0f) * x - 4.0f) * a;
+  return 0.0f;
+}
+
+// Separable bicubic resize with PIL-style antialiasing: on downscale the
+// kernel is stretched by the scale factor (support 2*scale), matching
+// Pillow's ImagingResample weight computation.
+void resize_bicubic(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
+                    int dw) {
+  const float scale_y = static_cast<float>(sh) / dh;
+  const float scale_x = static_cast<float>(sw) / dw;
+
+  struct Taps {
+    std::vector<int> bounds;    // xmin per output pixel
+    std::vector<int> counts;    // tap count per output pixel
+    std::vector<float> weights; // concatenated normalized weights
+    int max_taps;
+  };
+
+  auto build_taps = [](int in_size, int out_size, float scale) {
+    Taps t;
+    const float filterscale = std::max(scale, 1.0f);
+    const float support = 2.0f * filterscale;
+    t.max_taps = static_cast<int>(std::ceil(support)) * 2 + 1;
+    t.bounds.resize(out_size);
+    t.counts.resize(out_size);
+    t.weights.resize(static_cast<size_t>(out_size) * t.max_taps, 0.0f);
+    for (int o = 0; o < out_size; ++o) {
+      const float center = (o + 0.5f) * scale;
+      int xmin = static_cast<int>(center - support + 0.5f);
+      int xmax = static_cast<int>(center + support + 0.5f);
+      xmin = std::max(xmin, 0);
+      xmax = std::min(xmax, in_size);
+      float wsum = 0.0f;
+      float* w = &t.weights[static_cast<size_t>(o) * t.max_taps];
+      for (int x = xmin; x < xmax; ++x) {
+        const float wk = cubic((x - center + 0.5f) / filterscale);
+        w[x - xmin] = wk;
+        wsum += wk;
+      }
+      if (wsum != 0.0f)
+        for (int k = 0; k < xmax - xmin; ++k) w[k] /= wsum;
+      t.bounds[o] = xmin;
+      t.counts[o] = xmax - xmin;
+    }
+    return t;
+  };
+
+  const Taps tx = build_taps(sw, dw, scale_x);
+  const Taps ty = build_taps(sh, dh, scale_y);
+
+  // horizontal pass into float intermediate [sh, dw, 3]
+  std::vector<float> tmp(static_cast<size_t>(sh) * dw * 3);
+  for (int y = 0; y < sh; ++y) {
+    const uint8_t* row = src + static_cast<size_t>(y) * sw * 3;
+    for (int ox = 0; ox < dw; ++ox) {
+      const float* w = &tx.weights[static_cast<size_t>(ox) * tx.max_taps];
+      const int x0 = tx.bounds[ox];
+      float acc[3] = {0.0f, 0.0f, 0.0f};
+      for (int k = 0; k < tx.counts[ox]; ++k) {
+        const uint8_t* px = row + (x0 + k) * 3;
+        acc[0] += w[k] * px[0];
+        acc[1] += w[k] * px[1];
+        acc[2] += w[k] * px[2];
+      }
+      float* out = &tmp[(static_cast<size_t>(y) * dw + ox) * 3];
+      out[0] = acc[0];
+      out[1] = acc[1];
+      out[2] = acc[2];
+    }
+  }
+  // vertical pass
+  for (int oy = 0; oy < dh; ++oy) {
+    const float* w = &ty.weights[static_cast<size_t>(oy) * ty.max_taps];
+    const int y0 = ty.bounds[oy];
+    for (int ox = 0; ox < dw; ++ox) {
+      float acc[3] = {0.0f, 0.0f, 0.0f};
+      for (int k = 0; k < ty.counts[oy]; ++k) {
+        const float* px = &tmp[(static_cast<size_t>(y0 + k) * dw + ox) * 3];
+        acc[0] += w[k] * px[0];
+        acc[1] += w[k] * px[1];
+        acc[2] += w[k] * px[2];
+      }
+      uint8_t* out = dst + (static_cast<size_t>(oy) * dw + ox) * 3;
+      for (int c = 0; c < 3; ++c)
+        out[c] = static_cast<uint8_t>(
+            std::clamp(acc[c] + 0.5f, 0.0f, 255.0f));
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode a JPEG byte buffer, resize shortest side to `target`, center-crop to
+// target×target; writes target*target*3 uint8 RGB into `out`.
+// Returns 0 on success, nonzero on failure (caller falls back to PIL).
+int decode_resize_crop(const uint8_t* data, long size, int target,
+                       uint8_t* out) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, static_cast<unsigned long>(size));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  cinfo.out_color_space = JCS_RGB;
+
+  // DCT-domain scaling: decode at the smallest scale >= 2x the target on the
+  // short side (leaves headroom so the bicubic pass stays high quality).
+  const int short_side = std::min(cinfo.image_width, cinfo.image_height);
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = 1;
+  for (int denom = 8; denom >= 2; denom /= 2) {
+    if (short_side / denom >= 2 * target) {
+      cinfo.scale_denom = denom;
+      break;
+    }
+  }
+  jpeg_start_decompress(&cinfo);
+
+  const int sw = cinfo.output_width;
+  const int sh = cinfo.output_height;
+  const int channels = cinfo.output_components;
+  if (channels != 3 && channels != 1) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 3;
+  }
+  std::vector<uint8_t> pixels(static_cast<size_t>(sw) * sh * 3);
+  std::vector<uint8_t> rowbuf(static_cast<size_t>(sw) * channels);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* rowptr = rowbuf.data();
+    jpeg_read_scanlines(&cinfo, &rowptr, 1);
+    uint8_t* dst_row =
+        &pixels[static_cast<size_t>(cinfo.output_scanline - 1) * sw * 3];
+    if (channels == 3) {
+      std::memcpy(dst_row, rowbuf.data(), static_cast<size_t>(sw) * 3);
+    } else {  // grayscale → RGB
+      for (int x = 0; x < sw; ++x) {
+        dst_row[x * 3] = dst_row[x * 3 + 1] = dst_row[x * 3 + 2] = rowbuf[x];
+      }
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+
+  // shortest-side resize
+  int rw, rh;
+  if (sw <= sh) {
+    rw = target;
+    rh = static_cast<int>(std::lround(static_cast<double>(target) * sh / sw));
+  } else {
+    rh = target;
+    rw = static_cast<int>(std::lround(static_cast<double>(target) * sw / sh));
+  }
+  std::vector<uint8_t> resized(static_cast<size_t>(rw) * rh * 3);
+  resize_bicubic(pixels.data(), sh, sw, resized.data(), rh, rw);
+
+  // center crop target×target (round-half like PIL's int(round(x/2)))
+  const int x0 = static_cast<int>(std::lround((rw - target) / 2.0));
+  const int y0 = static_cast<int>(std::lround((rh - target) / 2.0));
+  for (int y = 0; y < target; ++y) {
+    std::memcpy(out + static_cast<size_t>(y) * target * 3,
+                &resized[(static_cast<size_t>(y0 + y) * rw + x0) * 3],
+                static_cast<size_t>(target) * 3);
+  }
+  return 0;
+}
+
+// Batch variant: decode `n` JPEGs (concatenated buffer + offsets) into a
+// contiguous [n, target, target, 3] output. Returns number of failures.
+int decode_resize_crop_batch(const uint8_t* data, const long* offsets,
+                             const long* sizes, int n, int target,
+                             uint8_t* out) {
+  int failures = 0;
+  const size_t stride = static_cast<size_t>(target) * target * 3;
+  for (int i = 0; i < n; ++i) {
+    if (decode_resize_crop(data + offsets[i], sizes[i], target,
+                           out + stride * i) != 0) {
+      ++failures;
+    }
+  }
+  return failures;
+}
+
+}  // extern "C"

@@ -1,0 +1,91 @@
+"""ctypes loader for the native fast-decode library, with on-demand build.
+
+The shared object is compiled once into ``~/.cache/clip_gp_tpu/`` (keyed by
+source hash) with ``g++ -O3 -shared -fPIC ... -ljpeg``. All entry points
+degrade gracefully: if the toolchain, headers, or libjpeg are missing,
+``native_available()`` is False and callers use the PIL path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_SRC = Path(__file__).parent / "fast_decode.cpp"
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+    global _TRIED
+    _TRIED = True
+    if os.environ.get("CLIP_GP_TPU_DISABLE_NATIVE") == "1":
+        return None
+    try:
+        src = _SRC.read_bytes()
+    except OSError:
+        return None
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    cache_dir = Path(
+        os.environ.get("CLIP_GP_TPU_CACHE_DIR", Path.home() / ".cache" / "clip_gp_tpu")
+    )
+    lib_path = cache_dir / f"libfastdecode-{tag}.so"
+    if not lib_path.exists():
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        tmp = lib_path.with_suffix(".so.tmp")
+        cmd = [
+            "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+            str(_SRC), "-ljpeg", "-o", str(tmp),
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            tmp.replace(lib_path)
+        except Exception as e:
+            print(f"[native] fast_decode build failed ({e}); using PIL path")
+            return None
+    try:
+        lib = ctypes.CDLL(str(lib_path))
+    except OSError:
+        return None
+    lib.decode_resize_crop.restype = ctypes.c_int
+    lib.decode_resize_crop.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    return lib
+
+
+def _get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB
+    if _LIB is None and not _TRIED:
+        _LIB = _build_and_load()
+    return _LIB
+
+
+def native_available() -> bool:
+    return _get_lib() is not None
+
+
+def decode_resize_crop(jpeg_bytes: bytes, target: int) -> Optional[np.ndarray]:
+    """JPEG bytes → uint8 [target, target, 3], or None (caller falls back)."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    out = np.empty((target, target, 3), dtype=np.uint8)
+    rc = lib.decode_resize_crop(
+        jpeg_bytes,
+        len(jpeg_bytes),
+        target,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        return None
+    return out
