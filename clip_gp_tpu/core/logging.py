@@ -55,6 +55,12 @@ def setup_logger(output_dir: Optional[str] = None, name: str = "clip_gp_tpu"):
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
         log_path = os.path.join(output_dir, "log.txt")
+        # one FileHandler at a time: drop (and close) handlers from previous
+        # in-process sweep trials
+        for handler in list(logger.handlers):
+            if isinstance(handler, logging.FileHandler):
+                logger.removeHandler(handler)
+                handler.close()
         fh = logging.FileHandler(log_path)
         fh.setFormatter(logging.Formatter("%(message)s"))
         logger.addHandler(fh)

@@ -107,14 +107,20 @@ class Trainer(BaseTrainer):
         self.opt_state = self.opt.init(self.params)
 
     # ------------------------------------------------------------------
-    def _prototypes(self, params, key, num_samples: int):
+    def _consts(self):
+        """Large frozen arrays passed as explicit jit arguments (never closed
+        over — closure constants get baked into every executable)."""
+        return {"text_embeddings": self.text_embeddings,
+                "gp_buffers": self.gp_buffers if self.mode == "gp" else {}}
+
+    def _prototypes(self, params, key, num_samples: int, consts):
         """[S,K,D] (GP) or [K,D] (deterministic heads)."""
         if self.mode == "gp":
             protos, w = svgp.sample_prototypes(
-                self.gp_static, params["gp"], self.gp_buffers, key, num_samples
+                self.gp_static, params["gp"], consts["gp_buffers"], key, num_samples
             )
             return protos, w
-        e = self.text_embeddings
+        e = consts["text_embeddings"]
         if self.mode == "logits":
             logits = params["template_logits"]
             if logits.shape[0] == 1 and e.shape[0] > 1:
@@ -135,10 +141,10 @@ class Trainer(BaseTrainer):
         gp_beta = float(config.adapter.gp_beta)
         freeze_proj = bool(config.adapter.freeze_visual_proj)
 
-        def loss_fn(params, features, labels, key):
+        def loss_fn(params, features, labels, key, consts):
             projected = features @ params["visual_proj"].T
             f_norm = common.l2_normalize(projected)
-            protos, _ = self._prototypes(params, key, self.s_train)
+            protos, _ = self._prototypes(params, key, self.s_train, consts)
             if protos.ndim == 3:
                 ce = common.mc_cross_entropy(f_norm, protos, labels, scale)
             else:
@@ -156,9 +162,9 @@ class Trainer(BaseTrainer):
                 total = total + l2
             return total, {"ce": ce, "kl": kl, "l2_reg": l2}
 
-        def train_step(params, opt_state, features, labels, key):
+        def train_step(params, opt_state, features, labels, key, consts):
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, features, labels, key
+                params, features, labels, key, consts
             )
             updates, opt_state = self.opt.update(grads, opt_state, params)
             params = jax.tree.map(lambda p, u: p + u, params, updates)
@@ -173,21 +179,26 @@ class Trainer(BaseTrainer):
             }
             return params, opt_state, loss, aux, gnorms
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        step_jit = jax.jit(train_step, donate_argnums=(0, 1))
+        self._train_step = lambda p, o, f, l, k: step_jit(
+            p, o, f, l, k, self._consts()
+        )
 
-        def eval_logits(params, features, key):
+        def eval_logits(params, features, key, consts):
             projected = features @ params["visual_proj"].T
-            protos, _ = self._prototypes(params, key, self.s_eval)
+            protos, _ = self._prototypes(params, key, self.s_eval, consts)
             return common.cosine_logits(projected, protos, scale)
 
-        self._eval_logits = jax.jit(eval_logits)
+        eval_jit = jax.jit(eval_logits)
+        self._eval_logits = lambda p, f, k: eval_jit(p, f, k, self._consts())
 
-        def train_acc_logits(params, features, key):
+        def train_acc_logits(params, features, key, consts):
             projected = features @ params["visual_proj"].T
-            protos, _ = self._prototypes(params, key, self.s_train)
+            protos, _ = self._prototypes(params, key, self.s_train, consts)
             return common.cosine_logits(projected, protos, scale)
 
-        self._train_acc_logits = jax.jit(train_acc_logits)
+        acc_jit = jax.jit(train_acc_logits)
+        self._train_acc_logits = lambda p, f, k: acc_jit(p, f, k, self._consts())
 
     # ------------------------------------------------------------------
     def predict_logits(self, features):
@@ -257,6 +268,7 @@ class Trainer(BaseTrainer):
             jnp.asarray(tw_labels),
             self.logit_scale,
         )
+        full_template_weights = template_weights
         if self.config.adapter.shared_template_weights:
             template_weights = template_weights.mean(axis=0, keepdims=True)
 
@@ -268,8 +280,11 @@ class Trainer(BaseTrainer):
                 )
             self.params["template_logits"] = logits_init
         elif self.mode == "gp":
+            # GP warm start always gets per-class [K,M] weights — a shared
+            # [1,M] row would desync variational_mean from the [K,P] optimizer
+            # state
             self.params["gp"] = svgp.initialize_from_weights(
-                self.params["gp"], template_weights
+                self.params["gp"], full_template_weights
             )
             print("[GP] One-step initialization applied to GP weights.")
 
@@ -416,7 +431,7 @@ class Trainer(BaseTrainer):
                 )
             )
         elif self.mode in ("logits", "linear"):
-            _, w = self._prototypes(self.params, self.keys.next(), 1)
+            _, w = self._prototypes(self.params, self.keys.next(), 1, self._consts())
             w = np.asarray(w)
             mean_vals = w.mean(axis=0)
             print(
@@ -453,10 +468,10 @@ class Trainer(BaseTrainer):
         labels = jnp.asarray(self.labels_test.astype(np.int32))
         scale = self.logit_scale
 
-        def loss_fn(params, key):
+        def loss_fn(params, key, consts):
             projected = features @ params["visual_proj"].T
             f_norm = common.l2_normalize(projected)
-            protos, _ = self._prototypes(params, key, self.s_train)
+            protos, _ = self._prototypes(params, key, self.s_train, consts)
             if protos.ndim == 3:
                 ce = common.mc_cross_entropy(f_norm, protos, labels, scale)
             else:
@@ -470,14 +485,14 @@ class Trainer(BaseTrainer):
             return ce
 
         @jax.jit
-        def step(params, opt_state, key):
-            loss, grads = jax.value_and_grad(loss_fn)(params, key)
+        def step(params, opt_state, key, consts):
+            loss, grads = jax.value_and_grad(loss_fn)(params, key, consts)
             updates, opt_state = opt.update(grads, opt_state, params)
             return jax.tree.map(lambda p, u: p + u, params, updates), opt_state, loss
 
         for ep in range(100):
             self.params, opt_state, loss = step(
-                self.params, opt_state, self.keys.next()
+                self.params, opt_state, self.keys.next(), self._consts()
             )
             if (ep + 1) % 20 == 0:
                 logits = np.asarray(

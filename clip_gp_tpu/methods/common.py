@@ -158,6 +158,32 @@ def mc_cross_entropy(
     return -picked.mean()
 
 
+def pad_batch(imgs: np.ndarray, batch_size: int) -> np.ndarray:
+    """Pad a partial batch to the loader batch size (repeat the last image) so
+    the encoder compiles one executable per split shape; callers slice [:n]."""
+    n = imgs.shape[0]
+    if n >= batch_size:
+        return imgs
+    pad = np.tile(imgs[-1:], (batch_size - n, 1, 1, 1))
+    return np.concatenate([imgs, pad], axis=0)
+
+
+def extract_with(encode_fn, loader) -> Tuple[np.ndarray, np.ndarray]:
+    """Run a jitted image-encode function over a loader with batch padding.
+
+    Returns (features [N, ...] float32, labels [N] int). The single shared
+    implementation of the pad-encode-slice loop used by every method."""
+    feats, labels = [], []
+    bs = loader.batch_size
+    for batch in loader:
+        imgs = batch["img"]
+        n = imgs.shape[0]
+        out = np.asarray(encode_fn(jnp.asarray(pad_batch(imgs, bs))))[:n]
+        feats.append(out)
+        labels.append(batch["label"])
+    return np.concatenate(feats).astype(np.float32), np.concatenate(labels)
+
+
 def batch_slices(n: int, batch_size: int):
     """Full batches like the reference's drop_last loader; one batch when the
     dataset is smaller than batch_size (ref: trainers/adapter.py:722-745)."""

@@ -169,19 +169,9 @@ class Trainer(BaseTrainer):
         self.build_model()
 
         # zero-shot baseline + cached normalized test features
-        feats, labels = [], []
-        bs = self.test_loader.batch_size
-        for batch in self.test_loader:
-            imgs = batch["img"]
-            n = imgs.shape[0]
-            if n < bs:
-                imgs = np.concatenate(
-                    [imgs, np.tile(imgs[-1:], (bs - n, 1, 1, 1))], axis=0
-                )
-            feats.append(np.asarray(self._encode_norm(jnp.asarray(imgs)))[:n])
-            labels.append(batch["label"])
-        self.features_test = np.concatenate(feats)
-        self.labels_test = np.concatenate(labels)
+        self.features_test, self.labels_test = common.extract_with(
+            self._encode_norm, self.test_loader
+        )
         zs_w = common.zero_shot_classifier(self.text_embeddings)
         zs_logits = np.asarray(100.0 * jnp.asarray(self.features_test) @ zs_w)
         self.compute_zero_shot_block(zs_logits, self.labels_test)
@@ -203,10 +193,7 @@ class Trainer(BaseTrainer):
         for self.batch_idx, batch in enumerate(loader):
             imgs = batch["img"]
             n = imgs.shape[0]
-            if n < bs:
-                imgs = np.concatenate(
-                    [imgs, np.tile(imgs[-1:], (bs - n, 1, 1, 1))], axis=0
-                )
+            imgs = common.pad_batch(imgs, bs)
             img_feats = self._encode_norm(jnp.asarray(imgs))[:n]
             labels = jnp.asarray(batch["label"].astype(np.int32))
             self.params, self.opt_state, loss, logits = self._train_step(

@@ -180,10 +180,7 @@ class Trainer(BaseTrainer):
         for self.batch_idx, batch in enumerate(loader):
             imgs = batch["img"]
             n = imgs.shape[0]
-            if n < bs:
-                imgs = np.concatenate(
-                    [imgs, np.tile(imgs[-1:], (bs - n, 1, 1, 1))], axis=0
-                )
+            imgs = common.pad_batch(imgs, bs)
             feats = self._encode(jnp.asarray(imgs))[:n]
             labels = jnp.asarray(batch["label"].astype(np.int32))
             self.params, self.opt_state, loss, logits = self._train_step(

@@ -67,18 +67,7 @@ class Trainer(BaseTrainer):
         self._encode_norm = lambda images: encode(self._clip_params, images)
 
     def _extract_norm(self, loader):
-        bs = loader.batch_size
-        feats, labels = [], []
-        for batch in loader:
-            imgs = batch["img"]
-            n = imgs.shape[0]
-            if n < bs:
-                imgs = np.concatenate(
-                    [imgs, np.tile(imgs[-1:], (bs - n, 1, 1, 1))], axis=0
-                )
-            feats.append(np.asarray(self._encode_norm(jnp.asarray(imgs)))[:n])
-            labels.append(batch["label"])
-        return np.concatenate(feats), np.concatenate(labels)
+        return common.extract_with(self._encode_norm, loader)
 
     # ------------------------------------------------------------------
     def _clip_logits(self, feats: jnp.ndarray) -> jnp.ndarray:
@@ -130,6 +119,7 @@ class Trainer(BaseTrainer):
 
         use_gp = bool(config.adapter.use_gp)
         use_tw = bool(config.adapter.tip_adapter_use_template_weight_training)
+        tr_feats = tr_labels = None
         if use_gp or use_tw:
             tr_feats, tr_labels = self._extract_norm(self.train_loader_x)
             if use_gp:
@@ -153,8 +143,12 @@ class Trainer(BaseTrainer):
         clip_logits_test = np.asarray(self._clip_logits(jnp.asarray(test_feats)))
         self.compute_zero_shot_block(clip_logits_test, test_labels)
 
-        # build cache
-        cache_feats, cache_labels = self._extract_norm(self.train_loader_x)
+        # build cache — reuse the pre-stage extraction when available (one
+        # frozen-tower pass instead of the reference's two)
+        if tr_feats is not None:
+            cache_feats, cache_labels = tr_feats, tr_labels
+        else:
+            cache_feats, cache_labels = self._extract_norm(self.train_loader_x)
         self.cache_keys = jnp.asarray(cache_feats)  # [N,D]
         self.cache_vals = jax.nn.one_hot(
             jnp.asarray(cache_labels.astype(np.int32)), len(self.classnames)
@@ -244,10 +238,7 @@ class Trainer(BaseTrainer):
                 imgs = batch["img"]
                 bs = self.train_loader_x.batch_size
                 n = imgs.shape[0]
-                if n < bs:
-                    imgs = np.concatenate(
-                        [imgs, np.tile(imgs[-1:], (bs - n, 1, 1, 1))], axis=0
-                    )
+                imgs = common.pad_batch(imgs, bs)
                 feats = self._encode_norm(jnp.asarray(imgs))[:n]
                 labels = jnp.asarray(batch["label"].astype(np.int32))
                 clip_logits = self._clip_logits(feats)

@@ -158,7 +158,7 @@ def _init_vit_visual(key, arch: ClipArchitecture):
 
 
 def init_clip_params(key, arch: ClipArchitecture) -> Params:
-    ks = jax.random.split(key, 4)
+    ks = jax.random.split(key, 5)
     visual = (
         _init_vit_visual(ks[0], arch)
         if arch.is_vit
@@ -171,7 +171,7 @@ def init_clip_params(key, arch: ClipArchitecture) -> Params:
         "pos_embed": _normal(ks[2], (arch.context_length, tw), 0.01),
         "transformer": _init_transformer(ks[3], tw, arch.transformer_layers),
         "ln_final": _init_ln(tw),
-        "text_projection": _normal(ks[3], (tw, arch.embed_dim), tw**-0.5),
+        "text_projection": _normal(ks[4], (tw, arch.embed_dim), tw**-0.5),
         "logit_scale": jnp.asarray(np.log(1 / 0.07), dtype=jnp.float32),
     }
 

@@ -219,7 +219,16 @@ def run_trials_vmapped(trials: List[Trial]) -> List[Dict[str, Any]]:
         config.dataset.name = DATASET_NAME_MAP.get(t0.dataset.lower(), t0.dataset)
         if t0.root_override:
             config.dataset.root = t0.root_override
-        if config.trainer_name != "Adapter" or len(group) < 2:
+        supported = (
+            config.trainer_name == "Adapter"
+            and len(group) >= 2
+            and not config.adapter.freeze_visual_proj
+            and not config.adapter.use_linear_template_weighting
+            and not config.adapter.shared_template_weights
+            and (config.adapter.use_gp or config.adapter.train_template_weights)
+        )
+        if not supported:
+            # head variants the vmapped runner doesn't model train in-process
             leftovers.extend(group)
             continue
         seeds = [t.seed for t in group]
@@ -354,10 +363,10 @@ def main(argv=None):
     trials, meta = build_trials(cfg)
     todo = pending_trials(trials, skip_logged=not args.no_skip_logged)
     devices = [d.strip() for d in (args.devices or "").split(",") if d.strip()]
-    if args.backend == "subprocess" or devices:
-        run_trials_subprocess(todo, devices, args.jobs_per_device, args.verbose)
-    elif args.backend == "vmap":
+    if args.backend == "vmap":
         run_trials_vmapped(todo)
+    elif args.backend == "subprocess" or devices:
+        run_trials_subprocess(todo, devices, args.jobs_per_device, args.verbose)
     else:
         run_trials_inprocess(todo)
     exp = meta["experiment_name"]

@@ -167,6 +167,9 @@ class VmappedAdapterTrials:
             return params
 
         params = _stack([init_trial(s) for s in self.seeds])
+        # shallow copy: the warm start below replaces top-level entries, so
+        # this snapshot keeps the pre-warm-start arrays
+        zs_params = dict(params)
 
         # warm start per trial from each seed's template-weight scan
         tw = []
@@ -270,9 +273,10 @@ class VmappedAdapterTrials:
 
         eval_jit = jax.jit(jax.vmap(trial_eval_logits))
 
-        # zero-shot block per trial (initial params)
+        # zero-shot block per trial — evaluated with the PRE-warm-start params
+        # (the in-process trainer records zero-shot before initialization)
         zs_keys = jax.random.split(jax.random.key(0), t_trials)
-        zs_logits = np.asarray(eval_jit(params, zs_keys))
+        zs_logits = np.asarray(eval_jit(zs_params, zs_keys))
 
         n = feats_train.shape[1]
         batch_size = config.dataloader.batch_size_train

@@ -137,18 +137,13 @@ class BaseTrainer:
         def encode(params, images_u8):
             return clip_model.encode_image(params, arch, preprocess(images_u8))
 
-        feats, labels = [], []
+        from clip_gp_tpu.methods.common import extract_with
+
         with phase_timer("feature_extraction"):
-            for batch in loader:
-                imgs = batch["img"]
-                n = imgs.shape[0]
-                if n < batch_size:
-                    pad = np.tile(imgs[-1:], (batch_size - n, 1, 1, 1))
-                    imgs = np.concatenate([imgs, pad], axis=0)
-                out = np.asarray(encode(params, jnp.asarray(imgs)))[:n]
-                feats.append(out)
-                labels.append(batch["label"])
-        return np.concatenate(labels), np.concatenate(feats).astype(np.float32)
+            feats, labels = extract_with(
+                lambda imgs: encode(params, imgs), loader
+            )
+        return labels, feats
 
     def extract_features(self, partition: str = "train"):
         """(labels, logits, features) for a split, with logits from the
