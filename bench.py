@@ -9,11 +9,18 @@ imgs/sec/chip is the throughput north star (BASELINE.md). Weights are random
 (weights don't affect throughput; no checkpoint egress in this environment);
 images run in bf16 with fp32 LayerNorm/softmax.
 
+Measurement protocol — dependency chain: on the tunneled axon backend,
+``block_until_ready`` returns before remote execution completes and identical
+(executable, args) calls can be served from a remote cache, so naive loops
+measure dispatch, not compute. Here each iteration's input is derived from the
+previous iteration's *output* (forcing sequential real execution of every
+step) and only the final value is materialized to host; the timed window
+therefore covers exactly `iters` genuine back-to-back device executions.
+
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md: "none"), so
 the denominator is a documented estimate of the reference's torch fp32
-ViT-B/16 single-V100 encode throughput (~325 imgs/s, typical public figure
-for torch fp32 ViT-B/16 inference at batch 128 on V100 — the class of GPU the
-reference targets with its per-GPU trial scheduler).
+ViT-B/16 single-V100 encode throughput (~325 imgs/s at batch 128 — the class
+of GPU the reference targets with its per-GPU trial scheduler).
 """
 
 from __future__ import annotations
@@ -31,9 +38,8 @@ import numpy as np
 
 REFERENCE_TORCH_V100_IMGS_PER_SEC = 325.0
 
-BATCH = 512
-WARMUP_ITERS = 3
-TIMED_ITERS = 24
+BATCH = 128
+TIMED_ITERS = 20
 
 
 def main():
@@ -42,45 +48,37 @@ def main():
     from clip_gp_tpu.models.clip_loader import init_clip_params
 
     arch = clip_model.ARCHITECTURES["ViT-B/16"]
-    # jit the init (one compiled program instead of thousands of eager
-    # dispatches) and keep params an explicit argument of encode — closed-over
-    # weights would be baked into the executable as constants
+    # jitted init: one compiled program instead of thousands of eager
+    # dispatches over the tunnel; params stay an explicit argument of the
+    # step (closure weights would bake into the HLO as constants)
     params = jax.jit(init_clip_params, static_argnums=(1,))(
         jax.random.key(0), arch
     )
-    jax.block_until_ready(params)
 
     @jax.jit
-    def encode(params, images_u8):
-        images = device_preprocess(images_u8)
-        return clip_model.encode_image(
+    def step(params, x):
+        images = device_preprocess(x)
+        out = clip_model.encode_image(
             params, arch, images, compute_dtype=jnp.bfloat16
         )
+        # derive the next input from this output: forces every iteration to
+        # really execute, in order, uncached
+        delta = (jnp.abs(out).sum() > -1.0).astype(jnp.uint8)
+        return x ^ delta, out
 
     rng = np.random.default_rng(0)
-    # distinct device-resident batches per iteration — identical (executable,
-    # args) pairs can be served from a remote-execution cache on tunneled
-    # backends, which would fake the timing
-    n_bufs = 6
-    image_bufs = [
-        jnp.asarray(rng.integers(0, 256, size=(BATCH, 224, 224, 3), dtype=np.uint8))
-        for _ in range(n_bufs)
-    ]
-    jax.block_until_ready(image_bufs)
+    x = jnp.asarray(
+        rng.integers(0, 256, size=(BATCH, 224, 224, 3), dtype=np.uint8)
+    )
 
-    @jax.jit
-    def bump(images_u8, step):
-        return images_u8 ^ step.astype(jnp.uint8)
-
-    for i in range(WARMUP_ITERS):
-        encode(params, image_bufs[i % n_bufs]).block_until_ready()
+    # warmup/compile, materialized to host
+    x, out = step(params, x)
+    float(jnp.sum(out))
 
     start = time.perf_counter()
-    outs = []
-    for i in range(TIMED_ITERS):
-        imgs = bump(image_bufs[i % n_bufs], jnp.uint8(i + 1))
-        outs.append(encode(params, imgs))
-    jax.block_until_ready(outs)
+    for _ in range(TIMED_ITERS):
+        x, out = step(params, x)
+    float(jnp.sum(out))  # materializes the whole chain
     elapsed = time.perf_counter() - start
 
     imgs_per_sec = BATCH * TIMED_ITERS / elapsed

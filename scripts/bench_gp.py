@@ -80,30 +80,33 @@ def main():
 
     eval_jit = jax.jit(evaluate)
 
+    # NOTE on timing: the steps already form a dependency chain (each step
+    # consumes the previous params/opt_state), so materializing the final
+    # loss to host forces genuine execution of every step — necessary on
+    # tunneled backends where block_until_ready returns early.
     key = jax.random.key(0)
-    # warmup/compile
     key, k1 = jax.random.split(key)
-    full, opt_state, loss = step_jit(full, opt_state, k1)
-    jax.block_until_ready(loss)
-    eval_jit(full, k1).block_until_ready()
+    full, opt_state, loss = step_jit(full, opt_state, k1)  # warmup/compile
+    float(loss)
+    float(jnp.sum(eval_jit(full, k1)))
 
     t0 = time.perf_counter()
     for _ in range(20):
         key, k1 = jax.random.split(key)
         full, opt_state, loss = step_jit(full, opt_state, k1)
-    jax.block_until_ready(loss)
+    float(loss)
     step_ms = (time.perf_counter() - t0) / 20 * 1000
 
     t0 = time.perf_counter()
     for _ in range(EPOCHS):
         key, k1 = jax.random.split(key)
         full, opt_state, loss = step_jit(full, opt_state, k1)
-    jax.block_until_ready(loss)
+    float(loss)
     fit_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     out = eval_jit(full, k1)
-    out.block_until_ready()
+    float(jnp.sum(out))
     eval_ms = (time.perf_counter() - t0) * 1000
 
     print(
