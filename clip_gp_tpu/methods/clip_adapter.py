@@ -134,7 +134,7 @@ class Trainer(BaseTrainer):
 
         # cache test features + zero-shot block
         self.labels_test, self.features_test = self.encode_images_batched(
-            self.test_loader
+            self.test_loader, cacheable=True
         )
         zs_logits = np.asarray(self.predict_logits(jnp.asarray(self.features_test)))
         self.compute_zero_shot_block(zs_logits, self.labels_test)

@@ -118,14 +118,36 @@ class BaseTrainer:
         self.clip_arch, self.clip_params = load_clip(
             self.config, allow_random=allow_random, seed=int(self.config.seed)
         )
+        import hashlib
+
+        init = self.config.model.init_weights
+        self.weights_tag = (
+            "w" + hashlib.sha256(init.encode()).hexdigest()[:10] if init else
+            f"rand{self.config.seed}" if allow_random else "default"
+        )
         return self.clip_arch, self.clip_params
 
     def encode_images_batched(
-        self, loader
+        self, loader, cacheable: bool = False
     ) -> Tuple[np.ndarray, np.ndarray]:
         """One pass of the frozen image tower over a loader → (labels [N],
         features [N,D]). Batches are padded to the loader batch size so the
-        encoder compiles once per split shape."""
+        encoder compiles once per split shape.
+
+        ``cacheable=True`` (deterministic eval splits only) consults the disk
+        feature cache — a whole sweep then encodes each test set once."""
+        from clip_gp_tpu.runtime import feature_cache
+
+        key = None
+        if cacheable and feature_cache.cache_dir() is not None:
+            key = feature_cache.cache_key(
+                self.config, loader.data_source,
+                getattr(self, "weights_tag", "default"),
+            )
+            hit = feature_cache.load(key)
+            if hit is not None:
+                print(f"[feature-cache] hit: {key}")
+                return hit
         arch, params = self.clip_arch, self.clip_params
         batch_size = loader.batch_size
         preprocess = self.preprocess
@@ -143,6 +165,8 @@ class BaseTrainer:
             feats, labels = extract_with(
                 lambda imgs: encode(params, imgs), loader
             )
+        if key is not None:
+            feature_cache.store(key, labels, feats)
         return labels, feats
 
     def extract_features(self, partition: str = "train"):
@@ -156,7 +180,9 @@ class BaseTrainer:
             "val": self.val_loader,
             "test": self.test_loader,
         }[partition]
-        labels, feats = self.encode_images_batched(loader)
+        labels, feats = self.encode_images_batched(
+            loader, cacheable=partition in ("val", "test")
+        )
         logits = np.asarray(self.predict_logits(jnp.asarray(feats)))
         return labels, logits, feats
 
@@ -255,7 +281,8 @@ class BaseTrainer:
 
     def eval_logits_labels(self, split: str = "test"):
         labels, feats = self.encode_images_batched(
-            self.test_loader if split == "test" else self.val_loader
+            self.test_loader if split == "test" else self.val_loader,
+            cacheable=True,
         )
         logits = np.asarray(self.predict_logits(jnp.asarray(feats)))
         return logits, labels

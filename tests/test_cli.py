@@ -74,3 +74,22 @@ def test_cli_no_train(tmp_path):
     reset_tee()
     assert not (outdir / "metrics.json").exists()
     assert (outdir / "config.json").exists()
+
+
+def test_feature_cache_roundtrip(tmp_path, monkeypatch):
+    """Second run with CLIP_GP_TPU_FEATURE_CACHE hits the disk cache for the
+    test split and reproduces identical metrics."""
+    monkeypatch.setenv("CLIP_GP_TPU_FEATURE_CACHE", str(tmp_path / "fcache"))
+    out1 = tmp_path / "fc1"
+    train_cli.main(_base_argv(tmp_path, out1))
+    reset_tee()
+    cache_files = list((tmp_path / "fcache").glob("*.npz"))
+    assert cache_files, "expected cached feature files"
+    out2 = tmp_path / "fc2"
+    train_cli.main(_base_argv(tmp_path, out2))
+    reset_tee()
+    m1 = json.loads((out1 / "metrics.json").read_text())
+    m2 = json.loads((out2 / "metrics.json").read_text())
+    assert m2["metrics"]["accuracy"] == pytest.approx(
+        m1["metrics"]["accuracy"], abs=1e-6
+    )
