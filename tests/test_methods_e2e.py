@@ -123,3 +123,57 @@ def test_cocoop(tmp_path):
     trainer, payload = _run(make_config(tmp_path, "Adapter-CoCoOp"))
     assert payload["method"] == "cocoop"
     assert "meta_fc1" in trainer.params
+
+
+def test_taskres_with_gp_stage(tmp_path):
+    trainer, payload = _run(
+        make_config(tmp_path, "TaskRes", use_gp=True, gp_pca_dim=8)
+    )
+    assert payload["method"] == "taskres"
+    assert trainer.gp_bundle is not None
+
+
+def test_tip_adapter_with_gp_stage(tmp_path):
+    trainer, payload = _run(
+        make_config(tmp_path, "Tip-Adapter", use_gp=True, gp_pca_dim=8)
+    )
+    assert payload["method"] == "tipa"
+    assert trainer.gp_bundle is not None
+
+
+def test_tip_adapter_with_tw_stage(tmp_path):
+    _, payload = _run(
+        make_config(
+            tmp_path, "Tip-Adapter", tip_adapter_use_template_weight_training=True
+        )
+    )
+    assert payload["method"] == "tipa"
+
+
+def test_adapter_resume(tmp_path):
+    """Train 2 epochs with checkpoints, then resume for the final epoch."""
+    config = make_config(tmp_path, "Adapter")
+    config.adapter.clip_adapter_epochs = 2
+    config.train.enable_adapter_checkpoints = True
+    _run(config)
+    config2 = make_config(tmp_path, "Adapter")
+    config2.output_dir = str(tmp_path / "out2")
+    config2.adapter.clip_adapter_epochs = 3
+    config2.train.enable_adapter_checkpoints = True
+    config2.resume = str(tmp_path / "out")  # resume from the first run
+    trainer, payload = _run(config2)
+    assert trainer.start_epoch == 2  # continued after the saved epoch
+
+
+def test_adapter_with_muon(tmp_path):
+    config = make_config(tmp_path, "Adapter")
+    config.optim.name = "muon"
+    _, payload = _run(config)
+    assert np.isfinite(payload["metrics"]["top1_acc"])
+
+
+def test_adapter_minmax_template_init(tmp_path):
+    _, payload = _run(
+        make_config(tmp_path, "Adapter", template_init_method="minmax")
+    )
+    assert np.isfinite(payload["metrics"]["top1_acc"])
