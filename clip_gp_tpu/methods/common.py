@@ -127,11 +127,15 @@ def cosine_logits(
 ) -> jnp.ndarray:
     """scale · cos(features, prototypes): [N,D] × [K,D] → [N,K], or with MC
     prototype samples [S,K,D] → mean over S of per-sample logits
-    (ref: trainers/adapter.py:246-252)."""
+    (ref: trainers/adapter.py:246-252).
+
+    The MC mean is linear in the normalized prototypes, so averaging them
+    first and doing ONE [N,D]×[D,K] matmul is mathematically identical to the
+    reference's S-fold einsum at 1/S the FLOPs (S=300 at eval)."""
     f = l2_normalize(features)
     if prototypes.ndim == 3:
-        p = l2_normalize(prototypes)
-        return (scale * jnp.einsum("nd,skd->nsk", f, p)).mean(axis=1)
+        p_mean = l2_normalize(prototypes).mean(axis=0)  # [K,D]
+        return scale * f @ p_mean.T
     return scale * f @ l2_normalize(prototypes).T
 
 

@@ -332,6 +332,60 @@ def make_plots(
         plt.close(fig)
 
 
+def make_reliability_diagrams(
+    grouped, exp_name: str, output_root: Path = Path("output")
+) -> None:
+    """Reliability diagrams from the per-bin calibration arrays in
+    metrics.json (the reference records the arrays but never plots them)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    out_dir = output_root / exp_name / "_plots" / "reliability"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for ds, shots_map in grouped.items():
+        for shots, cfg_map in shots_map.items():
+            for cfg, rs in cfg_map.items():
+                calib = rs[0].get("metrics", {}).get("calibration")
+                if not calib or not calib.get("bin_count"):
+                    continue
+                # average bins across seeds, count-weighted
+                n_bins = len(calib["bin_acc"])
+                acc = [0.0] * n_bins
+                conf = [0.0] * n_bins
+                cnt = [0.0] * n_bins
+                for r in rs:
+                    c = r.get("metrics", {}).get("calibration") or {}
+                    if len(c.get("bin_acc", [])) != n_bins:
+                        continue
+                    for i in range(n_bins):
+                        w = c["bin_count"][i]
+                        acc[i] += c["bin_acc"][i] * w
+                        conf[i] += c["bin_conf"][i] * w
+                        cnt[i] += w
+                acc = [a / c if c else 0.0 for a, c in zip(acc, cnt)]
+                conf = [f / c if c else (i + 0.5) / n_bins
+                        for i, (f, c) in enumerate(zip(conf, cnt))]
+                fig, ax = plt.subplots(figsize=(4.5, 4.5))
+                centers = [(i + 0.5) / n_bins for i in range(n_bins)]
+                ax.bar(centers, acc, width=1.0 / n_bins * 0.9,
+                       label="accuracy", alpha=0.8)
+                ax.plot([0, 1], [0, 1], "k--", lw=1, label="perfect")
+                ax.scatter(conf, acc, color="C3", s=14, zorder=3,
+                           label="avg confidence")
+                ece = _fmean([_run_metric(r, "ece") for r in rs])
+                ax.set_xlabel("confidence")
+                ax.set_ylabel("accuracy")
+                ax.set_title(f"{ds} / {cfg} (ECE {ece:.2f}%)", fontsize=9)
+                ax.set_xlim(0, 1)
+                ax.set_ylim(0, 1)
+                ax.legend(fontsize=7)
+                fig.tight_layout()
+                fig.savefig(out_dir / f"{ds}__{cfg}.png", dpi=110)
+                plt.close(fig)
+
+
 def write_experiment_tables(
     grouped, exp_name: str, output_root: Path = Path("output"), shots_set=None
 ) -> None:
@@ -398,6 +452,7 @@ def main(argv=None):
         use_grouping=args.grouped,
         show_zero_shot=args.show_zero_shot,
     )
+    make_reliability_diagrams(grouped, args.experiment, output_root)
     write_experiment_tables(grouped, args.experiment, output_root)
 
 

@@ -98,3 +98,33 @@ def test_aggregate_delete_prunes_unfinished(tmp_path):
     runs = aggregate.load_runs(root / "exp1", delete=True)
     assert len(runs) == 1
     assert not empty.exists()
+
+
+def test_reliability_diagrams(tmp_path):
+    root = tmp_path / "output"
+    payload_bins = {
+        "bin_acc": [0.1 * i for i in range(10)],
+        "bin_conf": [0.05 + 0.1 * i for i in range(10)],
+        "bin_count": [10] * 10,
+    }
+    d = root / "exp1" / "caltech101" / "GP_1shots" / "seed1"
+    d.mkdir(parents=True)
+    d.joinpath("metrics.json").write_text(
+        json.dumps(
+            {
+                "dataset": "caltech101", "shots": 1, "seed": 1,
+                "method": "gp", "backbone": "RN50",
+                "zero_shot": None,
+                "metrics": {
+                    "top1_acc": 60.0, "ece": 5.0, "aece": 6.0,
+                    "calibration": payload_bins,
+                },
+            }
+        )
+    )
+    runs = aggregate.load_runs(root / "exp1")
+    grouped = aggregate.group_runs(runs)
+    aggregate.make_reliability_diagrams(grouped, "exp1", root)
+    assert (
+        root / "exp1" / "_plots" / "reliability" / "caltech101__GP_1shots.png"
+    ).exists()
