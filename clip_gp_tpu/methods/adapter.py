@@ -305,17 +305,23 @@ class Trainer(BaseTrainer):
     def run_epoch(self):
         losses = AverageMeter()
         batch_time = AverageMeter()
-        features = self.features_train
-        labels = self.labels_train
-        # numpy shuffle, same construction as the reference
-        # (ref: trainers/adapter.py:732-735)
-        idx = np.random.rand(features.shape[0]).argsort(axis=0)
-        features = jnp.asarray(features[idx])
-        labels_np = labels[idx]
-        labels_dev = jnp.asarray(labels_np.astype(np.int32))
+        # features uploaded once; the per-epoch shuffle stays a host-side
+        # numpy draw (same construction as the reference,
+        # ref: trainers/adapter.py:732-735) but the gather runs on device —
+        # no re-upload of the feature cache every epoch
+        if not hasattr(self, "_features_train_dev"):
+            self._features_train_dev = jnp.asarray(self.features_train)
+            self._labels_train_dev = jnp.asarray(
+                self.labels_train.astype(np.int32)
+            )
+        idx = np.random.rand(self.features_train.shape[0]).argsort(axis=0)
+        idx_dev = jnp.asarray(idx.astype(np.int32))
+        features = self._features_train_dev[idx_dev]
+        labels_dev = self._labels_train_dev[idx_dev]
+        labels_np = self.labels_train[idx]
 
         batch_size = self.config.dataloader.batch_size_train
-        slices = common.batch_slices(features.shape[0], batch_size)
+        slices = common.batch_slices(self.features_train.shape[0], batch_size)
         self.num_batches = len(slices)
         print_freq = int(self.config.train.print_freq)
         verbose_epoch = (self.epoch + 1) % 10 == 0 or self.epoch == 0
@@ -330,13 +336,15 @@ class Trainer(BaseTrainer):
                 labels_dev[lo:hi],
                 key,
             )
-            loss = float(loss)
+            # loss stays a device array: materializing per step would insert a
+            # host sync (full RTT on tunneled backends) into every batch
             losses.update(loss)
             batch_time.update(time.time() - end)
 
             meet_freq = (self.batch_idx + 1) % print_freq == 0
             few_batches = self.num_batches < print_freq
             if (meet_freq or few_batches) and verbose_epoch:
+                loss = float(loss)
                 acc_train = compute_accuracy(
                     np.asarray(
                         self._train_acc_logits(
@@ -376,15 +384,16 @@ class Trainer(BaseTrainer):
                 )
                 if self.mode == "gp":
                     self._print_gp_diagnostics()
-            n_iter = self.epoch * self.num_batches + self.batch_idx
-            self.write_scalar("train/loss", loss, n_iter)
-            self.write_scalar(
-                "train/lr", self.opt.current_lrs.get("base", 0.0), n_iter
-            )
+            if self._writer is not None:  # TB opt-in accepts the per-step sync
+                n_iter = self.epoch * self.num_batches + self.batch_idx
+                self.write_scalar("train/loss", float(loss), n_iter)
+                self.write_scalar(
+                    "train/lr", self.opt.current_lrs.get("base", 0.0), n_iter
+                )
             end = time.time()
 
         self.opt_state = self.opt.set_epoch(self.opt_state, self.epoch + 1)
-        return {"loss": losses.avg}
+        return {"loss": float(losses.avg)}
 
     def _print_gp_diagnostics(self):
         gp = self.params["gp"]
