@@ -184,6 +184,31 @@ class Trainer(BaseTrainer):
             p, o, f, l, k, self._consts()
         )
 
+        def epoch_scan(params, opt_state, features_b, labels_b, keys, consts):
+            """Whole epoch as one executable: lax.scan over equal-size batches
+            [n_batches, B, ...] — one dispatch per epoch instead of one per
+            batch (dispatch latency dominates on tunneled backends)."""
+
+            def body(carry, batch):
+                params, opt_state = carry
+                feats, labels, key = batch
+                (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, feats, labels, key, consts
+                )
+                updates, opt_state = self.opt.update(grads, opt_state, params)
+                params = jax.tree.map(lambda p, u: p + u, params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (features_b, labels_b, keys)
+            )
+            return params, opt_state, losses
+
+        scan_jit = jax.jit(epoch_scan, donate_argnums=(0, 1))
+        self._epoch_scan = lambda p, o, f, l, k: scan_jit(
+            p, o, f, l, k, self._consts()
+        )
+
         def eval_logits(params, features, key, consts):
             projected = features @ params["visual_proj"].T
             protos, _ = self._prototypes(params, key, self.s_eval, consts)
@@ -325,6 +350,20 @@ class Trainer(BaseTrainer):
         self.num_batches = len(slices)
         print_freq = int(self.config.train.print_freq)
         verbose_epoch = (self.epoch + 1) % 10 == 0 or self.epoch == 0
+
+        if not verbose_epoch and self._writer is None and self.num_batches > 1:
+            # quiet epoch: run all batches as ONE scanned executable
+            n_full = self.num_batches * batch_size
+            feats_b = features[:n_full].reshape(
+                self.num_batches, batch_size, -1
+            )
+            labels_b = labels_dev[:n_full].reshape(self.num_batches, batch_size)
+            keys = self.keys.next(self.num_batches + 1)[: self.num_batches]
+            self.params, self.opt_state, losses_dev = self._epoch_scan(
+                self.params, self.opt_state, feats_b, labels_b, keys
+            )
+            self.opt_state = self.opt.set_epoch(self.opt_state, self.epoch + 1)
+            return {"loss": losses_dev}
 
         end = time.time()
         for self.batch_idx, (lo, hi) in enumerate(slices):

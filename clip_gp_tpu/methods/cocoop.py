@@ -208,7 +208,7 @@ class Trainer(BaseTrainer):
             self.params, self.opt_state, loss, logits = self._train_step(
                 self.params, self.opt_state, img_feats, labels
             )
-            losses.update(float(loss))
+            losses.update(loss)  # device array: no per-step host sync
             meet_freq = (self.batch_idx + 1) % print_freq == 0
             if meet_freq or self.num_batches < print_freq:
                 acc_train = compute_accuracy(np.asarray(logits), batch["label"])[0]
@@ -222,4 +222,4 @@ class Trainer(BaseTrainer):
                 self.epoch * self.num_batches + self.batch_idx,
             )
         self.opt_state = self.opt.set_epoch(self.opt_state, self.epoch + 1)
-        return losses.avg
+        return float(losses.avg)

@@ -199,7 +199,7 @@ class Trainer(BaseTrainer):
             self.params, self.opt_state, loss, logits = self._train_step(
                 self.params, self.opt_state, img_feats, labels
             )
-            losses.update(float(loss))
+            losses.update(loss)  # device array: no per-step host sync
             if verbose:
                 acc_train = compute_accuracy(np.asarray(logits), batch["label"])[0]
                 acc_test = compute_accuracy(
@@ -217,4 +217,4 @@ class Trainer(BaseTrainer):
                 self.epoch * self.num_batches + self.batch_idx,
             )
         self.opt_state = self.opt.set_epoch(self.opt_state, self.epoch + 1)
-        return losses.avg
+        return float(losses.avg)

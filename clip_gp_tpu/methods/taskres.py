@@ -190,7 +190,7 @@ class Trainer(BaseTrainer):
                 labels,
                 self.base_text_features,
             )
-            losses.update(float(loss))
+            losses.update(loss)  # device array: no per-step host sync
             if verbose:
                 acc_train = compute_accuracy(np.asarray(logits), batch["label"])[0]
                 print(
@@ -203,4 +203,4 @@ class Trainer(BaseTrainer):
                 self.epoch * self.num_batches + self.batch_idx,
             )
         self.opt_state = self.opt.set_epoch(self.opt_state, self.epoch + 1)
-        return losses.avg
+        return float(losses.avg)

@@ -245,15 +245,16 @@ class Trainer(BaseTrainer):
                 adapter_w, opt_state, loss, tip = jit_step(
                     adapter_w, opt_state, feats, labels, clip_logits
                 )
-                acc = compute_accuracy(np.asarray(tip), batch["label"])[0]
-                correct += acc / 100.0 * n
+                # device-side correct-count: no per-batch host sync
+                correct_dev = (tip[:n].argmax(axis=1) == labels[:n]).sum()
+                correct += correct_dev  # lazy device accumulation
                 total += n
-                loss_sum += float(loss)
+                loss_sum += loss
             if epoch == 0 or (epoch + 1) % 10 == 0:
                 print(
                     f"epoch [{epoch + 1}/{epochs}] "
-                    f"loss {loss_sum / max(1, n_batches):.4f} "
-                    f"acc_train {100.0 * correct / max(1, total):.4f}"
+                    f"loss {float(loss_sum) / max(1, n_batches):.4f} "
+                    f"acc_train {100.0 * float(correct) / max(1, total):.4f}"
                 )
             # quick test eval on cached test features; keep the best state
             tip_test = np.asarray(
