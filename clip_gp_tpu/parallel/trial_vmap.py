@@ -260,6 +260,23 @@ class VmappedAdapterTrials:
 
         step_jit = jax.jit(step, donate_argnums=(0, 1))
 
+        def epoch_scan(params, opt_state, feats_e, labels_e, keys_e):
+            """One dispatch per epoch: scan the vmapped step over batches.
+            feats_e: [n_batches, T, B, D]; keys_e: [n_batches, T]."""
+
+            def body(carry, batch):
+                params, opt_state = carry
+                f, l, k = batch
+                params, opt_state, losses = step(params, opt_state, f, l, k)
+                return (params, opt_state), losses
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (feats_e, labels_e, keys_e)
+            )
+            return params, opt_state, losses
+
+        epoch_jit = jax.jit(epoch_scan, donate_argnums=(0, 1))
+
         def trial_eval_logits(p, key):
             if use_gp:
                 protos, _ = svgp.sample_prototypes(
@@ -295,12 +312,30 @@ class VmappedAdapterTrials:
             perm_j = jnp.asarray(perms)
             feats_e = jnp.take_along_axis(feats_train, perm_j[:, :, None], axis=1)
             labels_e = jnp.take_along_axis(labels_train, perm_j, axis=1)
-            for b, (lo, hi) in enumerate(slices):
+            if len(slices) > 1:
+                b_sz = slices[0][1] - slices[0][0]
+                n_full = len(slices) * b_sz
+                fb = feats_e[:, :n_full].reshape(
+                    t_trials, len(slices), b_sz, -1
+                ).transpose(1, 0, 2, 3)  # [n_batches, T, B, D]
+                lb = labels_e[:, :n_full].reshape(
+                    t_trials, len(slices), b_sz
+                ).transpose(1, 0, 2)
                 root_key, sub = jax.random.split(root_key)
-                keys = jax.random.split(sub, t_trials)
-                params, opt_state, losses = step_jit(
-                    params, opt_state, feats_e[:, lo:hi], labels_e[:, lo:hi], keys
+                keys_e = jax.random.split(sub, len(slices) * t_trials).reshape(
+                    len(slices), t_trials
                 )
+                params, opt_state, losses = epoch_jit(
+                    params, opt_state, fb, lb, keys_e
+                )
+                losses = losses[-1]
+            else:
+                for b, (lo, hi) in enumerate(slices):
+                    root_key, sub = jax.random.split(root_key)
+                    keys = jax.random.split(sub, t_trials)
+                    params, opt_state, losses = step_jit(
+                        params, opt_state, feats_e[:, lo:hi], labels_e[:, lo:hi], keys
+                    )
             # epoch-level lr schedule (both groups follow the cosine shape)
             factor = schedule(epoch + 1)
             opt_state.inner_states["base"].inner_state.hyperparams[
