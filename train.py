@@ -6,6 +6,7 @@ data manager → trainer (via registry) → train / eval-only / no-train.
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -19,6 +20,13 @@ def print_args(config):
 
 
 def main(argv=None):
+    # Sweep subprocess backend pins each child to one chip of a multi-chip
+    # host (the TPU analog of the reference's CUDA_VISIBLE_DEVICES pinning,
+    # ref: utils/hparam_search.py:201-207). Must happen before jax initializes.
+    device = os.environ.get("CLIP_GP_TPU_DEVICE")
+    if device:
+        os.environ.setdefault("TPU_VISIBLE_DEVICES", device)
+
     from clip_gp_tpu.core.config import parse_args_to_config, save_config_to_file
     from clip_gp_tpu.core.logging import setup_logger
     from clip_gp_tpu.core.registry import build_trainer
