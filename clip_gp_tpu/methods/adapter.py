@@ -45,6 +45,12 @@ class Trainer(BaseTrainer):
         self.use_gp = bool(config.adapter.use_gp)
         self.s_train = max(1, int(config.adapter.gp_num_mc_samples_train or 1))
         self.s_eval = max(1, int(config.adapter.gp_num_mc_samples_eval or 1))
+        # diagnostics-only RNG stream: verbose quick-accuracy draws must not
+        # advance the training/eval stream (print cadence would otherwise
+        # change results)
+        from clip_gp_tpu.core.seeding import KeySequence
+
+        self._diag_keys = KeySequence(int(config.seed) + 7919)
 
     # ------------------------------------------------------------------
     def build_model(self):
@@ -351,6 +357,14 @@ class Trainer(BaseTrainer):
         print_freq = int(self.config.train.print_freq)
         verbose_epoch = (self.epoch + 1) % 10 == 0 or self.epoch == 0
 
+        # one key draw per epoch, identical in both paths, so quiet-scan and
+        # verbose epochs consume the RNG stream the same way (enabling
+        # TensorBoard must not change training results)
+        if self.num_batches == 1:
+            epoch_keys = self.keys.next()[None]
+        else:
+            epoch_keys = self.keys.next(self.num_batches + 1)[: self.num_batches]
+
         if not verbose_epoch and self._writer is None and self.num_batches > 1:
             # quiet epoch: run all batches as ONE scanned executable
             n_full = self.num_batches * batch_size
@@ -358,22 +372,21 @@ class Trainer(BaseTrainer):
                 self.num_batches, batch_size, -1
             )
             labels_b = labels_dev[:n_full].reshape(self.num_batches, batch_size)
-            keys = self.keys.next(self.num_batches + 1)[: self.num_batches]
             self.params, self.opt_state, losses_dev = self._epoch_scan(
-                self.params, self.opt_state, feats_b, labels_b, keys
+                self.params, self.opt_state, feats_b, labels_b, epoch_keys
             )
             self.opt_state = self.opt.set_epoch(self.opt_state, self.epoch + 1)
-            return {"loss": losses_dev}
+            # lazy device scalar — same contract as the eager path below
+            return {"loss": losses_dev.mean()}
 
         end = time.time()
         for self.batch_idx, (lo, hi) in enumerate(slices):
-            key = self.keys.next()
             self.params, self.opt_state, loss, aux, gnorms = self._train_step(
                 self.params,
                 self.opt_state,
                 features[lo:hi],
                 labels_dev[lo:hi],
-                key,
+                epoch_keys[self.batch_idx],
             )
             # loss stays a device array: materializing per step would insert a
             # host sync (full RTT on tunneled backends) into every batch
@@ -387,7 +400,7 @@ class Trainer(BaseTrainer):
                 acc_train = compute_accuracy(
                     np.asarray(
                         self._train_acc_logits(
-                            self.params, features[lo:hi], self.keys.next()
+                            self.params, features[lo:hi], self._diag_keys.next()
                         )
                     ),
                     labels_np[lo:hi],
@@ -397,7 +410,7 @@ class Trainer(BaseTrainer):
                         self._eval_logits(
                             self.params,
                             jnp.asarray(self.features_test),
-                            self.keys.next(),
+                            self._diag_keys.next(),
                         )
                     ),
                     self.labels_test,
@@ -432,7 +445,8 @@ class Trainer(BaseTrainer):
             end = time.time()
 
         self.opt_state = self.opt.set_epoch(self.opt_state, self.epoch + 1)
-        return {"loss": float(losses.avg)}
+        # lazy device scalar (uniform with the quiet path); float() if needed
+        return {"loss": losses.avg}
 
     def _print_gp_diagnostics(self):
         gp = self.params["gp"]

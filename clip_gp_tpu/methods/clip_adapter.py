@@ -197,9 +197,10 @@ class Trainer(BaseTrainer):
                     f"loss {float(loss):.4f} acc_train {acc_train:.4f} "
                     f"acc_test {acc_test:.4f}"
                 )
-            self.write_scalar(
-                "train/loss", float(loss),
-                self.epoch * self.num_batches + self.batch_idx,
-            )
+            if self._writer is not None:  # guard: float(loss) is a host sync
+                self.write_scalar(
+                    "train/loss", float(loss),
+                    self.epoch * self.num_batches + self.batch_idx,
+                )
         self.opt_state = self.opt.set_epoch(self.opt_state, self.epoch + 1)
         return float(losses.avg)

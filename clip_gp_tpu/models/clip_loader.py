@@ -442,6 +442,43 @@ def _candidate_paths(backbone: str):
         yield d / f"{safe}.pt"
 
 
+def _file_tag(path: str) -> str:
+    """Weights identity from the resolved file (path + mtime + size), so a
+    replaced/re-converted checkpoint invalidates downstream feature caches."""
+    import hashlib
+
+    st = os.stat(path)
+    raw = f"{path}|{st.st_mtime_ns}|{st.st_size}".encode()
+    return "w" + hashlib.sha256(raw).hexdigest()[:12]
+
+
+def load_clip_resolved(
+    config, allow_random: bool = False, seed: int = 0
+) -> Tuple[ClipArchitecture, Params, str]:
+    """Like ``load_clip`` but also returns a tag identifying the weights
+    actually loaded (file identity, or ``rand<seed>``)."""
+    backbone = config.model.backbone_name
+    init = config.model.init_weights
+    if init:
+        if init.endswith(".npz"):
+            return (*load_params_npz(init), _file_tag(init))
+        return (*load_torch_checkpoint(init), _file_tag(init))
+    for path in _candidate_paths(backbone):
+        if path.exists():
+            if path.suffix == ".npz":
+                return (*load_params_npz(str(path)), _file_tag(str(path)))
+            return (*load_torch_checkpoint(str(path)), _file_tag(str(path)))
+    if allow_random or os.environ.get("CLIP_GP_TPU_ALLOW_RANDOM_WEIGHTS") == "1":
+        arch = ARCHITECTURES[backbone]
+        return arch, init_clip_params(jax.random.key(seed), arch), f"rand{seed}"
+    raise FileNotFoundError(
+        f"No CLIP weights found for backbone {backbone!r}. Provide "
+        "MODEL.INIT_WEIGHTS, set $CLIP_GP_TPU_WEIGHTS_DIR, or place the OpenAI "
+        f"checkpoint under ~/.cache/clip/. Set "
+        "CLIP_GP_TPU_ALLOW_RANDOM_WEIGHTS=1 to run with random weights."
+    )
+
+
 def load_clip(
     config, allow_random: bool = False, seed: int = 0
 ) -> Tuple[ClipArchitecture, Params]:
@@ -452,23 +489,6 @@ def load_clip(
     ``allow_random`` (tests/benches), falls back to randomly-initialized
     weights of the right architecture.
     """
-    backbone = config.model.backbone_name
-    init = config.model.init_weights
-    if init:
-        if init.endswith(".npz"):
-            return load_params_npz(init)
-        return load_torch_checkpoint(init)
-    for path in _candidate_paths(backbone):
-        if path.exists():
-            if path.suffix == ".npz":
-                return load_params_npz(str(path))
-            return load_torch_checkpoint(str(path))
-    if allow_random or os.environ.get("CLIP_GP_TPU_ALLOW_RANDOM_WEIGHTS") == "1":
-        arch = ARCHITECTURES[backbone]
-        return arch, init_clip_params(jax.random.key(seed), arch)
-    raise FileNotFoundError(
-        f"No CLIP weights found for backbone {backbone!r}. Provide "
-        "MODEL.INIT_WEIGHTS, set $CLIP_GP_TPU_WEIGHTS_DIR, or place the OpenAI "
-        f"checkpoint under ~/.cache/clip/. Set "
-        "CLIP_GP_TPU_ALLOW_RANDOM_WEIGHTS=1 to run with random weights."
-    )
+    arch, params, _ = load_clip_resolved(config, allow_random, seed)
+    return arch, params
+

@@ -142,7 +142,9 @@ class VmappedAdapterTrials:
             num_workers=config.dataloader.num_workers,
         )
         _, union_feats = base.encode_images_batched(union_loader)
-        labels_test, feats_test = base.encode_images_batched(dm.test_loader)
+        labels_test, feats_test = base.encode_images_batched(
+            dm.test_loader, cacheable=True
+        )
 
         feats_train = jnp.asarray(union_feats)[jnp.asarray(seed_index)]  # [T,N,D]
         labels_train = jnp.asarray(seed_labels)  # [T,N]

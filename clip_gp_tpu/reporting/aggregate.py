@@ -347,8 +347,16 @@ def make_reliability_diagrams(
     for ds, shots_map in grouped.items():
         for shots, cfg_map in shots_map.items():
             for cfg, rs in cfg_map.items():
-                calib = rs[0].get("metrics", {}).get("calibration")
-                if not calib or not calib.get("bin_count"):
+                calib = next(
+                    (
+                        c
+                        for r in rs
+                        if (c := r.get("metrics", {}).get("calibration"))
+                        and c.get("bin_count")
+                    ),
+                    None,
+                )
+                if calib is None:
                     continue
                 # average bins across seeds, count-weighted
                 n_bins = len(calib["bin_acc"])

@@ -45,11 +45,15 @@ def split_fingerprint(impaths: List[str], labels: List[int]) -> str:
 def cache_key(config, split_items, weights_tag: str) -> str:
     impaths = [it.impath for it in split_items]
     labels = [it.label for it in split_items]
+    norm = hashlib.sha256(
+        repr((tuple(config.input.pixel_mean), tuple(config.input.pixel_std))).encode()
+    ).hexdigest()[:8]
     parts = [
         config.model.backbone_name.replace("/", "-"),
         weights_tag,
         f"{config.input.size[0]}x{config.input.size[1]}",
         config.input.interpolation,
+        norm,
         split_fingerprint(impaths, labels),
     ]
     return "_".join(parts)

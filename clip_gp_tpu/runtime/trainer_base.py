@@ -36,7 +36,7 @@ from clip_gp_tpu.models import clip_model
 from clip_gp_tpu.models.clip_loader import (
     _flatten,
     _unflatten,
-    load_clip,
+    load_clip_resolved,
 )
 from clip_gp_tpu.ops.metrics import (
     compute_accuracy,
@@ -115,15 +115,11 @@ class BaseTrainer:
     # ------------------------------------------------------------------
     def load_clip_model(self):
         allow_random = os.environ.get("CLIP_GP_TPU_ALLOW_RANDOM_WEIGHTS") == "1"
-        self.clip_arch, self.clip_params = load_clip(
+        # weights_tag identifies the weights ACTUALLY loaded (file identity or
+        # random seed) — it keys the disk feature cache, so it must change
+        # whenever the resolved checkpoint changes
+        self.clip_arch, self.clip_params, self.weights_tag = load_clip_resolved(
             self.config, allow_random=allow_random, seed=int(self.config.seed)
-        )
-        import hashlib
-
-        init = self.config.model.init_weights
-        self.weights_tag = (
-            "w" + hashlib.sha256(init.encode()).hexdigest()[:10] if init else
-            f"rand{self.config.seed}" if allow_random else "default"
         )
         return self.clip_arch, self.clip_params
 
