@@ -26,7 +26,7 @@ ImageFile.LOAD_TRUNCATED_IMAGES = True
 _USE_NATIVE = os.environ.get("CLIP_GP_TPU_NATIVE_DECODE") == "1"
 
 
-def _load_one(item: Datum, transform) -> np.ndarray:
+def _load_one(item: Datum, transform, rng=None) -> np.ndarray:
     target = getattr(transform, "native_target", None)
     if (
         _USE_NATIVE
@@ -43,6 +43,8 @@ def _load_one(item: Datum, transform) -> np.ndarray:
         except OSError:
             pass
     img = Image.open(item.impath).convert("RGB")
+    if rng is not None:
+        return transform(img, rng=rng)
     return transform(img)
 
 
@@ -75,13 +77,21 @@ class BatchLoader:
         order = list(range(len(self.data_source)))
         if self.shuffle:
             random.shuffle(order)
+        # one deterministic augmentation seed per item, drawn sequentially
+        # from the (run-seeded) global stream BEFORE threading — worker-thread
+        # interleaving can no longer change augmentation draws between runs
+        item_seeds = [random.getrandbits(63) for _ in order]
         n_batches = len(self)
         with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
             for b in range(n_batches):
                 idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
                 items = [self.data_source[i] for i in idxs]
+                rngs = [random.Random(item_seeds[i]) for i in idxs]
                 images = list(
-                    pool.map(lambda it: _load_one(it, self.transform), items)
+                    pool.map(
+                        lambda args: _load_one(args[0], self.transform, args[1]),
+                        zip(items, rngs),
+                    )
                 )
                 yield {
                     "img": np.stack(images),

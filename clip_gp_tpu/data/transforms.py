@@ -43,18 +43,19 @@ def random_resized_crop(
     scale=(0.08, 1.0),
     ratio=(3 / 4, 4 / 3),
     interpolation=Image.BICUBIC,
+    rng=random,
 ) -> Image.Image:
     width, height = img.size
     area = width * height
     for _ in range(10):
-        target_area = area * random.uniform(*scale)
+        target_area = area * rng.uniform(*scale)
         log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
-        aspect = math.exp(random.uniform(*log_ratio))
+        aspect = math.exp(rng.uniform(*log_ratio))
         w = int(round(math.sqrt(target_area * aspect)))
         h = int(round(math.sqrt(target_area / aspect)))
         if 0 < w <= width and 0 < h <= height:
-            x = random.randint(0, width - w)
-            y = random.randint(0, height - h)
+            x = rng.randint(0, width - w)
+            y = rng.randint(0, height - h)
             return img.resize(size, interpolation, box=(x, y, x + w, y + h))
     # fallback: center crop at the clamped aspect ratio
     in_ratio = width / height
@@ -88,13 +89,13 @@ def resize_shortest(img: Image.Image, target: int, interpolation) -> Image.Image
     return img.resize((nw, nh), interpolation)
 
 
-def random_crop(img: Image.Image, size: Tuple[int, int]) -> Image.Image:
+def random_crop(img: Image.Image, size: Tuple[int, int], rng=random) -> Image.Image:
     width, height = img.size
     th, tw = size
     if width == tw and height == th:
         return img
-    x = random.randint(0, max(0, width - tw))
-    y = random.randint(0, max(0, height - th))
+    x = rng.randint(0, max(0, width - tw))
+    y = rng.randint(0, max(0, height - th))
     return img.crop((x, y, x + tw, y + th))
 
 
@@ -104,21 +105,22 @@ def color_jitter(
     contrast=0.4,
     saturation=0.4,
     hue=0.1,
+    rng=random,
 ) -> Image.Image:
     from PIL import ImageEnhance
 
     ops = []
     if brightness > 0:
-        f = random.uniform(max(0, 1 - brightness), 1 + brightness)
+        f = rng.uniform(max(0, 1 - brightness), 1 + brightness)
         ops.append(lambda im: ImageEnhance.Brightness(im).enhance(f))
     if contrast > 0:
-        fc = random.uniform(max(0, 1 - contrast), 1 + contrast)
+        fc = rng.uniform(max(0, 1 - contrast), 1 + contrast)
         ops.append(lambda im: ImageEnhance.Contrast(im).enhance(fc))
     if saturation > 0:
-        fs = random.uniform(max(0, 1 - saturation), 1 + saturation)
+        fs = rng.uniform(max(0, 1 - saturation), 1 + saturation)
         ops.append(lambda im: ImageEnhance.Color(im).enhance(fs))
     if hue > 0:
-        h = random.uniform(-hue, hue)
+        h = rng.uniform(-hue, hue)
 
         def shift_hue(im, h=h):
             hsv = np.array(im.convert("HSV"), dtype=np.int16)
@@ -126,7 +128,7 @@ def color_jitter(
             return Image.fromarray(hsv.astype(np.uint8), "HSV").convert("RGB")
 
         ops.append(shift_hue)
-    random.shuffle(ops)
+    rng.shuffle(ops)
     for op in ops:
         img = op(img)
     return img
@@ -140,22 +142,27 @@ def build_transform(config, is_train: bool = False) -> Callable[[Image.Image], n
     if is_train:
         names: List[str] = list(config.input.transforms)
 
-        def train_tfm(img: Image.Image) -> np.ndarray:
+        def train_tfm(img: Image.Image, rng=random) -> np.ndarray:
+            # rng is a per-item Random from the loader so augmentation is
+            # deterministic under the run seed regardless of worker-thread
+            # interleaving
             applied_spatial = False
             for name in names:
                 if name == "random_resized_crop":
-                    img = random_resized_crop(img, size, interpolation=interpolation)
+                    img = random_resized_crop(
+                        img, size, interpolation=interpolation, rng=rng
+                    )
                     applied_spatial = True
                 elif name == "random_crop":
-                    img = random_crop(img, size)
+                    img = random_crop(img, size, rng=rng)
                     applied_spatial = True
                 elif name == "random_flip":
-                    if random.random() < 0.5:
+                    if rng.random() < 0.5:
                         img = img.transpose(Image.FLIP_LEFT_RIGHT)
                 elif name == "random_rotation":
-                    img = img.rotate(random.uniform(-15, 15), resample=Image.BILINEAR)
+                    img = img.rotate(rng.uniform(-15, 15), resample=Image.BILINEAR)
                 elif name == "color_jitter":
-                    img = color_jitter(img)
+                    img = color_jitter(img, rng=rng)
                 # "normalize" happens on device
             if not applied_spatial or img.size != (size[1], size[0]):
                 img = resize_shortest(img, size[0], interpolation)
@@ -164,7 +171,7 @@ def build_transform(config, is_train: bool = False) -> Callable[[Image.Image], n
 
         return train_tfm
 
-    def test_tfm(img: Image.Image) -> np.ndarray:
+    def test_tfm(img: Image.Image, rng=None) -> np.ndarray:
         img = resize_shortest(img, size[0], interpolation)
         img = center_crop(img, size)
         return np.asarray(img.convert("RGB"), dtype=np.uint8)
