@@ -33,6 +33,19 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import jax
+
+if __name__ != "__external__":  # persistent compile cache (see train.py)
+    import os as _os
+
+    if _os.environ.get("CLIP_GP_TPU_NO_COMPILE_CACHE") != "1":
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.path.expanduser("~/.cache/clip_gp_tpu/xla"),
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        except Exception:
+            pass
 import jax.numpy as jnp
 import numpy as np
 
