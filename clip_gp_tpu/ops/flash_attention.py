@@ -65,6 +65,8 @@ def flash_attention(
     Returns [B, H, N, Dh] in q's dtype (softmax in fp32).
     """
     b, h, n, dh = q.shape
+    # off-TPU (tests, CPU fallbacks) the kernel runs in interpreter mode
+    interpret = interpret or jax.default_backend() != "tpu"
     n_pad = _round_up(n, LANE)
     # head dim stays unpadded: Mosaic tolerates sub-128 lane widths, and
     # explicit padding to 128 would double the QK^T contraction work

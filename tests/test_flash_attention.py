@@ -58,3 +58,19 @@ def test_padding_does_not_leak():
     out = flash_attention(q, k, v, interpret=True)
     expected = _xla_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5)
+
+
+def test_model_integration_parity(monkeypatch):
+    """encode_image with the Pallas path forced must match the XLA path."""
+    import clip_gp_tpu.ops.flash_attention as fa
+    from clip_gp_tpu.models import clip_model
+    from clip_gp_tpu.models.clip_loader import init_clip_params
+
+    arch = clip_model.ARCHITECTURES["TEST-ViT"]
+    params = init_clip_params(jax.random.key(0), arch)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    baseline = np.asarray(clip_model.encode_image(params, arch, images))
+    monkeypatch.setattr(fa, "use_flash", lambda: True)
+    flash_out = np.asarray(clip_model.encode_image(params, arch, images))
+    np.testing.assert_allclose(flash_out, baseline, atol=5e-5)
