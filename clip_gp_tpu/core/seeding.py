@@ -18,6 +18,16 @@ def set_random_seed(seed: int) -> None:
     np.random.seed(seed)
 
 
+def get_random_state():
+    """Snapshot host RNG states (ref: utils/reproducibility.py:42-59)."""
+    return {"python": random.getstate(), "numpy": np.random.get_state()}
+
+
+def set_random_state(state) -> None:
+    random.setstate(state["python"])
+    np.random.set_state(state["numpy"])
+
+
 class KeySequence:
     """Deterministic stream of JAX PRNG keys derived from the run seed."""
 

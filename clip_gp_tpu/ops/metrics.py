@@ -187,3 +187,8 @@ class MetricMeter:
         return self.delimiter.join(
             f"{k}: {m.avg:.4f}" for k, m in self.meters.items()
         )
+
+    def synchronize_between_processes(self):
+        """No-op placeholder kept for API parity (ref: utils/metrics.py:293);
+        cross-process metric sync has no role in the mesh design."""
+
