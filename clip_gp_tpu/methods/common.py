@@ -176,15 +176,20 @@ def extract_with(encode_fn, loader) -> Tuple[np.ndarray, np.ndarray]:
     """Run a jitted image-encode function over a loader with batch padding.
 
     Returns (features [N, ...] float32, labels [N] int). The single shared
-    implementation of the pad-encode-slice loop used by every method."""
-    feats, labels = [], []
+    implementation of the pad-encode-slice loop used by every method.
+
+    Outputs stay device-resident until the end: dispatching all batches
+    before materializing lets host decode of batch i+1 overlap device compute
+    of batch i (a per-batch np.asarray would serialize them with one host
+    round-trip each)."""
+    feats_dev, labels = [], []
     bs = loader.batch_size
     for batch in loader:
         imgs = batch["img"]
         n = imgs.shape[0]
-        out = np.asarray(encode_fn(jnp.asarray(pad_batch(imgs, bs))))[:n]
-        feats.append(out)
+        feats_dev.append(encode_fn(jnp.asarray(pad_batch(imgs, bs)))[:n])
         labels.append(batch["label"])
+    feats = [np.asarray(f) for f in jax.device_get(feats_dev)]
     return np.concatenate(feats).astype(np.float32), np.concatenate(labels)
 
 
