@@ -291,7 +291,11 @@ def _parse_opt_value(value: str):
 
 
 def set_nested(config: Config, dotted_key: str, value) -> None:
-    """Apply a dotted override like ``TRAINER.ADAPTER.USE_GP``."""
+    """Apply a dotted override like ``TRAINER.ADAPTER.USE_GP``.
+
+    Unknown leaves warn with near-miss suggestions instead of failing — the
+    reference silently dropped them (ref: utils/config.py:492-522), which
+    made typos invisible."""
     parts = [p.lower() for p in dotted_key.split(".")]
     obj = config
     for part in parts[:-1]:
@@ -304,6 +308,17 @@ def set_nested(config: Config, dotted_key: str, value) -> None:
     leaf = parts[-1]
     if hasattr(obj, leaf):
         setattr(obj, leaf, _coerce(obj, leaf, value))
+    else:
+        import difflib
+
+        known = (
+            [f.name for f in dataclasses.fields(obj)]
+            if dataclasses.is_dataclass(obj)
+            else [a for a in vars(obj) if not a.startswith("_")]
+        )
+        close = difflib.get_close_matches(leaf, known, n=3)
+        hint = f" (did you mean: {', '.join(close)}?)" if close else ""
+        print(f"[WARN] unknown config key {dotted_key!r} ignored{hint}")
 
 
 def merge_from_opts(config: Config, opts: List[str]) -> None:

@@ -320,10 +320,13 @@ class Trainer(BaseTrainer):
             print("[GP] One-step initialization applied to GP weights.")
 
         self.before_train()
-        for self.epoch in range(self.start_epoch, self.max_epoch):
-            self.before_epoch()
-            self.run_epoch()
-            self.after_epoch()
+        from clip_gp_tpu.runtime.profiling import phase_timer
+
+        with phase_timer("train_epochs"):
+            for self.epoch in range(self.start_epoch, self.max_epoch):
+                self.before_epoch()
+                self.run_epoch()
+                self.after_epoch()
 
         if getattr(self.config.adapter, "finetune_on_test", False):
             self._finetune_on_test()

@@ -125,3 +125,12 @@ def test_config_roundtrip_dict():
     assert d["adapter"]["use_gp"] is False
     assert d["input"]["size"] == [224, 224]
     assert d["optim"]["betas"] == [0.9, 0.999]
+
+
+def test_unknown_opts_key_warns_with_suggestion(capsys):
+    c = Config()
+    merge_from_opts(c, ["TRAINER.ADAPTER.USE_G", "True"])
+    out = capsys.readouterr().out
+    assert "[WARN] unknown config key" in out
+    assert "use_gp" in out  # near-miss suggestion
+    assert c.adapter.use_gp is False  # unchanged
