@@ -196,14 +196,29 @@ def run_trials_vmapped(trials: List[Trial]) -> List[Dict[str, Any]]:
     vmapped program (Adapter-method experiments). Non-groupable trials fall
     back to in-process sequential execution."""
     from clip_gp_tpu.core.config import Config, merge_config_from_file, merge_from_opts
-    from clip_gp_tpu.parallel.trial_vmap import run_seed_vmapped_adapter
+    from clip_gp_tpu.parallel.trial_vmap import (
+        VmappedAdapterTrials,
+        run_seed_vmapped_adapter,
+    )
 
     import clip_gp_tpu.data.datasets  # noqa: F401
     import clip_gp_tpu.methods  # noqa: F401
 
+    # grid keys whose values can join the vmap axis as per-trial scalars
+    VMAPPABLE_KEYS = {
+        "TRAINER.ADAPTER.GP_BETA": "gp_beta",
+        "TRAINER.ADAPTER.GP_LR": "gp_lr",
+        "OPTIM.LR": "lr",
+        "TRAINER.ADAPTER.L2_LAMBDA": "l2_lambda",
+    }
+
     groups: Dict[tuple, List[Trial]] = {}
     for t in trials:
-        key = (t.dataset, t.shots, t.signature())
+        if all(k in VMAPPABLE_KEYS for k in t.grid_overrides):
+            # seeds AND scalar grid cells share one vmapped program
+            key = (t.dataset, t.shots)
+        else:
+            key = (t.dataset, t.shots, t.signature())
         groups.setdefault(key, []).append(t)
 
     results: List[Dict[str, Any]] = []
@@ -232,11 +247,18 @@ def run_trials_vmapped(trials: List[Trial]) -> List[Dict[str, Any]]:
             leftovers.extend(group)
             continue
         seeds = [t.seed for t in group]
+        overrides = [
+            {VMAPPABLE_KEYS[k]: v for k, v in t.grid_overrides.items()
+             if k in VMAPPABLE_KEYS}
+            for t in group
+        ]
         outdirs = [t.format_outdir() for t in group]
         for d in outdirs:
             d.mkdir(parents=True, exist_ok=True)
         try:
-            run_seed_vmapped_adapter(config, seeds, outdirs)
+            run_seed_vmapped_adapter(
+                config, seeds, outdirs, trial_overrides=overrides
+            )
             rc = 0
         except Exception as e:
             import traceback

@@ -57,10 +57,25 @@ class VmappedAdapterTrials:
     so this is pure placement and scales a sweep linearly across chips.
     """
 
-    def __init__(self, config, seeds: Sequence[int], mesh=None):
+    SUPPORTED_HPARAMS = ("gp_beta", "gp_lr", "lr", "l2_lambda")
+
+    def __init__(self, config, seeds: Sequence[int], mesh=None,
+                 trial_overrides: Optional[Sequence[Dict]] = None):
+        """``trial_overrides``: optional per-trial dicts of scalar
+        hyperparameters (keys among SUPPORTED_HPARAMS) — grid cells join the
+        vmap axis alongside seeds."""
         self.config = config
         self.seeds = list(seeds)
         self.mesh = mesh
+        self.trial_overrides = (
+            [dict(o) for o in trial_overrides]
+            if trial_overrides is not None
+            else [{} for _ in self.seeds]
+        )
+        assert len(self.trial_overrides) == len(self.seeds)
+        for o in self.trial_overrides:
+            unknown = set(o) - set(self.SUPPORTED_HPARAMS)
+            assert not unknown, f"unsupported vmapped hparams: {unknown}"
         self.use_gp = bool(config.adapter.use_gp)
         self.s_train = max(1, int(config.adapter.gp_num_mc_samples_train or 1))
         self.s_eval = max(1, int(config.adapter.gp_num_mc_samples_eval or 1))
@@ -191,45 +206,38 @@ class VmappedAdapterTrials:
         else:
             params["template_logits"] = jnp.log(jnp.clip(tw, 1e-12, None))
 
-        # one optimizer state per trial (adamw over the stacked pytree: moments
-        # are elementwise, so stacking trials is exact)
+        # one optimizer state per trial (adam moments are elementwise, so
+        # stacking trials is exact). The transform carries NO learning rate:
+        # per-trial lrs (which may differ across the vmap axis) scale the
+        # updates afterwards, with the host-side schedule factor on top.
         import optax
 
         schedule = build_lr_schedule(config.optim)
-        gp_lr = float(config.adapter.gp_lr)
         base_lr = float(config.optim.lr)
 
-        def label_fn(p):
-            return {
-                name: (jax.tree.map(lambda _: "gp", p[name]) if name == "gp" else "base")
-                for name in p
-            }
+        def hp(name, default):
+            return jnp.asarray(
+                [float(o.get(name, default)) for o in self.trial_overrides],
+                dtype=jnp.float32,
+            )
 
-        tx = optax.multi_transform(
-            {
-                "base": optax.inject_hyperparams(
-                    lambda learning_rate: optax.adamw(
-                        learning_rate, weight_decay=float(config.optim.weight_decay)
-                    )
-                )(learning_rate=schedule(0)),
-                "gp": optax.inject_hyperparams(
-                    lambda learning_rate: optax.adamw(
-                        learning_rate, weight_decay=float(config.optim.weight_decay)
-                    )
-                )(learning_rate=gp_lr * schedule(0) / base_lr),
-            },
-            label_fn,
+        lr_t = hp("lr", base_lr)  # [T]
+        gp_lr_t = hp("gp_lr", float(config.adapter.gp_lr))
+        gp_beta_t = hp("gp_beta", float(config.adapter.gp_beta))
+        l2_t = hp("l2_lambda", float(config.adapter.l2_lambda))
+
+        tx = optax.chain(
+            optax.scale_by_adam(),
+            optax.add_decayed_weights(float(config.optim.weight_decay)),
         )
         params = self._shard_trials(params)
         opt_state = tx.init(params)
 
         shots = int(config.dataset.num_shots)
-        l2_lambda = float(config.adapter.l2_lambda)
-        gp_beta = float(config.adapter.gp_beta)
         scale = logit_scale
         use_gp = self.use_gp
 
-        def trial_loss(p, feats, labels, key):
+        def trial_loss(p, feats, labels, key, hps):
             projected = feats @ p["visual_proj"].T
             f_norm = common.l2_normalize(projected)
             if use_gp:
@@ -237,7 +245,7 @@ class VmappedAdapterTrials:
                     gp_static, p["gp"], gp_buffers, key, self.s_train
                 )
                 ce = common.mc_cross_entropy(f_norm, protos, labels, scale)
-                total = ce + gp_beta * svgp.kl_divergence(p["gp"]).sum()
+                total = ce + hps["gp_beta"] * svgp.kl_divergence(p["gp"]).sum()
             else:
                 w = jax.nn.softmax(p["template_logits"], axis=-1)
                 protos = jnp.einsum("km,kmd->kd", w, text_embeddings)
@@ -246,30 +254,46 @@ class VmappedAdapterTrials:
                 )
             if shots > 0:
                 wp = p["visual_proj"]
-                total = total + ((wp - jnp.eye(d)) ** 2).sum() * (l2_lambda / shots)
+                total = total + ((wp - jnp.eye(d)) ** 2).sum() * (
+                    hps["l2_lambda"] / shots
+                )
             return total
 
-        def step(params, opt_state, feats_b, labels_b, keys):
-            losses, grads = jax.vmap(jax.value_and_grad(trial_loss))(
-                params, feats_b, labels_b, keys
-            )
+        hp_tree = {"gp_beta": gp_beta_t, "l2_lambda": l2_t}
+
+        def _bc(vec, ndim):
+            return vec.reshape((vec.shape[0],) + (1,) * (ndim - 1))
+
+        def step(params, opt_state, feats_b, labels_b, keys, factor):
+            losses, grads = jax.vmap(
+                jax.value_and_grad(trial_loss), in_axes=(0, 0, 0, 0, 0)
+            )(params, feats_b, labels_b, keys, hp_tree)
             updates, opt_state = tx.update(grads, opt_state, params)
+            # per-trial, per-group learning rates (schedule factor on top)
+            scaled = {}
+            for name, u in updates.items():
+                vec = gp_lr_t if name == "gp" else lr_t
+                scaled[name] = jax.tree.map(
+                    lambda x: x * _bc(-(vec * factor), x.ndim), u
+                )
             return (
-                jax.tree.map(lambda p, u: p + u, params, updates),
+                jax.tree.map(lambda p, u: p + u, params, scaled),
                 opt_state,
                 losses,
             )
 
         step_jit = jax.jit(step, donate_argnums=(0, 1))
 
-        def epoch_scan(params, opt_state, feats_e, labels_e, keys_e):
+        def epoch_scan(params, opt_state, feats_e, labels_e, keys_e, factor):
             """One dispatch per epoch: scan the vmapped step over batches.
             feats_e: [n_batches, T, B, D]; keys_e: [n_batches, T]."""
 
             def body(carry, batch):
                 params, opt_state = carry
                 f, l, k = batch
-                params, opt_state, losses = step(params, opt_state, f, l, k)
+                params, opt_state, losses = step(
+                    params, opt_state, f, l, k, factor
+                )
                 return (params, opt_state), losses
 
             (params, opt_state), losses = jax.lax.scan(
@@ -304,6 +328,10 @@ class VmappedAdapterTrials:
         root_key = jax.random.key(int(self.seeds[0]))
 
         for epoch in range(max_epoch):
+            # schedule factor: per-trial lr × (cosine shape of the base lr)
+            factor = jnp.asarray(
+                schedule(epoch) / max(base_lr, 1e-12), dtype=jnp.float32
+            )
             # per-trial epoch shuffle (seed-deterministic)
             perms = np.stack(
                 [
@@ -328,7 +356,7 @@ class VmappedAdapterTrials:
                     len(slices), t_trials
                 )
                 params, opt_state, losses = epoch_jit(
-                    params, opt_state, fb, lb, keys_e
+                    params, opt_state, fb, lb, keys_e, factor
                 )
                 losses = losses[-1]
             else:
@@ -336,16 +364,9 @@ class VmappedAdapterTrials:
                     root_key, sub = jax.random.split(root_key)
                     keys = jax.random.split(sub, t_trials)
                     params, opt_state, losses = step_jit(
-                        params, opt_state, feats_e[:, lo:hi], labels_e[:, lo:hi], keys
+                        params, opt_state, feats_e[:, lo:hi], labels_e[:, lo:hi],
+                        keys, factor,
                     )
-            # epoch-level lr schedule (both groups follow the cosine shape)
-            factor = schedule(epoch + 1)
-            opt_state.inner_states["base"].inner_state.hyperparams[
-                "learning_rate"
-            ] = jnp.asarray(factor, dtype=jnp.float32)
-            opt_state.inner_states["gp"].inner_state.hyperparams[
-                "learning_rate"
-            ] = jnp.asarray(factor * gp_lr / base_lr, dtype=jnp.float32)
             if (epoch + 1) % 10 == 0 or epoch == 0:
                 print(
                     f"[vmap-trials] epoch {epoch + 1}/{max_epoch} "
@@ -388,6 +409,11 @@ class VmappedAdapterTrials:
             if trial_outdirs is not None:
                 cfg = copy.deepcopy(config)
                 cfg.seed = seed
+                for name, value in self.trial_overrides[t].items():
+                    if name == "lr":
+                        cfg.optim.lr = float(value)
+                    else:
+                        setattr(cfg.adapter, name, float(value))
                 cfg.output_dir = str(trial_outdirs[t])
                 writer = BaseTrainer(cfg, dm)
                 writer.zero_shot_metrics = result["zero_shot"]
@@ -400,5 +426,7 @@ class VmappedAdapterTrials:
 
 
 def run_seed_vmapped_adapter(config, seeds: Sequence[int], trial_outdirs=None,
-                             mesh=None):
-    return VmappedAdapterTrials(config, seeds, mesh=mesh).run(trial_outdirs)
+                             mesh=None, trial_overrides=None):
+    return VmappedAdapterTrials(
+        config, seeds, mesh=mesh, trial_overrides=trial_overrides
+    ).run(trial_outdirs)
