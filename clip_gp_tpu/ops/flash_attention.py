@@ -32,21 +32,24 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
-    q = q_ref[0]  # [N, Dh] — pre-scaled by 1/sqrt(true head dim) in the wrapper
+    """All heads of one batch element per program: the batched MXU dots
+    amortize per-program overhead (measured 28% faster than XLA attention at
+    ViT-B/16 shapes vs 4% slower for a 1-head-per-program grid)."""
+    q = q_ref[0]  # [H, N, Dh] — pre-scaled by 1/sqrt(head dim) in the wrapper
     k = k_ref[0]
     v = v_ref[0]
     scores = jax.lax.dot_general(
         q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # [N, N]
-    scores = scores + mask_ref[...]
+    )  # [H, N, N]
+    scores = scores + mask_ref[...][None]
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     weights = jnp.exp(scores)
     weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
     out = jax.lax.dot_general(
         weights.astype(v.dtype), v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
     o_ref[0] = out.astype(o_ref.dtype)
@@ -79,19 +82,16 @@ def flash_attention(
         full_mask = full_mask.at[:, n:].set(-jnp.inf)
 
     def pad(x):
-        return jnp.pad(
-            x.reshape(b * h, n, dh), ((0, 0), (0, n_pad - n), (0, dh_pad - dh))
-        )
+        return jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n), (0, dh_pad - dh)))
 
     # scale by the TRUE head dim before padding (padding changes shape[-1])
     q = q * (1.0 / (dh**0.5))
     qp, kp, vp = pad(q), pad(k), pad(v)
-    bh = b * h
-    spec = pl.BlockSpec((1, n_pad, dh_pad), lambda i: (i, 0, 0),
+    spec = pl.BlockSpec((1, h, n_pad, dh_pad), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _attention_kernel,
-        grid=(bh,),
+        grid=(b,),
         in_specs=[
             spec,
             spec,
@@ -100,18 +100,20 @@ def flash_attention(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((bh, n_pad, dh_pad), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, n_pad, dh_pad), q.dtype),
         interpret=interpret,
     )(qp, kp, vp, full_mask)
-    return out[:, :n, :dh].reshape(b, h, n, dh)
+    return out[:, :, :n, :dh]
 
 
 def use_flash() -> bool:
-    """Opt-in for now: at CLIP's sequence lengths (197/77) the XLA attention
-    path measures ~4% faster end-to-end than this kernel on v5e (2816 vs
-    2707 imgs/s ViT-B/16) — per-program overhead at a 1-per-(batch·head) grid
-    dominates at tiny tile sizes. Enable with CLIP_GP_TPU_ENABLE_FLASH=1;
-    revisit with a multi-head-per-program grid."""
+    """Opt-in (CLIP_GP_TPU_ENABLE_FLASH=1). Measured on v5e at ViT-B/16
+    shapes: the all-heads-per-program kernel beats XLA attention **in
+    isolation** (2.32 vs 3.24 ms for 128×12×256×64) but loses end-to-end
+    (2.2k vs 3.0k imgs/s) — the pallas_call boundary breaks XLA's fusion of
+    attention with the adjacent qkv/out projections and forces HBM
+    materialization of q/k/v. Winning end-to-end needs the projections fused
+    INTO the kernel (ROADMAP)."""
     if os.environ.get("CLIP_GP_TPU_DISABLE_FLASH") == "1":
         return False
     if os.environ.get("CLIP_GP_TPU_ENABLE_FLASH") != "1":
