@@ -155,12 +155,6 @@ def multi_head_attention(
     q = q.reshape(b, nq, num_heads, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, nk, num_heads, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, nk, num_heads, hd).transpose(0, 2, 1, 3)
-    if nq == nk:
-        from clip_gp_tpu.ops.flash_attention import flash_attention, use_flash
-
-        if use_flash():
-            out = flash_attention(q, k, v, mask)
-            return out.transpose(0, 2, 1, 3).reshape(b, nq, d)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(q.dtype)
     if mask is not None:
         scores = scores + mask.astype(scores.dtype)
@@ -182,10 +176,25 @@ def attention_block(
     """
     h = layer_norm(p["ln_1"], x)
     a = p["attn"]
-    qkv = h @ a["w_qkv"].astype(x.dtype) + a["b_qkv"].astype(x.dtype)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    attn = multi_head_attention(q, k, v, num_heads, mask)
-    x = x + attn @ a["w_out"].astype(x.dtype) + a["b_out"].astype(x.dtype)
+    from clip_gp_tpu.ops.flash_attention import fused_attention_block, use_flash
+
+    if use_flash():
+        # whole attention sub-block (qkv proj + MHA + out proj) as one Pallas
+        # kernel — q/k/v and the score matrix never leave VMEM
+        x = x + fused_attention_block(
+            h,
+            a["w_qkv"].astype(x.dtype),
+            a["b_qkv"].astype(x.dtype),
+            a["w_out"].astype(x.dtype),
+            a["b_out"].astype(x.dtype),
+            num_heads,
+            mask,
+        )
+    else:
+        qkv = h @ a["w_qkv"].astype(x.dtype) + a["b_qkv"].astype(x.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        attn = multi_head_attention(q, k, v, num_heads, mask)
+        x = x + attn @ a["w_out"].astype(x.dtype) + a["b_out"].astype(x.dtype)
     h = layer_norm(p["ln_2"], x)
     h = quick_gelu(linear(p["mlp"]["c_fc"], h))
     x = x + linear(p["mlp"]["c_proj"], h)
