@@ -107,13 +107,19 @@ def flash_attention(
 
 
 def use_flash() -> bool:
-    """Opt-in (CLIP_GP_TPU_ENABLE_FLASH=1). Status on v5e, ViT-B/16 shapes:
-    the fused qkv+attention+out-projection block kernel beats XLA's fused
-    equivalent in isolation (3.0 vs 3.6 ms per layer at batch 128), but
-    end-to-end encode lands inside the tunnel-measurement noise band
-    (flash 2766 vs XLA 2670–2990 imgs/s) because the per-call head-major
-    weight repack (~12×3.5 MB of transposes per forward) gives the gain
-    back. Next step (ROADMAP): precompute head-major weights at load time."""
+    """Opt-in (CLIP_GP_TPU_ENABLE_FLASH=1). Final v5e measurements at
+    ViT-B/16 shapes (dependency-chain protocol, ±0.5% repeatability):
+
+      XLA path                         2987 imgs/s   (default)
+      fused block kernel               2766 imgs/s
+      fused block, load-time repack    2760 imgs/s
+
+    The kernel wins the isolated per-layer comparison (3.0 vs 3.6 ms) but
+    loses ~7% end-to-end regardless of repacking: the per-head 768×192 qkv
+    tiles are less MXU-efficient than XLA's single 768×2304 matmul, and XLA
+    additionally fuses LN/residual into neighbors. Kept as working, parity-
+    tested infrastructure; revisit if a head-blocked matmul layout (all heads
+    in one dot, head-major output) closes the gap."""
     if os.environ.get("CLIP_GP_TPU_DISABLE_FLASH") == "1":
         return False
     if os.environ.get("CLIP_GP_TPU_ENABLE_FLASH") != "1":
@@ -180,7 +186,7 @@ def repack_head_major(w_qkv: jnp.ndarray, w_out: jnp.ndarray, num_heads: int):
     return wqkv_hm, wout_hm
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret", "prepacked"))
 def fused_attention_block(
     h: jnp.ndarray,
     w_qkv: jnp.ndarray,
@@ -190,10 +196,13 @@ def fused_attention_block(
     num_heads: int,
     mask: Optional[jnp.ndarray] = None,
     interpret: bool = False,
+    prepacked: bool = False,
 ) -> jnp.ndarray:
     """Fused qkv-projection + MHA + out-projection. h: [B, N, D] (post-LN).
 
-    Returns attn(h) @ W_out + b_out — the caller adds the residual.
+    Returns attn(h) @ W_out + b_out — the caller adds the residual. With
+    ``prepacked`` the weights are already head-major ([H,D,3·DH], [H,3·DH],
+    [H,DH,D] — see ``prepare_head_major``), skipping the per-call repack.
     """
     b, n, d = h.shape
     dh = d // num_heads
@@ -206,10 +215,15 @@ def fused_attention_block(
     if n_pad != n:
         full_mask = full_mask.at[:, n:].set(-jnp.inf)
 
-    wqkv_hm, wout_hm = repack_head_major(w_qkv, w_out, num_heads)
-    bqkv_hm = (
-        b_qkv.reshape(3, num_heads, dh).transpose(1, 0, 2).reshape(num_heads, 3 * dh)
-    )
+    if prepacked:
+        wqkv_hm, wout_hm, bqkv_hm = w_qkv, w_out, b_qkv
+    else:
+        wqkv_hm, wout_hm = repack_head_major(w_qkv, w_out, num_heads)
+        bqkv_hm = (
+            b_qkv.reshape(3, num_heads, dh)
+            .transpose(1, 0, 2)
+            .reshape(num_heads, 3 * dh)
+        )
 
     bt = 2
     b_pad = _round_up(b, bt)
@@ -236,3 +250,36 @@ def fused_attention_block(
         interpret=interpret,
     )(hp, wqkv_hm, bqkv_hm, wout_hm, full_mask)
     return out[:b, :n] + b_out.astype(out.dtype)
+
+
+def prepare_head_major(params, arch) -> None:
+    """Augment CLIP params IN PLACE with head-major attention weights so the
+    fused kernel skips its per-call repack (one-time cost at load; the extra
+    copies are ~1/3 of the attention weights). Applies to the visual (ViT)
+    and text transformer blocks; idempotent."""
+
+    def augment(transformer_params, num_heads):
+        blocks = transformer_params["blocks"]
+        attn = blocks["attn"]
+        if "w_qkv_hm" in attn:
+            return
+        w_qkv = attn["w_qkv"]  # [L, D, 3D]
+        w_out = attn["w_out"]  # [L, D, D]
+        b_qkv = attn["b_qkv"]  # [L, 3D]
+        layers, d, _ = w_qkv.shape
+        dh = d // num_heads
+        attn["w_qkv_hm"] = (
+            w_qkv.reshape(layers, d, 3, num_heads, dh)
+            .transpose(0, 3, 1, 2, 4)
+            .reshape(layers, num_heads, d, 3 * dh)
+        )
+        attn["w_out_hm"] = w_out.reshape(layers, num_heads, dh, w_out.shape[2])
+        attn["b_qkv_hm"] = (
+            b_qkv.reshape(layers, 3, num_heads, dh)
+            .transpose(0, 2, 1, 3)
+            .reshape(layers, num_heads, 3 * dh)
+        )
+
+    if arch.is_vit:
+        augment(params["visual"]["transformer"], arch.vision_heads)
+    augment(params["transformer"], arch.transformer_heads)
