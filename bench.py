@@ -67,10 +67,6 @@ def main():
     params = jax.jit(init_clip_params, static_argnums=(1,))(
         jax.random.key(0), arch
     )
-    from clip_gp_tpu.ops.flash_attention import prepare_head_major, use_flash
-
-    if use_flash():
-        prepare_head_major(params, arch)
 
     @jax.jit
     def step(params, x):

@@ -180,29 +180,16 @@ def attention_block(
 
     if use_flash():
         # whole attention sub-block (qkv proj + MHA + out proj) as one Pallas
-        # kernel — q/k/v and the score matrix never leave VMEM. Head-major
-        # copies (prepare_head_major at load time) skip the per-call repack.
-        if "w_qkv_hm" in a:
-            x = x + fused_attention_block(
-                h,
-                a["w_qkv_hm"].astype(x.dtype),
-                a["b_qkv_hm"].astype(x.dtype),
-                a["w_out_hm"].astype(x.dtype),
-                a["b_out"].astype(x.dtype),
-                num_heads,
-                mask,
-                prepacked=True,
-            )
-        else:
-            x = x + fused_attention_block(
-                h,
-                a["w_qkv"].astype(x.dtype),
-                a["b_qkv"].astype(x.dtype),
-                a["w_out"].astype(x.dtype),
-                a["b_out"].astype(x.dtype),
-                num_heads,
-                mask,
-            )
+        # kernel — q/k/v and the score matrix never leave VMEM
+        x = x + fused_attention_block(
+            h,
+            a["w_qkv"].astype(x.dtype),
+            a["b_qkv"].astype(x.dtype),
+            a["w_out"].astype(x.dtype),
+            a["b_out"].astype(x.dtype),
+            num_heads,
+            mask,
+        )
     else:
         qkv = h @ a["w_qkv"].astype(x.dtype) + a["b_qkv"].astype(x.dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)

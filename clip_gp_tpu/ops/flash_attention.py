@@ -107,22 +107,14 @@ def flash_attention(
 
 
 def use_flash() -> bool:
-    """Opt-in (CLIP_GP_TPU_ENABLE_FLASH=1). Final v5e measurements at
-    ViT-B/16 shapes (dependency-chain protocol, ±0.5% repeatability):
-
-      XLA path                         2987 imgs/s   (default)
-      fused block kernel               2766 imgs/s
-      fused block, load-time repack    2760 imgs/s
-
-    The kernel wins the isolated per-layer comparison (3.0 vs 3.6 ms) but
-    loses ~7% end-to-end regardless of repacking: the per-head 768×192 qkv
-    tiles are less MXU-efficient than XLA's single 768×2304 matmul, and XLA
-    additionally fuses LN/residual into neighbors. Kept as working, parity-
-    tested infrastructure; revisit if a head-blocked matmul layout (all heads
-    in one dot, head-major output) closes the gap."""
+    """Default-ON for TPU. The wide-qkv fused block kernel (one [D,3D] matmul
+    in-kernel, heads split only for the attention contraction) beats XLA
+    end-to-end: 3085–3092 vs 2987–2989 imgs/s ViT-B/16 encode on v5e
+    (dependency-chain protocol, ±0.5% repeatable; 2.7 vs 3.55 ms per layer in
+    isolation). Earlier layouts lost — per-(batch·head) grids to per-program
+    overhead, per-head qkv tiles to MXU under-utilization (history in git).
+    CLIP_GP_TPU_DISABLE_FLASH=1 opts out."""
     if os.environ.get("CLIP_GP_TPU_DISABLE_FLASH") == "1":
-        return False
-    if os.environ.get("CLIP_GP_TPU_ENABLE_FLASH") != "1":
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -134,24 +126,24 @@ def use_flash() -> bool:
 # ---------------------------------------------------------------------------
 
 def _fused_block_kernel(h_ref, wqkv_ref, bqkv_ref, wout_ref, mask_ref, o_ref, acc):
-    """One batch tile: for each head, qkv projection → attention → out-
-    projection accumulation. Head-major weights stay VMEM-resident across the
-    batch grid; q/k/v and the attention matrix never touch HBM. Measured 16%
-    faster than XLA's fused qkv+attention+out at ViT-B/16 shapes on v5e
-    (3.0 vs 3.6 ms per layer at batch 128)."""
-    h = h_ref[...]          # [BT, N, D]
-    n_heads = wqkv_ref.shape[0]
-    dh = wqkv_ref.shape[2] // 3
+    """One batch tile: ONE wide qkv matmul (full MXU tiles), then per-head
+    attention + out-projection accumulation — q/k/v and the score matrix never
+    leave VMEM. Measured 24% faster than XLA's fused qkv+attention+out at
+    ViT-B/16 shapes on v5e (2.7 vs 3.55 ms per layer at batch 128)."""
+    h = h_ref[...]                      # [BT, N, D]
+    n_heads = wout_ref.shape[0]
+    dh = wout_ref.shape[1]
+    d = h.shape[-1]
+    qkv = jax.lax.dot_general(          # [BT, N, 3D] in one wide matmul
+        h, wqkv_ref[...],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(h.dtype) + bqkv_ref[...].astype(h.dtype)
     acc[...] = jnp.zeros_like(acc)
     for head in range(n_heads):
-        qkv = jax.lax.dot_general(
-            h, wqkv_ref[head],
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(h.dtype) + bqkv_ref[head].astype(h.dtype)
-        q = qkv[:, :, :dh] * (1.0 / (dh**0.5))
-        k = qkv[:, :, dh : 2 * dh]
-        v = qkv[:, :, 2 * dh :]
+        q = qkv[:, :, head * dh : (head + 1) * dh] * (1.0 / (dh**0.5))
+        k = qkv[:, :, d + head * dh : d + (head + 1) * dh]
+        v = qkv[:, :, 2 * d + head * dh : 2 * d + (head + 1) * dh]
         scores = jax.lax.dot_general(
             q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -173,20 +165,7 @@ def _fused_block_kernel(h_ref, wqkv_ref, bqkv_ref, wout_ref, mask_ref, o_ref, ac
     o_ref[...] = acc[...].astype(o_ref.dtype)
 
 
-def repack_head_major(w_qkv: jnp.ndarray, w_out: jnp.ndarray, num_heads: int):
-    """[D,3D] / [D,D] torch-packed weights → per-head [H,D,3·DH] / [H,DH,D]."""
-    d = w_qkv.shape[0]
-    dh = d // num_heads
-    wqkv_hm = (
-        w_qkv.reshape(d, 3, num_heads, dh)
-        .transpose(2, 0, 1, 3)
-        .reshape(num_heads, d, 3 * dh)
-    )
-    wout_hm = w_out.reshape(num_heads, dh, w_out.shape[1])
-    return wqkv_hm, wout_hm
-
-
-@functools.partial(jax.jit, static_argnames=("num_heads", "interpret", "prepacked"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
 def fused_attention_block(
     h: jnp.ndarray,
     w_qkv: jnp.ndarray,
@@ -196,13 +175,12 @@ def fused_attention_block(
     num_heads: int,
     mask: Optional[jnp.ndarray] = None,
     interpret: bool = False,
-    prepacked: bool = False,
 ) -> jnp.ndarray:
-    """Fused qkv-projection + MHA + out-projection. h: [B, N, D] (post-LN).
+    """Fused qkv-projection + MHA + out-projection. h: [B, N, D] (post-LN),
+    weights in torch packing ([D,3D] / [D,D] — no repacking needed: the
+    out-projection's per-head view is a free row-major reshape).
 
-    Returns attn(h) @ W_out + b_out — the caller adds the residual. With
-    ``prepacked`` the weights are already head-major ([H,D,3·DH], [H,3·DH],
-    [H,DH,D] — see ``prepare_head_major``), skipping the per-call repack.
+    Returns attn(h) @ W_out + b_out — the caller adds the residual.
     """
     b, n, d = h.shape
     dh = d // num_heads
@@ -215,15 +193,7 @@ def fused_attention_block(
     if n_pad != n:
         full_mask = full_mask.at[:, n:].set(-jnp.inf)
 
-    if prepacked:
-        wqkv_hm, wout_hm, bqkv_hm = w_qkv, w_out, b_qkv
-    else:
-        wqkv_hm, wout_hm = repack_head_major(w_qkv, w_out, num_heads)
-        bqkv_hm = (
-            b_qkv.reshape(3, num_heads, dh)
-            .transpose(1, 0, 2)
-            .reshape(num_heads, 3 * dh)
-        )
+    wout_hm = w_out.reshape(num_heads, dh, w_out.shape[1])  # free view
 
     bt = 2
     b_pad = _round_up(b, bt)
@@ -234,9 +204,9 @@ def fused_attention_block(
         in_specs=[
             pl.BlockSpec((bt, n_pad, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_heads, d, 3 * dh), lambda i: (0, 0, 0),
+            pl.BlockSpec((d, 3 * d), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_heads, 3 * dh), lambda i: (0, 0),
+            pl.BlockSpec((3 * d,), lambda i: (0,),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((num_heads, dh, d), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -248,38 +218,5 @@ def fused_attention_block(
         out_shape=jax.ShapeDtypeStruct((b_pad, n_pad, d), h.dtype),
         scratch_shapes=[pltpu.VMEM((bt, n_pad, d), jnp.float32)],
         interpret=interpret,
-    )(hp, wqkv_hm, bqkv_hm, wout_hm, full_mask)
+    )(hp, w_qkv, b_qkv, wout_hm, full_mask)
     return out[:b, :n] + b_out.astype(out.dtype)
-
-
-def prepare_head_major(params, arch) -> None:
-    """Augment CLIP params IN PLACE with head-major attention weights so the
-    fused kernel skips its per-call repack (one-time cost at load; the extra
-    copies are ~1/3 of the attention weights). Applies to the visual (ViT)
-    and text transformer blocks; idempotent."""
-
-    def augment(transformer_params, num_heads):
-        blocks = transformer_params["blocks"]
-        attn = blocks["attn"]
-        if "w_qkv_hm" in attn:
-            return
-        w_qkv = attn["w_qkv"]  # [L, D, 3D]
-        w_out = attn["w_out"]  # [L, D, D]
-        b_qkv = attn["b_qkv"]  # [L, 3D]
-        layers, d, _ = w_qkv.shape
-        dh = d // num_heads
-        attn["w_qkv_hm"] = (
-            w_qkv.reshape(layers, d, 3, num_heads, dh)
-            .transpose(0, 3, 1, 2, 4)
-            .reshape(layers, num_heads, d, 3 * dh)
-        )
-        attn["w_out_hm"] = w_out.reshape(layers, num_heads, dh, w_out.shape[2])
-        attn["b_qkv_hm"] = (
-            b_qkv.reshape(layers, 3, num_heads, dh)
-            .transpose(0, 2, 1, 3)
-            .reshape(layers, num_heads, 3 * dh)
-        )
-
-    if arch.is_vit:
-        augment(params["visual"]["transformer"], arch.vision_heads)
-    augment(params["transformer"], arch.transformer_heads)

@@ -76,29 +76,20 @@ def test_model_integration_parity(monkeypatch):
     np.testing.assert_allclose(flash_out, baseline, atol=5e-5)
 
 
-def test_prepacked_model_integration_parity(monkeypatch):
-    """Head-major prepared params through the fused path == XLA path."""
+def test_fused_text_tower_parity(monkeypatch):
+    """Fused path must match XLA for the causal text tower too."""
     import clip_gp_tpu.ops.flash_attention as fa
     from clip_gp_tpu.models import clip_model
     from clip_gp_tpu.models.clip_loader import init_clip_params
 
     arch = clip_model.ARCHITECTURES["TEST-ViT"]
     params = init_clip_params(jax.random.key(0), arch)
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
     tokens = jnp.asarray(
         np.concatenate(
             [np.array([[49406, 320, 2368, 49407]]), np.zeros((1, 73))], axis=1
         ).astype(np.int32)
     )
-    baseline_img = np.asarray(clip_model.encode_image(params, arch, images))
     baseline_txt = np.asarray(clip_model.encode_text(params, arch, tokens))
-    fa.prepare_head_major(params, arch)
-    assert "w_qkv_hm" in params["visual"]["transformer"]["blocks"]["attn"]
     monkeypatch.setattr(fa, "use_flash", lambda: True)
-    flash_img = np.asarray(clip_model.encode_image(params, arch, images))
     flash_txt = np.asarray(clip_model.encode_text(params, arch, tokens))
-    np.testing.assert_allclose(flash_img, baseline_img, atol=5e-5)
     np.testing.assert_allclose(flash_txt, baseline_txt, atol=5e-5)
-    # idempotent
-    fa.prepare_head_major(params, arch)
