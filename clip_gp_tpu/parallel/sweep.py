@@ -191,80 +191,135 @@ def run_trials_inprocess(trials: List[Trial]) -> List[Dict[str, Any]]:
     return results
 
 
-def run_trials_vmapped(trials: List[Trial]) -> List[Dict[str, Any]]:
-    """Group trials that differ only by seed and train each group as one
-    vmapped program (Adapter-method experiments). Non-groupable trials fall
-    back to in-process sequential execution."""
-    from clip_gp_tpu.core.config import Config, merge_config_from_file, merge_from_opts
-    from clip_gp_tpu.parallel.trial_vmap import (
-        VmappedAdapterTrials,
-        run_seed_vmapped_adapter,
-    )
-
-    import clip_gp_tpu.data.datasets  # noqa: F401
-    import clip_gp_tpu.methods  # noqa: F401
-
-    # grid keys whose values can join the vmap axis as per-trial scalars
-    VMAPPABLE_KEYS = {
+# grid keys whose values can join the vmap axis as per-trial scalars, per
+# method (values are the trial_vmap hparam names = config attribute names)
+VMAPPABLE_KEYS: Dict[str, Dict[str, str]] = {
+    "Adapter": {
         "TRAINER.ADAPTER.GP_BETA": "gp_beta",
         "TRAINER.ADAPTER.GP_LR": "gp_lr",
         "OPTIM.LR": "lr",
         "TRAINER.ADAPTER.L2_LAMBDA": "l2_lambda",
-    }
+    },
+    "CLIP-Adapter": {
+        "TRAINER.ADAPTER.CLIP_ADAPTER_LR": "clip_adapter_lr",
+        "TRAINER.ADAPTER.CLIP_ADAPTER_RATIO": "clip_adapter_ratio",
+    },
+    "TaskRes": {
+        "TRAINER.ADAPTER.TASKRES_LR": "taskres_lr",
+        "TRAINER.ADAPTER.TASKRES_RESIDUAL_SCALE": "taskres_residual_scale",
+    },
+    "Tip-Adapter": {
+        "TRAINER.ADAPTER.TIP_ADAPTER_LR": "tip_adapter_lr",
+        "TRAINER.ADAPTER.TIP_ADAPTER_INIT_BETA": "tip_adapter_init_beta",
+        "TRAINER.ADAPTER.TIP_ADAPTER_INIT_ALPHA": "tip_adapter_init_alpha",
+    },
+}
+
+
+def _vmap_supported(config, group_size: int) -> bool:
+    """Can this trial group train as one vmapped program?
+
+    Pre-stage variants (GP / template-weight stages of CLIP-Adapter, TaskRes,
+    Tip-Adapter) train per-trial GPs on per-seed features and stay in-process.
+    """
+    a = config.adapter
+    name = str(config.trainer_name)
+    if group_size < 2:
+        return False
+    if name == "Adapter":
+        return (
+            not a.freeze_visual_proj
+            and not a.use_linear_template_weighting
+            and not a.shared_template_weights
+            and (a.use_gp or a.train_template_weights)
+        )
+    if name == "CLIP-Adapter":
+        return not a.use_gp and not a.clip_adapter_use_template_weight_training
+    if name == "TaskRes":
+        return not a.use_gp and not a.taskres_use_template_weight_training
+    if name == "Tip-Adapter":
+        return (
+            bool(a.tip_adapter_trainable)  # only the trainable -F variant
+            and not a.use_gp
+            and not a.tip_adapter_use_template_weight_training
+        )
+    return False
+
+
+def run_trials_vmapped(
+    trials: List[Trial], strict: bool = False
+) -> List[Dict[str, Any]]:
+    """Group trials that differ only by seed (or vmappable scalar grid cells)
+    and train each group as one vmapped program. Supported methods: Adapter,
+    CLIP-Adapter, TaskRes, Tip-Adapter-F. Non-groupable trials fall back to
+    in-process sequential execution; with ``strict`` a vmapped-group failure
+    raises instead of silently degrading the sweep to the slow path."""
+    from clip_gp_tpu.core.config import Config, merge_config_from_file, merge_from_opts
+    from clip_gp_tpu.parallel.trial_vmap import run_vmapped_trials
+
+    import clip_gp_tpu.data.datasets  # noqa: F401
+    import clip_gp_tpu.methods  # noqa: F401
 
     groups: Dict[tuple, List[Trial]] = {}
+    configs: Dict[tuple, Any] = {}
     for t in trials:
-        if all(k in VMAPPABLE_KEYS for k in t.grid_overrides):
+        config = Config()
+        merge_config_from_file(config, t.dataset_cfg)
+        merge_config_from_file(config, t.config_file)
+        for k, v in sorted(t.grid_overrides.items()):
+            merge_from_opts(config, [k, str(v)])
+        config.dataset.num_shots = t.shots
+        config.dataset.name = DATASET_NAME_MAP.get(t.dataset.lower(), t.dataset)
+        if t.root_override:
+            config.dataset.root = t.root_override
+        vmappable = VMAPPABLE_KEYS.get(str(config.trainer_name), {})
+        if all(k in vmappable for k in t.grid_overrides):
             # seeds AND scalar grid cells share one vmapped program
-            key = (t.dataset, t.shots)
+            key = (t.dataset, t.shots, str(config.trainer_name))
         else:
-            key = (t.dataset, t.shots, t.signature())
+            key = (t.dataset, t.shots, str(config.trainer_name), t.signature())
         groups.setdefault(key, []).append(t)
+        configs.setdefault(key, config)
 
     results: List[Dict[str, Any]] = []
     leftovers: List[Trial] = []
+    n_fallback_groups = 0
     for key, group in groups.items():
-        t0 = group[0]
-        config = Config()
-        merge_config_from_file(config, t0.dataset_cfg)
-        merge_config_from_file(config, t0.config_file)
-        for k, v in sorted(t0.grid_overrides.items()):
-            merge_from_opts(config, [k, str(v)])
-        config.dataset.num_shots = t0.shots
-        config.dataset.name = DATASET_NAME_MAP.get(t0.dataset.lower(), t0.dataset)
-        if t0.root_override:
-            config.dataset.root = t0.root_override
-        supported = (
-            config.trainer_name == "Adapter"
-            and len(group) >= 2
-            and not config.adapter.freeze_visual_proj
-            and not config.adapter.use_linear_template_weighting
-            and not config.adapter.shared_template_weights
-            and (config.adapter.use_gp or config.adapter.train_template_weights)
-        )
-        if not supported:
+        config = configs[key]
+        method = str(config.trainer_name)
+        if not _vmap_supported(config, len(group)):
             # head variants the vmapped runner doesn't model train in-process
             leftovers.extend(group)
             continue
+        vmappable = VMAPPABLE_KEYS[method]
         seeds = [t.seed for t in group]
         overrides = [
-            {VMAPPABLE_KEYS[k]: v for k, v in t.grid_overrides.items()
-             if k in VMAPPABLE_KEYS}
+            {vmappable[k]: v for k, v in t.grid_overrides.items()
+             if k in vmappable}
             for t in group
         ]
         outdirs = [t.format_outdir() for t in group]
         for d in outdirs:
             d.mkdir(parents=True, exist_ok=True)
         try:
-            run_seed_vmapped_adapter(
-                config, seeds, outdirs, trial_overrides=overrides
+            run_vmapped_trials(
+                config, seeds, outdirs, trial_overrides=overrides,
+                method=method,
             )
             rc = 0
         except Exception as e:
             import traceback
 
             traceback.print_exc()
-            print(f"[ERROR] vmapped group failed ({e}); falling back")
+            if strict:
+                raise RuntimeError(
+                    f"vmapped group {key} failed under --strict-vmap"
+                ) from e
+            n_fallback_groups += 1
+            print(
+                f"[ERROR] vmapped group {key} failed ({e}); "
+                "falling back to in-process (use --strict-vmap to error)"
+            )
             leftovers.extend(group)
             continue
         for t in group:
@@ -281,10 +336,19 @@ def run_trials_vmapped(trials: List[Trial]) -> List[Dict[str, Any]]:
                 }
             )
             print(
-                f"[vmap] OK dataset={t.dataset} shots={t.shots} "
-                f"seed={t.seed} config={t.signature()}"
+                f"[vmap] OK method={method} dataset={t.dataset} "
+                f"shots={t.shots} seed={t.seed} config={t.signature()}"
             )
+    if n_fallback_groups:
+        print(
+            f"[vmap] WARNING: {n_fallback_groups} group(s) fell back to the "
+            "in-process backend after vmapped failures"
+        )
     if leftovers:
+        print(
+            f"[vmap] {len(leftovers)} trial(s) not vmap-groupable; "
+            "running in-process"
+        )
         results.extend(run_trials_inprocess(leftovers))
     return results
 
@@ -370,6 +434,11 @@ def main(argv=None):
                     default="inprocess")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--no-skip-logged", action="store_true")
+    ap.add_argument(
+        "--strict-vmap", action="store_true",
+        help="error out if a vmapped trial group fails instead of silently "
+             "falling back to the in-process backend",
+    )
     args = ap.parse_args(argv)
 
     t0 = time.time()
@@ -386,7 +455,7 @@ def main(argv=None):
     todo = pending_trials(trials, skip_logged=not args.no_skip_logged)
     devices = [d.strip() for d in (args.devices or "").split(",") if d.strip()]
     if args.backend == "vmap":
-        run_trials_vmapped(todo)
+        run_trials_vmapped(todo, strict=args.strict_vmap)
     elif args.backend == "subprocess" or devices:
         run_trials_subprocess(todo, devices, args.jobs_per_device, args.verbose)
     else:

@@ -1,31 +1,46 @@
-"""Vmapped multi-seed trial training — the TPU-native replacement for the
+"""Vmapped multi-trial training — the TPU-native replacement for the
 reference's process-per-GPU trial scheduling (ref: utils/hparam_search.py:201-281,
 SURVEY §2.1).
 
-The canonical sweep axis is seeds {1..5}: identical config, different few-shot
-splits and RNG. Per trial, all trainable state is tiny (a [D,D] projection +
-GP variational parameters), so trials become a leading ``vmap`` axis:
+The canonical sweep axes are seeds {1..5} and scalar hparam grid cells:
+identical program, different few-shot splits / RNG / loss scalars. Per trial,
+all trainable state is tiny (a [D,D] projection, an MLP bottleneck, a [K,D]
+residual, an [N,D] cache adapter, GP variational parameters), so trials become
+a leading ``vmap`` axis:
 
 1. every seed's few-shot split is sampled on host (reference-compatible
-   pickle caches), and the **union** of selected images is encoded once —
-   the frozen tower runs once for all seeds instead of once per seed;
-2. per-seed features are gathers from the union  [T, N, D];
+   pickle caches), and the **union** of selected images is encoded once per
+   pass — the frozen tower runs once for all trials instead of once per trial;
+2. per-trial features are gathers from the union  [T, N, D];
 3. one jitted, vmapped train step advances all T trials per batch — the tiny
    per-trial matmuls batch into MXU-sized work;
-4. eval MC-averages logits per trial on the shared test features, and each
-   trial writes its own reference-schema metrics.json.
+4. eval MC-averages / scores logits per trial on the shared test features,
+   and each trial writes its own reference-schema metrics.json.
 
 On a multi-chip mesh the same [T, ...] arrays shard over a ``trial`` axis
 (pure data placement — trials never communicate), which is the whole
 multi-chip story for this workload.
 
-Supports the Adapter method (baseline trainable-weights and GP variants) —
-the method whose sweeps dominate the reference experiment matrix.
+Methods are pluggable ``MethodSpec`` objects; supported heads:
+
+- **Adapter** (baseline trainable-weights and GP variants;
+  ref: trainers/adapter.py) — feature-cached, one extraction total.
+- **CLIP-Adapter** (bottleneck MLP; ref: trainers/clip_adapter.py) — the
+  reference re-encodes augmented few-shot images each epoch, so the runner
+  re-encodes the *union* per epoch (one tower pass shared by all trials).
+- **TaskRes** (residual on base text features; ref: trainers/taskres.py).
+- **Tip-Adapter-F** (trainable cache keys with best-on-test state keeping and
+  a per-trial (β, α) val grid search; ref: trainers/tip_adapter.py:225-327).
+
+GP/template-weight *pre-stage* variants of the latter three train per-trial
+GPs on per-seed features; those stay on the in-process backend (sweep.py
+groups them out before calling here).
 """
 
 from __future__ import annotations
 
 import copy
+import math
 import time
 from typing import Dict, List, Optional, Sequence
 
@@ -41,44 +56,588 @@ from clip_gp_tpu.ops.metrics import (
     compute_accuracy,
     compute_aece_with_bins,
     compute_ece_with_bins,
+    compute_macro_f1,
 )
-from clip_gp_tpu.runtime.optim import build_lr_schedule
+from clip_gp_tpu.runtime.optim import _core_transform, build_lr_schedule
 
 
 def _stack(trees):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
 
 
-class VmappedAdapterTrials:
-    """Train the Adapter method for several seeds simultaneously.
+class _SchedView:
+    """Config view over ``config.optim`` with per-head lr / epochs / optimizer
+    name (the vmapped analog of the in-process ``_OverrideLr`` + ``_TmpOptim``
+    shims; ref: trainers/clip_adapter.py:152-167)."""
+
+    def __init__(self, optim, lr: float, max_epoch: int, name: Optional[str] = None):
+        object.__setattr__(self, "_optim", optim)
+        self.lr = float(lr)
+        self.max_epoch = int(max_epoch)
+        if name is not None:
+            self.name = str(name)
+
+    def __getattr__(self, item):
+        return getattr(object.__getattribute__(self, "_optim"), item)
+
+
+# ======================================================================
+# Method specs
+# ======================================================================
+
+
+class MethodSpec:
+    """Per-method hooks the generic vmapped runner composes.
+
+    A spec sees the runner (``self.r``) for config / text embeddings / shared
+    buffers. All ``loss`` / ``eval_logits`` hooks are traced *per trial* —
+    they receive scalar hparams and single-trial pytrees and are vmapped by
+    the runner. ``shared`` carries large arrays that must NOT be closed over
+    (CLAUDE.md: closure leaves become HLO constants)."""
+
+    name = ""
+    # per-trial scalar hyperparameters that may join the vmap axis; names are
+    # config attribute names (adapter.* unless noted)
+    supported_hparams: tuple = ()
+    reencode_per_epoch = False  # re-encode augmented union each epoch
+    normalize_features = False  # L2-normalize features at extraction
+    needs_val = False  # trial-gathered val features (Tip grid search)
+    extended_metrics = True  # BaseTrainer.test schema (accuracy+macro_f1)
+
+    def __init__(self, runner):
+        self.r = runner
+
+    # -- hyperparameter plumbing ---------------------------------------
+    def hp(self, name, default):
+        return jnp.asarray(
+            [float(o.get(name, default)) for o in self.r.trial_overrides],
+            dtype=jnp.float32,
+        )
+
+    def lr_vectors(self) -> Dict[str, jnp.ndarray]:
+        """group name → per-trial lr [T]."""
+        raise NotImplementedError
+
+    def lr_group(self, param_name: str) -> str:
+        return "lr"
+
+    def hp_tree(self) -> Dict[str, jnp.ndarray]:
+        """Loss scalars, per-trial [T] (vmapped into scalars)."""
+        return {}
+
+    # -- optimizer / schedule ------------------------------------------
+    def optimizer_tx(self):
+        """Lr-free optax transform (per-trial lrs scale updates afterwards)."""
+        raise NotImplementedError
+
+    def lr_factor(self, epoch: int, batch: int, n_batches: int) -> float:
+        """Schedule shape multiplier on the per-trial lrs (1.0 at epoch 0)."""
+        return 1.0
+
+    def max_epoch(self) -> int:
+        raise NotImplementedError
+
+    # -- state ----------------------------------------------------------
+    def init_params(self, seed: int) -> Dict:
+        raise NotImplementedError
+
+    def warm_start(self, params, feats_train, labels_train):
+        return params
+
+    def trial_consts(self, feats_train, labels_train) -> Dict:
+        """Per-trial non-trainable state [T, ...] (vmapped with params)."""
+        return {"_": jnp.zeros((self.r.t_trials,))}
+
+    # -- compute ----------------------------------------------------------
+    def loss(self, p, c, feats, labels, key, hps, shared):
+        raise NotImplementedError
+
+    def eval_logits(self, p, c, key, shared):
+        raise NotImplementedError
+
+    def zero_shot_logits(self, eval_fn, zs_params, consts, shared) -> np.ndarray:
+        """[T, Ntest, K]; default = eval with pre-warm-start params."""
+        t = self.r.t_trials
+        keys = jax.random.split(jax.random.key(0), t)
+        return np.asarray(eval_fn(zs_params, consts, keys, shared))
+
+    # -- lifecycle hooks --------------------------------------------------
+    def on_epoch_end(self, params, consts, shared, epoch: int) -> None:
+        pass
+
+    def finalize(self, params, consts, shared, val_feats, val_labels):
+        """Post-training adjustment; returns (params, consts) used at eval."""
+        return params, consts
+
+
+class AdapterSpec(MethodSpec):
+    """Flagship Adapter: visual_proj + {GP weighter | template logits}
+    (ref: trainers/adapter.py:145-535)."""
+
+    name = "Adapter"
+    supported_hparams = ("gp_beta", "gp_lr", "lr", "l2_lambda")
+
+    def __init__(self, runner):
+        super().__init__(runner)
+        config = runner.config
+        self.use_gp = bool(config.adapter.use_gp)
+        self.s_train = max(1, int(config.adapter.gp_num_mc_samples_train or 1))
+        self.s_eval = max(1, int(config.adapter.gp_num_mc_samples_eval or 1))
+        self.shots = int(config.dataset.num_shots)
+        self.gp_static = None
+        self._sched = build_lr_schedule(config.optim)
+        self._base_lr = float(config.optim.lr)
+        if self.use_gp:
+            self.gp_static, self.gp_params0, gp_buffers = svgp.create_gp(
+                runner.text_embeddings, config
+            )
+            runner.shared["gp_buffers"] = gp_buffers
+
+    def lr_vectors(self):
+        return {
+            "lr": self.hp("lr", self.r.config.optim.lr),
+            "gp": self.hp("gp_lr", self.r.config.adapter.gp_lr),
+        }
+
+    def lr_group(self, param_name):
+        return "gp" if param_name == "gp" else "lr"
+
+    def hp_tree(self):
+        return {
+            "gp_beta": self.hp("gp_beta", self.r.config.adapter.gp_beta),
+            "l2_lambda": self.hp("l2_lambda", self.r.config.adapter.l2_lambda),
+        }
+
+    def optimizer_tx(self):
+        return _core_transform(self.r.config.optim)
+
+    def lr_factor(self, epoch, batch, n_batches):
+        return self._sched(epoch) / max(self._base_lr, 1e-12)
+
+    def max_epoch(self):
+        # BaseTrainer quirk preserved: every trainer's epoch count comes from
+        # clip_adapter_epochs (ref: utils/trainer.py:256)
+        return int(self.r.config.adapter.clip_adapter_epochs)
+
+    def init_params(self, seed):
+        d = self.r.d
+        params: Dict = {"visual_proj": jnp.eye(d)}
+        if self.use_gp:
+            params["gp"] = self.gp_params0
+        else:
+            params["template_logits"] = jnp.zeros((self.r.k, self.r.m))
+        return params
+
+    def warm_start(self, params, feats_train, labels_train):
+        tw = []
+        for t in range(self.r.t_trials):
+            tw.append(
+                common.get_template_weights(
+                    self.r.config,
+                    self.r.text_embeddings,
+                    feats_train[t],
+                    labels_train[t],
+                    self.r.logit_scale,
+                )
+            )
+        tw = jnp.stack(tw)  # [T,K,M]
+        if self.use_gp:
+            params["gp"] = jax.vmap(svgp.initialize_from_weights)(params["gp"], tw)
+        else:
+            params["template_logits"] = jnp.log(jnp.clip(tw, 1e-12, None))
+        return params
+
+    def loss(self, p, c, feats, labels, key, hps, shared):
+        scale = self.r.logit_scale
+        projected = feats @ p["visual_proj"].T
+        f_norm = common.l2_normalize(projected)
+        if self.use_gp:
+            protos, _ = svgp.sample_prototypes(
+                self.gp_static, p["gp"], shared["gp_buffers"], key, self.s_train
+            )
+            ce = common.mc_cross_entropy(f_norm, protos, labels, scale)
+            total = ce + hps["gp_beta"] * svgp.kl_divergence(p["gp"]).sum()
+        else:
+            w = jax.nn.softmax(p["template_logits"], axis=-1)
+            protos = jnp.einsum("km,kmd->kd", w, shared["text_embeddings"])
+            total = common.cross_entropy(
+                common.cosine_logits(projected, protos, scale), labels
+            )
+        if self.shots > 0:
+            wp = p["visual_proj"]
+            d = self.r.d
+            total = total + ((wp - jnp.eye(d)) ** 2).sum() * (
+                hps["l2_lambda"] / self.shots
+            )
+        return total
+
+    def eval_logits(self, p, c, key, shared):
+        if self.use_gp:
+            protos, _ = svgp.sample_prototypes(
+                self.gp_static, p["gp"], shared["gp_buffers"], key, self.s_eval
+            )
+        else:
+            w = jax.nn.softmax(p["template_logits"], axis=-1)
+            protos = jnp.einsum("km,kmd->kd", w, shared["text_embeddings"])
+        projected = shared["feats_test"] @ p["visual_proj"].T
+        return common.cosine_logits(projected, protos, self.r.logit_scale)
+
+
+class ClipAdapterSpec(MethodSpec):
+    """CLIP-Adapter bottleneck MLP, ratio-blended
+    (ref: trainers/clip_adapter.py:16-113). Non-pre-stage variant: the
+    classifier is the fixed zero-shot clip_weights [D,K]."""
+
+    name = "CLIP-Adapter"
+    supported_hparams = ("clip_adapter_lr", "clip_adapter_ratio")
+    reencode_per_epoch = True
+
+    def __init__(self, runner):
+        super().__init__(runner)
+        a = runner.config.adapter
+        self._lr_default = float(a.clip_adapter_lr)
+        self._epochs = int(a.clip_adapter_epochs)
+        view = _SchedView(
+            runner.config.optim, self._lr_default, self._epochs,
+            name=a.clip_adapter_optimizer,
+        )
+        self._view = view
+        self._sched = build_lr_schedule(view)
+        runner.shared["clip_weights"] = common.zero_shot_classifier(
+            runner.text_embeddings
+        )
+
+    def lr_vectors(self):
+        return {"lr": self.hp("clip_adapter_lr", self._lr_default)}
+
+    def hp_tree(self):
+        return {
+            "ratio": self.hp(
+                "clip_adapter_ratio", self.r.config.adapter.clip_adapter_ratio
+            )
+        }
+
+    def optimizer_tx(self):
+        return _core_transform(self._view)
+
+    def lr_factor(self, epoch, batch, n_batches):
+        return self._sched(epoch) / max(self._lr_default, 1e-12)
+
+    def max_epoch(self):
+        return self._epochs
+
+    def init_params(self, seed):
+        d = self.r.d
+        reduction = max(1, int(self.r.config.adapter.clip_adapter_reduction))
+        hidden = max(1, d // reduction)
+        k1, k2 = jax.random.split(jax.random.key(int(seed)))
+        # torch Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+        return {
+            "fc1": jax.random.uniform(
+                k1, (d, hidden), minval=-1 / np.sqrt(d), maxval=1 / np.sqrt(d)
+            ),
+            "fc2": jax.random.uniform(
+                k2, (hidden, d),
+                minval=-1 / np.sqrt(hidden), maxval=1 / np.sqrt(hidden),
+            ),
+        }
+
+    def _logits(self, p, feats, ratio, shared):
+        adapted = jax.nn.relu(jax.nn.relu(feats @ p["fc1"]) @ p["fc2"])
+        blended = ratio * adapted + (1.0 - ratio) * feats
+        f = common.l2_normalize(blended)
+        w = shared["clip_weights"]
+        w = w / jnp.linalg.norm(w, axis=0, keepdims=True)
+        return self.r.logit_scale * f @ w
+
+    def loss(self, p, c, feats, labels, key, hps, shared):
+        return common.cross_entropy(
+            self._logits(p, feats, hps["ratio"], shared), labels
+        )
+
+    def eval_logits(self, p, c, key, shared):
+        return self._logits(p, shared["feats_test"], c["ratio"], shared)
+
+    def trial_consts(self, feats_train, labels_train):
+        # eval needs the per-trial ratio (hps only reach the loss)
+        return {"ratio": self.hp(
+            "clip_adapter_ratio", self.r.config.adapter.clip_adapter_ratio
+        )}
+
+
+class TaskResSpec(MethodSpec):
+    """TaskRes residual on frozen base text features
+    (ref: trainers/taskres.py:35-99). Non-pre-stage variant."""
+
+    name = "TaskRes"
+    supported_hparams = ("taskres_lr", "taskres_residual_scale")
+    reencode_per_epoch = True
+
+    def __init__(self, runner):
+        super().__init__(runner)
+        a = runner.config.adapter
+        self._lr_default = float(a.taskres_lr)
+        self._epochs = int(a.taskres_epochs)
+        view = _SchedView(
+            runner.config.optim, self._lr_default, self._epochs,
+            name=a.taskres_optimizer,
+        )
+        self._view = view
+        self._sched = build_lr_schedule(view)
+        # base text features: plain mean over templates (ref: taskres.py:72-94)
+        runner.shared["base_text"] = runner.text_embeddings.mean(axis=1)
+        runner.shared["zs_weights"] = common.zero_shot_classifier(
+            runner.text_embeddings
+        )
+
+    def lr_vectors(self):
+        return {"lr": self.hp("taskres_lr", self._lr_default)}
+
+    def hp_tree(self):
+        return {
+            "alpha": self.hp(
+                "taskres_residual_scale",
+                self.r.config.adapter.taskres_residual_scale,
+            )
+        }
+
+    def optimizer_tx(self):
+        return _core_transform(self._view)
+
+    def lr_factor(self, epoch, batch, n_batches):
+        return self._sched(epoch) / max(self._lr_default, 1e-12)
+
+    def max_epoch(self):
+        return self._epochs
+
+    def init_params(self, seed):
+        return {"residuals": jnp.zeros((self.r.k, self.r.d))}
+
+    def trial_consts(self, feats_train, labels_train):
+        return {"alpha": self.hp(
+            "taskres_residual_scale",
+            self.r.config.adapter.taskres_residual_scale,
+        )}
+
+    def loss(self, p, c, feats, labels, key, hps, shared):
+        text = shared["base_text"] + hps["alpha"] * p["residuals"]
+        logits = common.cosine_logits(feats, text, self.r.logit_scale)
+        return common.cross_entropy(logits, labels)
+
+    def eval_logits(self, p, c, key, shared):
+        text = shared["base_text"] + c["alpha"] * p["residuals"]
+        return common.cosine_logits(
+            shared["feats_test"], text, self.r.logit_scale
+        )
+
+    def zero_shot_logits(self, eval_fn, zs_params, consts, shared):
+        # reference zero-shot: standard zero-shot classifier at scale 100
+        # (ref: taskres.py train(): _compute_zeroshot_accuracy)
+        f = common.l2_normalize(shared["feats_test"])
+        logits = np.asarray(100.0 * f @ shared["zs_weights"])
+        return np.broadcast_to(
+            logits[None], (self.r.t_trials,) + logits.shape
+        )
+
+
+class TipAdapterFSpec(MethodSpec):
+    """Tip-Adapter-F trainable cache keys with best-on-test state keeping and
+    per-trial (β, α) val grid search (ref: trainers/tip_adapter.py:225-327).
+
+    Cache keys/vals are per-trial (each seed samples its own few-shot set), so
+    they ride the trial axis as non-trainable consts."""
+
+    name = "Tip-Adapter"
+    supported_hparams = (
+        "tip_adapter_lr", "tip_adapter_init_beta", "tip_adapter_init_alpha"
+    )
+    reencode_per_epoch = True
+    normalize_features = True
+    needs_val = True
+    extended_metrics = False  # in-process Tip writes the compact metrics dict
+
+    BETAS = (1.0, 2.0, 5.0)
+    ALPHAS = (1.0, 5.0, 10.0, 20.0, 50.0)
+
+    def __init__(self, runner):
+        super().__init__(runner)
+        a = runner.config.adapter
+        self._lr_default = float(a.tip_adapter_lr)
+        self._epochs = int(a.tip_adapter_epochs)
+        self._eps = float(a.tip_adapter_eps) or 1e-8
+        runner.shared["clip_weights"] = common.zero_shot_classifier(
+            runner.text_embeddings
+        )
+        self._best_acc: Optional[np.ndarray] = None
+        self._best_w: Optional[np.ndarray] = None
+        self._eval_jit = None
+
+    def lr_vectors(self):
+        return {"lr": self.hp("tip_adapter_lr", self._lr_default)}
+
+    def optimizer_tx(self):
+        import optax
+
+        # in-process uses optax.adamw(sched, eps=eps) with its default
+        # weight decay (ref analog: trainers/tip_adapter.py:213-215)
+        return optax.chain(
+            optax.scale_by_adam(eps=self._eps),
+            optax.add_decayed_weights(1e-4),
+        )
+
+    def lr_factor(self, epoch, batch, n_batches):
+        # per-STEP cosine decay over epochs*n_batches (optax semantics)
+        total = max(1, self._epochs * n_batches)
+        step = min(epoch * n_batches + batch, total)
+        return 0.5 * (1.0 + math.cos(math.pi * step / total))
+
+    def max_epoch(self):
+        return self._epochs
+
+    def init_params(self, seed):
+        # placeholder; the real init copies the per-trial cache keys
+        return {"adapter_w": jnp.zeros((1,))}
+
+    def trial_consts(self, feats_train, labels_train):
+        cache_vals = jax.nn.one_hot(labels_train, self.r.k)  # [T,N,K]
+        return {
+            "cache_vals": cache_vals,
+            "beta": self.hp(
+                "tip_adapter_init_beta",
+                self.r.config.adapter.tip_adapter_init_beta,
+            ),
+            "alpha": self.hp(
+                "tip_adapter_init_alpha",
+                self.r.config.adapter.tip_adapter_init_alpha,
+            ),
+        }
+
+    def warm_start(self, params, feats_train, labels_train):
+        # adapter_w initialized from each trial's cache keys [T,N,D]
+        # (features arrive L2-normalized: normalize_features=True)
+        return {"adapter_w": jnp.array(feats_train)}
+
+    def _tip_logits(self, p, c, feats, shared):
+        affinity = feats @ p["adapter_w"].T
+        cache = jnp.exp(-(c["beta"] - c["beta"] * affinity)) @ c["cache_vals"]
+        clip = 100.0 * feats @ shared["clip_weights"]
+        return clip + c["alpha"] * cache
+
+    def loss(self, p, c, feats, labels, key, hps, shared):
+        return common.cross_entropy(
+            self._tip_logits(p, c, feats, shared), labels
+        )
+
+    def eval_logits(self, p, c, key, shared):
+        return self._tip_logits(p, c, shared["feats_test"], shared)
+
+    def zero_shot_logits(self, eval_fn, zs_params, consts, shared):
+        f = np.asarray(shared["feats_test"])
+        logits = 100.0 * f @ np.asarray(shared["clip_weights"])
+        return np.broadcast_to(
+            logits[None], (self.r.t_trials,) + logits.shape
+        )
+
+    def on_epoch_end(self, params, consts, shared, epoch):
+        """Track each trial's best-on-test adapter state
+        (ref: tip_adapter.py:259-267)."""
+        if self._eval_jit is None:
+            def _logits(p, c, shared):
+                return self._tip_logits(p, c, shared["feats_test"], shared)
+
+            self._eval_jit = jax.jit(jax.vmap(_logits, in_axes=(0, 0, None)))
+        logits = np.asarray(self._eval_jit(params, consts, shared))  # [T,Nt,K]
+        labels = self.r.labels_test
+        accs = (logits.argmax(-1) == labels[None]).mean(-1) * 100.0  # [T]
+        w = np.asarray(params["adapter_w"])
+        if self._best_acc is None:
+            self._best_acc, self._best_w = accs.copy(), w.copy()
+        else:
+            improved = accs > self._best_acc
+            self._best_acc = np.where(improved, accs, self._best_acc)
+            self._best_w[improved] = w[improved]
+
+    def finalize(self, params, consts, shared, val_feats, val_labels):
+        if self._best_w is not None:
+            params = {"adapter_w": jnp.asarray(self._best_w)}
+        if val_feats is None or val_feats.shape[1] == 0:
+            print("[Tip-Adapter] val search unavailable; using init values")
+            return params, consts
+        betas = jnp.asarray(self.BETAS)
+        alphas = jnp.asarray(self.ALPHAS)
+
+        def _grid(w, vals, vf, vl):
+            affinity = vf @ w.T  # [Nv, N]
+            cache = jnp.exp(
+                betas[:, None, None] * (affinity[None] - 1.0)
+            ) @ vals  # [B, Nv, K]
+            clip = 100.0 * vf @ shared["clip_weights"]  # [Nv, K]
+            tip = clip[None, None] + alphas[None, :, None, None] * cache[:, None]
+            preds = tip.argmax(-1)  # [B, A, Nv]
+            return (preds == vl[None, None]).mean(-1)  # [B, A]
+
+        accs = np.asarray(
+            jax.jit(jax.vmap(_grid))(
+                params["adapter_w"], consts["cache_vals"],
+                jnp.asarray(val_feats), jnp.asarray(val_labels),
+            )
+        )  # [T, B, A]
+        flat = accs.reshape(self.r.t_trials, -1).argmax(axis=1)
+        bi, ai = np.unravel_index(flat, accs.shape[1:])
+        beta_t = np.asarray(self.BETAS)[bi]
+        alpha_t = np.asarray(self.ALPHAS)[ai]
+        print(
+            "[Tip-Adapter] per-trial (beta, alpha): "
+            + " ".join(f"({b:g},{a:g})" for b, a in zip(beta_t, alpha_t))
+        )
+        consts = dict(consts)
+        consts["beta"] = jnp.asarray(beta_t, dtype=jnp.float32)
+        consts["alpha"] = jnp.asarray(alpha_t, dtype=jnp.float32)
+        return params, consts
+
+
+SPECS = {
+    "Adapter": AdapterSpec,
+    "CLIP-Adapter": ClipAdapterSpec,
+    "TaskRes": TaskResSpec,
+    "Tip-Adapter": TipAdapterFSpec,
+}
+
+
+# ======================================================================
+# Runner
+# ======================================================================
+
+
+class VmappedTrials:
+    """Train one method for several trials (seeds × scalar grid cells)
+    simultaneously.
 
     With ``mesh`` (axis name ``trial``), the stacked [T, ...] trial state and
     per-trial feature gathers shard over devices — trials never communicate,
     so this is pure placement and scales a sweep linearly across chips.
     """
 
-    SUPPORTED_HPARAMS = ("gp_beta", "gp_lr", "lr", "l2_lambda")
-
     def __init__(self, config, seeds: Sequence[int], mesh=None,
-                 trial_overrides: Optional[Sequence[Dict]] = None):
+                 trial_overrides: Optional[Sequence[Dict]] = None,
+                 method: Optional[str] = None):
         """``trial_overrides``: optional per-trial dicts of scalar
-        hyperparameters (keys among SUPPORTED_HPARAMS) — grid cells join the
-        vmap axis alongside seeds."""
+        hyperparameters (keys among the spec's supported_hparams) — grid
+        cells join the vmap axis alongside seeds."""
         self.config = config
         self.seeds = list(seeds)
+        self.t_trials = len(self.seeds)
         self.mesh = mesh
+        self.method = method or str(config.trainer_name)
+        if self.method not in SPECS:
+            raise ValueError(f"no vmapped spec for method {self.method!r}")
         self.trial_overrides = (
             [dict(o) for o in trial_overrides]
             if trial_overrides is not None
             else [{} for _ in self.seeds]
         )
         assert len(self.trial_overrides) == len(self.seeds)
-        for o in self.trial_overrides:
-            unknown = set(o) - set(self.SUPPORTED_HPARAMS)
-            assert not unknown, f"unsupported vmapped hparams: {unknown}"
-        self.use_gp = bool(config.adapter.use_gp)
-        self.s_train = max(1, int(config.adapter.gp_num_mc_samples_train or 1))
-        self.s_eval = max(1, int(config.adapter.gp_num_mc_samples_eval or 1))
+        self.shared: Dict = {}
 
     def _shard_trials(self, tree):
         """Place [T, ...] arrays with the leading axis over the trial mesh axis."""
@@ -90,189 +649,164 @@ class VmappedAdapterTrials:
         return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
     # ------------------------------------------------------------------
-    def _build_per_seed_splits(self):
-        """Sample every seed's few-shot split; returns (union datums,
-        per-seed index arrays [T, N], test dm of the last seed)."""
+    def _build_per_seed_splits(self, needs_val: bool):
+        """Sample every seed's few-shot split; returns (train union datums,
+        train index/labels [T,N], val union datums or None, val index/labels,
+        data manager of the last seed)."""
         from clip_gp_tpu.data.pipeline import build_data_manager
 
-        per_seed_items: List[List] = []
+        per_seed_train: List[List] = []
+        per_seed_val: List[List] = []
         dm = None
         for seed in self.seeds:
             cfg = copy.deepcopy(self.config)
             cfg.seed = seed
             set_random_seed(seed)
             dm = build_data_manager(cfg)
-            per_seed_items.append(list(dm.dataset.train_x))
-        counts = {len(items) for items in per_seed_items}
-        if len(counts) != 1:
-            raise ValueError(
-                f"Seeds produced unequal few-shot sizes {counts}; "
-                "vmapped trials need a rectangular trial axis"
+            per_seed_train.append(list(dm.dataset.train_x))
+            per_seed_val.append(list(getattr(dm.dataset, "val", None) or []))
+
+        def _union(per_seed_items):
+            counts = {len(items) for items in per_seed_items}
+            if len(counts) != 1:
+                raise ValueError(
+                    f"Seeds produced unequal few-shot sizes {counts}; "
+                    "vmapped trials need a rectangular trial axis"
+                )
+            union: Dict[str, int] = {}
+            union_items = []
+            for items in per_seed_items:
+                for item in items:
+                    if item.impath not in union:
+                        union[item.impath] = len(union_items)
+                        union_items.append(item)
+            index = np.asarray(
+                [[union[i.impath] for i in items] for items in per_seed_items],
+                dtype=np.int32,
             )
-        union: Dict[str, int] = {}
-        union_items = []
-        for items in per_seed_items:
-            for item in items:
-                if item.impath not in union:
-                    union[item.impath] = len(union_items)
-                    union_items.append(item)
-        index = np.asarray(
-            [[union[i.impath] for i in items] for items in per_seed_items],
-            dtype=np.int32,
+            labels = np.asarray(
+                [[i.label for i in items] for items in per_seed_items],
+                dtype=np.int32,
+            )
+            return union_items, index, labels
+
+        train_union, train_idx, train_lab = _union(per_seed_train)
+        val_union = val_idx = val_lab = None
+        if needs_val and all(len(v) for v in per_seed_val):
+            val_union, val_idx, val_lab = _union(per_seed_val)
+        return train_union, train_idx, train_lab, val_union, val_idx, val_lab, dm
+
+    def _encode_union(self, base, union_items, dm, normalize: bool):
+        from clip_gp_tpu.data.pipeline import BatchLoader
+
+        loader = BatchLoader(
+            union_items,
+            dm.tfm_train,
+            self.config.dataloader.batch_size_train,
+            shuffle=False,
+            drop_last=False,
+            num_workers=self.config.dataloader.num_workers,
         )
-        labels = np.asarray(
-            [[i.label for i in items] for items in per_seed_items], dtype=np.int32
-        )
-        return union_items, index, labels, dm
+        _, feats = base.encode_images_batched(loader)
+        feats = jnp.asarray(feats)
+        if normalize:
+            feats = common.l2_normalize(feats)
+        return feats
 
     # ------------------------------------------------------------------
     def run(self, trial_outdirs: Optional[Sequence[str]] = None) -> List[Dict]:
         config = self.config
-        t_trials = len(self.seeds)
+        t_trials = self.t_trials
         start_time = time.time()
 
-        union_items, seed_index, seed_labels, dm = self._build_per_seed_splits()
+        from clip_gp_tpu.runtime.trainer_base import BaseTrainer
+
+        spec_cls = SPECS[self.method]
+        for o in self.trial_overrides:
+            unknown = set(o) - set(spec_cls.supported_hparams)
+            assert not unknown, (
+                f"unsupported vmapped hparams for {self.method}: {unknown}"
+            )
+
+        (union_items, seed_index, seed_labels,
+         val_union, val_index, val_labels, dm) = self._build_per_seed_splits(
+            needs_val=spec_cls.needs_val
+        )
         self.dm = dm
         classnames = dm.dataset.classnames
-
-        # one shared frozen-tower pass: union of all seeds' few-shot images
-        from clip_gp_tpu.data.pipeline import BatchLoader
-        from clip_gp_tpu.runtime.trainer_base import BaseTrainer
 
         base = BaseTrainer(config, dm)
         arch, clip_params = base.load_clip_model()
         templates = get_templates(config)
-        text_embeddings = common.encode_templates(
+        self.text_embeddings = common.encode_templates(
             clip_params, arch, classnames, templates
         )
-        logit_scale = float(np.exp(np.asarray(clip_params["logit_scale"])))
-        k, m, d = text_embeddings.shape
+        self.logit_scale = float(np.exp(np.asarray(clip_params["logit_scale"])))
+        self.k, self.m, self.d = self.text_embeddings.shape
+        self.shared["text_embeddings"] = self.text_embeddings
 
-        union_loader = BatchLoader(
-            union_items,
-            dm.tfm_train,
-            config.dataloader.batch_size_train,
-            shuffle=False,
-            drop_last=False,
-            num_workers=config.dataloader.num_workers,
+        spec = spec_cls(self)
+
+        # one shared frozen-tower pass: union of all trials' few-shot images
+        train_idx_j = jnp.asarray(seed_index)
+        union_feats = self._encode_union(
+            base, union_items, dm, spec.normalize_features
         )
-        _, union_feats = base.encode_images_batched(union_loader)
         labels_test, feats_test = base.encode_images_batched(
             dm.test_loader, cacheable=True
         )
-
-        feats_train = jnp.asarray(union_feats)[jnp.asarray(seed_index)]  # [T,N,D]
-        labels_train = jnp.asarray(seed_labels)  # [T,N]
         feats_test_j = jnp.asarray(feats_test)
+        if spec.normalize_features:
+            feats_test_j = common.l2_normalize(feats_test_j)
+        self.labels_test = labels_test
+        self.shared["feats_test"] = feats_test_j
+
+        feats_train = union_feats[train_idx_j]  # [T,N,D]
+        labels_train = jnp.asarray(seed_labels)  # [T,N]
         feats_train = self._shard_trials(feats_train)
         labels_train = self._shard_trials(labels_train)
 
-        # per-trial params (identical init; divergence comes from RNG/shuffles)
-        gp_static = None
-        gp_buffers = None
-        if self.use_gp:
-            gp_static, gp_params0, gp_buffers = svgp.create_gp(
-                text_embeddings, config
+        feats_val = labels_val_j = None
+        if val_union is not None:
+            val_feats_union = self._encode_union(
+                base, val_union, dm, spec.normalize_features
             )
+            feats_val = val_feats_union[jnp.asarray(val_index)]
+            labels_val_j = jnp.asarray(val_labels)
 
-        def init_trial(seed):
-            params: Dict = {"visual_proj": jnp.eye(d)}
-            if self.use_gp:
-                params["gp"] = gp_params0
-            else:
-                params["template_logits"] = jnp.zeros((k, m))
-            return params
-
-        params = _stack([init_trial(s) for s in self.seeds])
-        # shallow copy: the warm start below replaces top-level entries, so
-        # this snapshot keeps the pre-warm-start arrays
+        # per-trial params + consts
+        params = _stack([spec.init_params(s) for s in self.seeds])
+        consts = spec.trial_consts(feats_train, labels_train)
+        # shallow copy: warm start replaces top-level entries, so this
+        # snapshot keeps the pre-warm-start arrays (the zero-shot state)
         zs_params = dict(params)
+        params = spec.warm_start(params, feats_train, labels_train)
 
-        # warm start per trial from each seed's template-weight scan
-        tw = []
-        for t in range(t_trials):
-            tw.append(
-                common.get_template_weights(
-                    config,
-                    text_embeddings,
-                    feats_train[t],
-                    labels_train[t],
-                    logit_scale,
-                )
-            )
-        tw = jnp.stack(tw)  # [T,K,M]
-        if self.use_gp:
-            params["gp"] = jax.vmap(svgp.initialize_from_weights)(params["gp"], tw)
-        else:
-            params["template_logits"] = jnp.log(jnp.clip(tw, 1e-12, None))
-
-        # one optimizer state per trial (adam moments are elementwise, so
-        # stacking trials is exact). The transform carries NO learning rate:
-        # per-trial lrs (which may differ across the vmap axis) scale the
-        # updates afterwards, with the host-side schedule factor on top.
-        import optax
-
-        schedule = build_lr_schedule(config.optim)
-        base_lr = float(config.optim.lr)
-
-        def hp(name, default):
-            return jnp.asarray(
-                [float(o.get(name, default)) for o in self.trial_overrides],
-                dtype=jnp.float32,
-            )
-
-        lr_t = hp("lr", base_lr)  # [T]
-        gp_lr_t = hp("gp_lr", float(config.adapter.gp_lr))
-        gp_beta_t = hp("gp_beta", float(config.adapter.gp_beta))
-        l2_t = hp("l2_lambda", float(config.adapter.l2_lambda))
-
-        tx = optax.chain(
-            optax.scale_by_adam(),
-            optax.add_decayed_weights(float(config.optim.weight_decay)),
-        )
+        lr_vecs = spec.lr_vectors()
+        hp_tree = spec.hp_tree()
+        tx = spec.optimizer_tx()
         params = self._shard_trials(params)
+        consts = self._shard_trials(consts)
         opt_state = tx.init(params)
 
-        shots = int(config.dataset.num_shots)
-        scale = logit_scale
-        use_gp = self.use_gp
-
-        def trial_loss(p, feats, labels, key, hps):
-            projected = feats @ p["visual_proj"].T
-            f_norm = common.l2_normalize(projected)
-            if use_gp:
-                protos, _ = svgp.sample_prototypes(
-                    gp_static, p["gp"], gp_buffers, key, self.s_train
-                )
-                ce = common.mc_cross_entropy(f_norm, protos, labels, scale)
-                total = ce + hps["gp_beta"] * svgp.kl_divergence(p["gp"]).sum()
-            else:
-                w = jax.nn.softmax(p["template_logits"], axis=-1)
-                protos = jnp.einsum("km,kmd->kd", w, text_embeddings)
-                total = common.cross_entropy(
-                    common.cosine_logits(projected, protos, scale), labels
-                )
-            if shots > 0:
-                wp = p["visual_proj"]
-                total = total + ((wp - jnp.eye(d)) ** 2).sum() * (
-                    hps["l2_lambda"] / shots
-                )
-            return total
-
-        hp_tree = {"gp_beta": gp_beta_t, "l2_lambda": l2_t}
+        shared = self.shared
 
         def _bc(vec, ndim):
             return vec.reshape((vec.shape[0],) + (1,) * (ndim - 1))
 
-        def step(params, opt_state, feats_b, labels_b, keys, factor):
+        def step(params, opt_state, consts, feats_b, labels_b, keys, factor,
+                 shared):
+            def trial_loss(p, c, feats, labels, key, hps):
+                return spec.loss(p, c, feats, labels, key, hps, shared)
+
             losses, grads = jax.vmap(
-                jax.value_and_grad(trial_loss), in_axes=(0, 0, 0, 0, 0)
-            )(params, feats_b, labels_b, keys, hp_tree)
+                jax.value_and_grad(trial_loss), in_axes=(0, 0, 0, 0, 0, 0)
+            )(params, consts, feats_b, labels_b, keys, hp_tree)
             updates, opt_state = tx.update(grads, opt_state, params)
             # per-trial, per-group learning rates (schedule factor on top)
             scaled = {}
             for name, u in updates.items():
-                vec = gp_lr_t if name == "gp" else lr_t
+                vec = lr_vecs[spec.lr_group(name)]
                 scaled[name] = jax.tree.map(
                     lambda x: x * _bc(-(vec * factor), x.ndim), u
                 )
@@ -284,53 +818,58 @@ class VmappedAdapterTrials:
 
         step_jit = jax.jit(step, donate_argnums=(0, 1))
 
-        def epoch_scan(params, opt_state, feats_e, labels_e, keys_e, factor):
+        def epoch_scan(params, opt_state, consts, feats_e, labels_e, keys_e,
+                       factors, shared):
             """One dispatch per epoch: scan the vmapped step over batches.
-            feats_e: [n_batches, T, B, D]; keys_e: [n_batches, T]."""
+            feats_e: [n_batches, T, B, D]; keys_e: [n_batches, T];
+            factors: [n_batches] per-step schedule multipliers."""
 
             def body(carry, batch):
                 params, opt_state = carry
-                f, l, k = batch
+                f, l, k, fac = batch
                 params, opt_state, losses = step(
-                    params, opt_state, f, l, k, factor
+                    params, opt_state, consts, f, l, k, fac, shared
                 )
                 return (params, opt_state), losses
 
             (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), (feats_e, labels_e, keys_e)
+                body, (params, opt_state), (feats_e, labels_e, keys_e, factors)
             )
             return params, opt_state, losses
 
         epoch_jit = jax.jit(epoch_scan, donate_argnums=(0, 1))
 
-        def trial_eval_logits(p, key):
-            if use_gp:
-                protos, _ = svgp.sample_prototypes(
-                    gp_static, p["gp"], gp_buffers, key, self.s_eval
-                )
-            else:
-                w = jax.nn.softmax(p["template_logits"], axis=-1)
-                protos = jnp.einsum("km,kmd->kd", w, text_embeddings)
-            projected = feats_test_j @ p["visual_proj"].T
-            return common.cosine_logits(projected, protos, scale)
+        def trial_eval(p, c, key, shared):
+            return spec.eval_logits(p, c, key, shared)
 
-        eval_jit = jax.jit(jax.vmap(trial_eval_logits))
+        eval_jit = jax.jit(jax.vmap(trial_eval, in_axes=(0, 0, 0, None)))
 
-        # zero-shot block per trial — evaluated with the PRE-warm-start params
-        # (the in-process trainer records zero-shot before initialization)
-        zs_keys = jax.random.split(jax.random.key(0), t_trials)
-        zs_logits = np.asarray(eval_jit(zs_params, zs_keys))
+        def eval_fn(params, consts, keys, shared):
+            return eval_jit(params, consts, keys, shared)
+
+        # zero-shot block per trial (recorded before training, like the
+        # in-process trainers)
+        zs_logits = spec.zero_shot_logits(eval_fn, zs_params, consts, shared)
 
         n = feats_train.shape[1]
         batch_size = config.dataloader.batch_size_train
         slices = common.batch_slices(n, batch_size)
-        max_epoch = int(config.adapter.clip_adapter_epochs)
+        n_batches = len(slices)
+        max_epoch = spec.max_epoch()
         root_key = jax.random.key(int(self.seeds[0]))
 
         for epoch in range(max_epoch):
-            # schedule factor: per-trial lr × (cosine shape of the base lr)
-            factor = jnp.asarray(
-                schedule(epoch) / max(base_lr, 1e-12), dtype=jnp.float32
+            if spec.reencode_per_epoch and epoch > 0:
+                # fresh augmentations: one shared union pass per epoch
+                # (ref: the per-epoch image encode in clip_adapter/taskres/
+                # tip_adapter run_epoch loops)
+                union_feats = self._encode_union(
+                    base, union_items, dm, spec.normalize_features
+                )
+                feats_train = self._shard_trials(union_feats[train_idx_j])
+            factors = np.asarray(
+                [spec.lr_factor(epoch, b, n_batches) for b in range(n_batches)],
+                dtype=np.float32,
             )
             # per-trial epoch shuffle (seed-deterministic)
             perms = np.stack(
@@ -342,21 +881,22 @@ class VmappedAdapterTrials:
             perm_j = jnp.asarray(perms)
             feats_e = jnp.take_along_axis(feats_train, perm_j[:, :, None], axis=1)
             labels_e = jnp.take_along_axis(labels_train, perm_j, axis=1)
-            if len(slices) > 1:
+            if n_batches > 1:
                 b_sz = slices[0][1] - slices[0][0]
-                n_full = len(slices) * b_sz
+                n_full = n_batches * b_sz
                 fb = feats_e[:, :n_full].reshape(
-                    t_trials, len(slices), b_sz, -1
+                    t_trials, n_batches, b_sz, -1
                 ).transpose(1, 0, 2, 3)  # [n_batches, T, B, D]
                 lb = labels_e[:, :n_full].reshape(
-                    t_trials, len(slices), b_sz
+                    t_trials, n_batches, b_sz
                 ).transpose(1, 0, 2)
                 root_key, sub = jax.random.split(root_key)
-                keys_e = jax.random.split(sub, len(slices) * t_trials).reshape(
-                    len(slices), t_trials
+                keys_e = jax.random.split(sub, n_batches * t_trials).reshape(
+                    n_batches, t_trials
                 )
                 params, opt_state, losses = epoch_jit(
-                    params, opt_state, fb, lb, keys_e, factor
+                    params, opt_state, consts, fb, lb, keys_e,
+                    jnp.asarray(factors), shared,
                 )
                 losses = losses[-1]
             else:
@@ -364,20 +904,25 @@ class VmappedAdapterTrials:
                     root_key, sub = jax.random.split(root_key)
                     keys = jax.random.split(sub, t_trials)
                     params, opt_state, losses = step_jit(
-                        params, opt_state, feats_e[:, lo:hi], labels_e[:, lo:hi],
-                        keys, factor,
+                        params, opt_state, consts,
+                        feats_e[:, lo:hi], labels_e[:, lo:hi],
+                        keys, jnp.asarray(factors[b]), shared,
                     )
+            spec.on_epoch_end(params, consts, shared, epoch)
             if (epoch + 1) % 10 == 0 or epoch == 0:
                 print(
-                    f"[vmap-trials] epoch {epoch + 1}/{max_epoch} "
+                    f"[vmap-trials:{self.method}] epoch {epoch + 1}/{max_epoch} "
                     f"loss per trial: "
                     + " ".join(f"{float(v):.4f}" for v in losses)
                 )
 
         # final eval + per-trial metrics.json
+        params, eval_consts = spec.finalize(
+            params, consts, shared, feats_val, labels_val_j
+        )
         root_key, sub = jax.random.split(root_key)
         eval_keys = jax.random.split(sub, t_trials)
-        logits = np.asarray(eval_jit(params, eval_keys))
+        logits = np.asarray(eval_fn(params, eval_consts, eval_keys, shared))
         results = []
         for t, seed in enumerate(self.seeds):
             acc = compute_accuracy(logits[t], labels_test)[0]
@@ -388,12 +933,17 @@ class VmappedAdapterTrials:
             zs_aece, zs_ab = compute_aece_with_bins(zs_logits[t], labels_test)
             metrics = {
                 "top1_acc": float(acc),
-                "accuracy": float(acc),
                 "ece": float(ece),
                 "aece": float(aece),
                 "calibration": ece_bins,
                 "adaptive_calibration": aece_bins,
             }
+            if spec.extended_metrics:
+                # BaseTrainer.test writes the superset schema
+                metrics["accuracy"] = float(acc)
+                metrics["macro_f1"] = float(
+                    compute_macro_f1(logits[t], labels_test)
+                )
             result = {
                 "seed": seed,
                 "metrics": metrics,
@@ -419,14 +969,27 @@ class VmappedAdapterTrials:
                 writer.zero_shot_metrics = result["zero_shot"]
                 writer.write_run_summary_json(metrics, start_time=start_time)
         print(
-            f"[vmap-trials] {t_trials} seeds trained in "
+            f"[vmap-trials:{self.method}] {t_trials} trials trained in "
             f"{time.time() - start_time:.1f}s"
         )
         return results
 
 
+# Backward-compatible aliases (round-1 API)
+VmappedAdapterTrials = VmappedTrials
+
+
 def run_seed_vmapped_adapter(config, seeds: Sequence[int], trial_outdirs=None,
                              mesh=None, trial_overrides=None):
-    return VmappedAdapterTrials(
-        config, seeds, mesh=mesh, trial_overrides=trial_overrides
+    return VmappedTrials(
+        config, seeds, mesh=mesh, trial_overrides=trial_overrides,
+        method="Adapter",
+    ).run(trial_outdirs)
+
+
+def run_vmapped_trials(config, seeds: Sequence[int], trial_outdirs=None,
+                       mesh=None, trial_overrides=None, method=None):
+    return VmappedTrials(
+        config, seeds, mesh=mesh, trial_overrides=trial_overrides,
+        method=method,
     ).run(trial_outdirs)

@@ -128,3 +128,92 @@ def test_reliability_diagrams(tmp_path):
     assert (
         root / "exp1" / "_plots" / "reliability" / "caltech101__GP_1shots.png"
     ).exists()
+
+
+# ----------------------------------------------------------------------
+# vmap backend: multi-method grouping, strict flag, fallback counting
+# ----------------------------------------------------------------------
+
+def _clip_adapter_sweep_cfg(tmp_path):
+    """Tiny CLIP-Adapter sweep on Synthetic: seeds x ratio grid, all
+    vmap-groupable."""
+    trainer_yaml = tmp_path / "trainer.yaml"
+    trainer_yaml.write_text(textwrap.dedent("""\
+        name: vmapexp
+        BASE_CONFIG: configs/trainers/default.yaml
+        TRAINER_NAME: CLIP-Adapter
+        MODEL:
+          BACKBONE:
+            NAME: TEST-ViT
+        INPUT:
+          SIZE: (32, 32)
+        DATALOADER:
+          NUM_WORKERS: 2
+          TRAIN_X:
+            BATCH_SIZE: 8
+          TEST:
+            BATCH_SIZE: 8
+        TRAINER:
+          ADAPTER:
+            NUM_TEMPLATES: 2
+            CLIP_ADAPTER_EPOCHS: 2
+            USE_GP: False
+    """))
+    return {
+        "name": "vmapexp",
+        "datasets": ["synthetic"],
+        "seeds": [1, 2],
+        "shots": [2],
+        "root": str(tmp_path / "data"),
+        "output_root": str(tmp_path / "output"),
+        "template": "{experiment}/{dataset}/CA_{shots}shots{sig}/seed{seed}",
+        "grid": {"TRAINER.ADAPTER.CLIP_ADAPTER_RATIO": [0.1, 0.5]},
+        "dataset_config": "configs/datasets/synthetic.yaml",
+        "__config_file__": str(trainer_yaml),
+    }
+
+
+def test_vmap_backend_clip_adapter_no_fallback(tmp_path, capsys, monkeypatch):
+    """BASELINE config #3 shape: a non-Adapter head sweep runs fully vmapped
+    (zero in-process fallbacks) and writes per-trial metrics.json."""
+    monkeypatch.setenv("CLIP_GP_TPU_ALLOW_RANDOM_WEIGHTS", "1")
+    from clip_gp_tpu.parallel.sweep import run_trials_vmapped
+
+    trials, _ = build_trials(_clip_adapter_sweep_cfg(tmp_path))
+    assert len(trials) == 4  # 2 seeds x 2 ratios
+    results = run_trials_vmapped(trials, strict=True)
+    out = capsys.readouterr().out
+    assert "not vmap-groupable" not in out
+    assert "[ERROR]" not in out
+    assert len(results) == 4
+    for t in trials:
+        payload = json.loads((t.format_outdir() / "metrics.json").read_text())
+        assert payload["metrics"]["top1_acc"] is not None
+        assert (t.format_outdir() / "log.txt").exists()
+
+
+def test_strict_vmap_raises_and_fallback_counts(tmp_path, capsys, monkeypatch):
+    import clip_gp_tpu.parallel.sweep as sweep_mod
+    import clip_gp_tpu.parallel.trial_vmap as tv
+
+    def boom(*a, **k):
+        raise RuntimeError("injected vmap failure")
+
+    monkeypatch.setattr(tv, "run_vmapped_trials", boom)
+    monkeypatch.setenv("CLIP_GP_TPU_ALLOW_RANDOM_WEIGHTS", "1")
+    trials, _ = build_trials(_clip_adapter_sweep_cfg(tmp_path))
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="strict-vmap"):
+        sweep_mod.run_trials_vmapped(trials, strict=True)
+
+    # non-strict: loud fallback counter + trials complete in-process
+    ran = []
+    monkeypatch.setattr(
+        sweep_mod, "run_trials_inprocess", lambda ts: ran.extend(ts) or []
+    )
+    sweep_mod.run_trials_vmapped(trials, strict=False)
+    out = capsys.readouterr().out
+    assert "1 group(s) fell back" in out
+    assert len(ran) == len(trials)

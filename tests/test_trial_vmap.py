@@ -97,3 +97,74 @@ def test_vmapped_hparam_grid(tmp_path):
     # seed (the hparam really reached the loss)
     # (compare trials 0 and 1: same seed, different beta)
     assert results[0]["metrics"]["top1_acc"] is not None
+
+
+# ----------------------------------------------------------------------
+# generalized method specs (round 2): CLIP-Adapter, TaskRes, Tip-Adapter-F
+# ----------------------------------------------------------------------
+
+def _head_config(tmp_path, method):
+    c = _config(tmp_path, use_gp=False)
+    c.trainer_name = method
+    c.adapter.clip_adapter_epochs = 3
+    c.adapter.taskres_epochs = 3
+    c.adapter.tip_adapter_epochs = 3
+    c.adapter.tip_adapter_trainable = True
+    c.adapter.tip_adapter_init_beta = 1.0
+    c.adapter.tip_adapter_init_alpha = 1.0
+    return c
+
+
+@pytest.mark.parametrize("method", ["CLIP-Adapter", "TaskRes", "Tip-Adapter"])
+def test_vmapped_other_heads(tmp_path, method):
+    from clip_gp_tpu.parallel.trial_vmap import run_vmapped_trials
+
+    config = _head_config(tmp_path, method)
+    seeds = [1, 2]
+    outdirs = [tmp_path / f"out/seed{s}" for s in seeds]
+    results = run_vmapped_trials(config, seeds, outdirs, method=method)
+    assert len(results) == 2
+    for result, outdir in zip(results, outdirs):
+        assert np.isfinite(result["metrics"]["top1_acc"])
+        payload = json.loads((outdir / "metrics.json").read_text())
+        assert payload["seed"] == result["seed"]
+        assert payload["metrics"]["top1_acc"] == result["metrics"]["top1_acc"]
+        assert payload["zero_shot"] is not None
+        # schema parity with the in-process backend per method:
+        # Tip-Adapter writes the compact metrics dict, the epoch-lifecycle
+        # heads write the BaseTrainer.test superset (accuracy + macro_f1)
+        if method == "Tip-Adapter":
+            assert set(payload["metrics"]) == {
+                "top1_acc", "ece", "aece", "calibration",
+                "adaptive_calibration",
+            }
+        else:
+            assert "accuracy" in payload["metrics"]
+            assert "macro_f1" in payload["metrics"]
+
+
+@pytest.mark.parametrize(
+    "method,key,values",
+    [
+        ("CLIP-Adapter", "clip_adapter_ratio", [0.1, 0.9]),
+        ("TaskRes", "taskres_residual_scale", [0.1, 1.0]),
+        ("Tip-Adapter", "tip_adapter_init_alpha", [1.0, 20.0]),
+    ],
+)
+def test_vmapped_head_hparam_grid(tmp_path, method, key, values):
+    """Scalar grid cells join the vmap axis for the non-Adapter heads and
+    demonstrably reach the loss (different values -> different metrics)."""
+    from clip_gp_tpu.parallel.trial_vmap import run_vmapped_trials
+
+    config = _head_config(tmp_path, method)
+    seeds = [1, 1]
+    overrides = [{key: values[0]}, {key: values[1]}]
+    outdirs = [tmp_path / f"out/t{i}" for i in range(2)]
+    results = run_vmapped_trials(
+        config, seeds, outdirs, trial_overrides=overrides, method=method
+    )
+    assert len(results) == 2
+    for i, outdir in enumerate(outdirs):
+        payload = json.loads((outdir / "metrics.json").read_text())
+        assert payload["config"]["adapter"][key] == overrides[i][key]
+        assert np.isfinite(payload["metrics"]["top1_acc"])
