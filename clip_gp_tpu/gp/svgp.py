@@ -157,6 +157,54 @@ def pca_project(buffers: Params, x: jnp.ndarray) -> jnp.ndarray:
     return (x - buffers["pca_mean"]) @ buffers["pca_W"]
 
 
+def safe_cholesky(
+    a: jnp.ndarray, base_jitter: float, max_tries: int = 5
+) -> jnp.ndarray:
+    """PSD-safe batched Cholesky with per-matrix jitter escalation.
+
+    gpytorch escalates jitter on factorization failure
+    (``psd_safe_cholesky``; ref: trainers/gp_template_weigher.py:110-126
+    delegates to it) — a badly-conditioned Gram (e.g. a tiny-lengthscale grid
+    cell in a vmapped sweep) would otherwise NaN every co-trained trial.
+
+    jit-compatible: probe factorizations run on a stop-gradient copy to find
+    the smallest working jitter per batch element (first try = exactly
+    ``base_jitter``, preserving healthy-path numerics; escalations go ×10 and
+    are additionally scaled by the mean diagonal so huge-outputscale kernels
+    still regularize in float32). Only the final factorization is
+    differentiated, so no NaN leaks through ``where`` gradients.
+    """
+    n = a.shape[-1]
+    eye = jnp.eye(n, dtype=a.dtype)
+    a_ng = jax.lax.stop_gradient(a)
+    diag_scale = jnp.clip(
+        jnp.mean(jnp.diagonal(a_ng, axis1=-2, axis2=-1), axis=-1), 1.0, None
+    )  # [...batch]
+    jitters = [
+        base_jitter * (10.0**i) * (diag_scale if i else 1.0)
+        for i in range(max_tries)
+    ]
+    oks = jnp.stack(
+        [
+            jnp.all(
+                jnp.isfinite(
+                    jnp.linalg.cholesky(a_ng + j[..., None, None] * eye
+                                        if i else a_ng + j * eye)
+                ),
+                axis=(-1, -2),
+            )
+            for i, j in enumerate(jitters)
+        ]
+    )  # [tries, ...batch]
+    first = jnp.argmax(oks, axis=0)  # first True (or 0 if none)
+    first = jnp.where(jnp.any(oks, axis=0), first, max_tries - 1)
+    jit_stack = jnp.stack(
+        [jnp.broadcast_to(j, diag_scale.shape) for j in jitters]
+    )  # [tries, ...batch]
+    chosen = jnp.take_along_axis(jit_stack, first[None], axis=0)[0]
+    return jnp.linalg.cholesky(a + chosen[..., None, None] * eye)
+
+
 def _kernel(static: GPStatic, params: Params, x1: jnp.ndarray, x2: jnp.ndarray):
     """Batched Gram matrix [K, N1, N2] for inputs [K,N1,d], [K,N2,d]."""
     kt = static.kernel_type
@@ -206,11 +254,11 @@ def gp_predictive(
     n = x.shape[1]
     eye_p = jnp.eye(p)
 
-    k_zz = _kernel(static, params, z, z) + static.jitter * eye_p
+    k_zz = _kernel(static, params, z, z)
     k_zx = _kernel(static, params, z, x)  # [K,P,N]
     k_xx = _kernel(static, params, x, x)  # [K,N,N]
 
-    l_zz = jnp.linalg.cholesky(k_zz)
+    l_zz = safe_cholesky(k_zz, static.jitter)
     # A = L⁻¹ K_zx  via batched forward substitution
     interp = jax.scipy.linalg.solve_triangular(l_zz, k_zx, lower=True)  # [K,P,N]
 
@@ -260,8 +308,7 @@ def sample_latent(
         ctx = pca_project(buffers, visual_embeddings)[:, None, :]  # [K,1,d]
         x = jnp.concatenate([x, ctx], axis=1)
     mean, cov = gp_predictive(static, params, buffers, x)
-    n = mean.shape[-1]
-    l_f = jnp.linalg.cholesky(cov + static.sample_jitter * jnp.eye(n))
+    l_f = safe_cholesky(cov, static.sample_jitter)
     eps = jax.random.normal(key, (num_samples,) + mean.shape, dtype=mean.dtype)
     f = mean[None] + jnp.einsum("knm,skm->skn", l_f, eps)
     return f[..., : static.num_templates]

@@ -197,3 +197,91 @@ def test_jit_compiles():
     )
     out = fn(params, jax.random.key(0))
     assert out.shape == (4, K, D)
+
+
+# ----------------------------------------------------------------------
+# psd-safe Cholesky jitter escalation (gpytorch psd_safe_cholesky analog)
+# ----------------------------------------------------------------------
+
+def test_safe_cholesky_healthy_path_matches_plain():
+    """On a well-conditioned matrix the first (exact base-jitter) try is used,
+    so numerics are bit-identical to the round-1 fixed-jitter path."""
+    import jax.numpy as jnp
+    from clip_gp_tpu.gp.svgp import safe_cholesky
+
+    rng = np.random.default_rng(0)
+    b = rng.normal(size=(3, 6, 6)).astype(np.float32)
+    a = jnp.asarray(b @ b.transpose(0, 2, 1) + 0.5 * np.eye(6, dtype=np.float32))
+    expected = jnp.linalg.cholesky(a + 1e-4 * jnp.eye(6))
+    got = safe_cholesky(a, 1e-4)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+
+
+def test_safe_cholesky_escalates_on_singular_gram():
+    """A rank-1 Gram at huge scale (float32 can't absorb the base jitter)
+    must factorize finitely via escalation instead of going NaN."""
+    import jax.numpy as jnp
+    from clip_gp_tpu.gp.svgp import safe_cholesky
+
+    ones = np.ones((2, 8, 8), dtype=np.float32)
+    a = jnp.asarray(1e6 * ones)  # rank 1, diag 1e6
+    plain = jnp.linalg.cholesky(a + 1e-4 * jnp.eye(8))
+    assert not np.isfinite(np.asarray(plain)).all()  # the failure mode
+    l = safe_cholesky(a, 1e-4)
+    assert np.isfinite(np.asarray(l)).all()
+    rec = np.asarray(l @ jnp.swapaxes(l, -1, -2))
+    # reconstruction error bounded by the escalated jitter magnitude
+    assert np.abs(rec - np.asarray(a)).max() <= 1e-4 * 1e4 * 1e6 * 1.1
+
+
+def test_safe_cholesky_gradients_finite_through_escalation():
+    import jax
+    import jax.numpy as jnp
+    from clip_gp_tpu.gp.svgp import safe_cholesky
+
+    ones = np.ones((1, 4, 4), dtype=np.float32)
+
+    def loss(scale):
+        a = scale * jnp.asarray(ones)  # rank-1: needs escalation
+        return jnp.sum(safe_cholesky(a, 1e-4) ** 2)
+
+    g = jax.grad(loss)(jnp.float32(1e6))
+    assert np.isfinite(float(g))
+
+
+def test_gp_survives_extreme_hyperparameters():
+    """Near-singular kernel regimes (huge outputscale + huge lengthscale →
+    nearly-constant Gram) must not NaN the loss or the gradients
+    (ref analog: gpytorch's psd_safe_cholesky keeps the sweep alive)."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+    from clip_gp_tpu.gp import svgp
+
+    k, m, d = 4, 3, 16
+    rng = np.random.default_rng(1)
+    e = rng.normal(size=(k, m, d)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=-1, keepdims=True)
+    cfg = types.SimpleNamespace(
+        adapter=types.SimpleNamespace(
+            gp_pca_dim=8, gp_kernel_type="rbf", gp_prior_temp=1.0,
+            gp_jitter=1e-4,
+        )
+    )
+    static, params, buffers = svgp.create_gp(jnp.asarray(e), cfg)
+    # extreme regime: outputscale ~ softplus(40) ≈ 40, lengthscale huge
+    # (all kernel entries ≈ outputscale → rank-1 Gram)
+    params["raw_outputscale"] = jnp.full((k,), 1e6)
+    params["raw_lengthscale"] = jnp.full_like(params["raw_lengthscale"], 1e3)
+
+    def loss(params):
+        protos, _ = svgp.sample_prototypes(
+            static, params, buffers, jax.random.key(0), 4
+        )
+        return jnp.sum(protos**2) + svgp.kl_divergence(params).sum()
+
+    value, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(value))
+    leaves = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
