@@ -26,6 +26,14 @@ from clip_gp_tpu.ops.metrics import AverageMeter, compute_accuracy
 from clip_gp_tpu.runtime.optim import EpochOptimizer
 from clip_gp_tpu.runtime.trainer_base import BaseTrainer
 
+# Max conditional prompts (images × classes) in flight per text-tower call.
+# Measured on v5e (ViT-B/16 text tower, K=100, B=32, scripts/bench_cocoop.py):
+# small chunks win the full train step (1025 ms at chunk=1 vs 1844 ms fully
+# batched — backward HBM traffic dominates), while single-call wins when
+# B·K fits the budget outright (small-K datasets). Benches/tests may override
+# before build_model().
+PROMPT_BUDGET = 128
+
 
 @TRAINER_REGISTRY.register("Adapter-CoCoOp")
 class Trainer(BaseTrainer):
@@ -69,12 +77,10 @@ class Trainer(BaseTrainer):
     def _build_jitted_fns(self, arch, clip_params):
         scale = self.logit_scale
         k = self.num_classes_k
-        prefix, suffix, tokenized = (
-            self.token_prefix,
-            self.token_suffix,
-            self.tokenized,
-        )
-        eot = tokenized.argmax(axis=-1)
+        # prefix/suffix are [K, ~72, W] — explicit jit arguments, never
+        # closure leaves (HLO-constant blowup crashes remote compile at
+        # real class counts; CLAUDE.md hard rule)
+        self._eot = self.tokenized.argmax(axis=-1)
         preprocess = self.preprocess
 
         self._clip_params = clip_params
@@ -86,15 +92,19 @@ class Trainer(BaseTrainer):
 
         self._encode_norm = lambda images: encode(self._clip_params, images)
 
-        # chunked conditional prompts: C images' K prompts encode per text-
+        # Blocked conditional prompts: C images' K prompts encode per text-
         # tower call (the reference encodes one image's prompts at a time in a
-        # Python loop, ref: cocoop.py:739-745); identical math, better MXU
-        # utilization; chunk size keeps ~<=256 prompts in flight
-        chunk = max(1, min(8, 256 // max(k, 1)))
+        # Python loop, ref: cocoop.py:739-745). When the whole batch's B·K
+        # prompts fit the budget, everything encodes in ONE text-tower call —
+        # the TPU-native answer (one big MXU matmul instead of a sequential
+        # lax.map); otherwise chunks of C·K prompts go through a compiled
+        # lax.map. Identical math either way (test_methods_e2e parity test).
+        budget = int(PROMPT_BUDGET)
 
-        def logits_fn(clip_params, params, img_feats):
+        def logits_fn(clip_params, params, img_feats, prefix, suffix, eot):
             # img_feats: [B, D] normalized
             b = img_feats.shape[0]
+            chunk = max(1, min(b, budget // max(k, 1)))
             h = jax.nn.relu(
                 img_feats @ params["meta_fc1"]["w"] + params["meta_fc1"]["b"]
             )
@@ -107,23 +117,30 @@ class Trainer(BaseTrainer):
 
             def per_chunk(args):
                 feats_c, bias_c = args  # [C,D], [C,ctx_dim]
+                c = feats_c.shape[0]
                 ctx_c = ctx[None, None] + bias_c[:, None, None]  # [C,1,n_ctx,dim]
-                ctx_c = jnp.broadcast_to(ctx_c, (chunk, k) + ctx.shape)
+                ctx_c = jnp.broadcast_to(ctx_c, (c, k) + ctx.shape)
                 prompts = jnp.concatenate(
                     [
-                        jnp.broadcast_to(prefix[None], (chunk,) + prefix.shape),
+                        jnp.broadcast_to(prefix[None], (c,) + prefix.shape),
                         ctx_c,
-                        jnp.broadcast_to(suffix[None], (chunk,) + suffix.shape),
+                        jnp.broadcast_to(suffix[None], (c,) + suffix.shape),
                     ],
                     axis=2,
-                ).reshape(chunk * k, -1, ctx.shape[-1])
-                eot_ck = jnp.tile(eot, chunk)
+                ).reshape(c * k, -1, ctx.shape[-1])
+                eot_ck = jnp.tile(eot, c)
                 text = clip_model.text_features_from_embeddings(
                     clip_params, arch, prompts, eot_ck
-                ).reshape(chunk, k, -1)
+                ).reshape(c, k, -1)
                 text = common.l2_normalize(text)
                 return scale * jnp.einsum("cd,ckd->ck", feats_c, text)
 
+            # remat each chunk: the lax.map backward otherwise stacks every
+            # chunk's text-tower residuals ([n_chunks, ...] — OOM at real K)
+            per_chunk = jax.checkpoint(per_chunk)
+            if n_chunks == 1:
+                # whole batch in one text-tower call
+                return per_chunk((feats_p, bias_p))[:b]
             logits = jax.lax.map(
                 per_chunk,
                 (
@@ -135,12 +152,16 @@ class Trainer(BaseTrainer):
 
         logits_jit = jax.jit(logits_fn)
         self._logits_fn = lambda params, feats: logits_jit(
-            self._clip_params, params, feats
+            self._clip_params, params, feats,
+            self.token_prefix, self.token_suffix, self._eot,
         )
 
-        def train_step(clip_params, params, opt_state, img_feats, labels):
+        def train_step(clip_params, params, opt_state, img_feats, labels,
+                       prefix, suffix, eot):
             def loss_fn(params):
-                logits = logits_fn(clip_params, params, img_feats)
+                logits = logits_fn(
+                    clip_params, params, img_feats, prefix, suffix, eot
+                )
                 return common.cross_entropy(logits, labels), logits
 
             (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -154,7 +175,8 @@ class Trainer(BaseTrainer):
 
         step_jit = jax.jit(train_step, donate_argnums=(1, 2))
         self._train_step = lambda params, opt_state, feats, labels: step_jit(
-            self._clip_params, params, opt_state, feats, labels
+            self._clip_params, params, opt_state, feats, labels,
+            self.token_prefix, self.token_suffix, self._eot,
         )
 
     # ------------------------------------------------------------------

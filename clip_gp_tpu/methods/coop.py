@@ -95,16 +95,11 @@ class Trainer(BaseTrainer):
     def _build_jitted_fns(self, arch, clip_params):
         scale = self.logit_scale
         k = self.num_classes_k
-        prefix, suffix, tokenized = (
-            self.token_prefix,
-            self.token_suffix,
-            self.tokenized,
-        )
-        eot = tokenized.argmax(axis=-1)
+        # prefix/suffix are [K, ~72, W] — explicit jit arguments, never
+        # closure leaves (HLO-constant blowup crashes remote compile at real
+        # class counts; CLAUDE.md hard rule). Same for clip_params.
+        self._eot = self.tokenized.argmax(axis=-1)
         preprocess = self.preprocess
-
-        # clip_params stays an explicit argument of every jitted function —
-        # closing over the tower weights would embed them as HLO constants
         self._clip_params = clip_params
 
         @jax.jit
@@ -114,7 +109,7 @@ class Trainer(BaseTrainer):
 
         self._encode_norm = lambda images: encode(self._clip_params, images)
 
-        def text_features(clip_params, params):
+        def text_features(clip_params, params, prefix, suffix, eot):
             prompts = assemble_prompts(params["ctx"], prefix, suffix, k)
             feats = clip_model.text_features_from_embeddings(
                 clip_params, arch, prompts, eot
@@ -123,12 +118,14 @@ class Trainer(BaseTrainer):
 
         text_features_jit = jax.jit(text_features)
         self._text_features = lambda params: text_features_jit(
-            self._clip_params, params
+            self._clip_params, params,
+            self.token_prefix, self.token_suffix, self._eot,
         )
 
-        def train_step(clip_params, params, opt_state, img_feats, labels):
+        def train_step(clip_params, params, opt_state, img_feats, labels,
+                       prefix, suffix, eot):
             def loss_fn(params):
-                text = text_features(clip_params, params)
+                text = text_features(clip_params, params, prefix, suffix, eot)
                 logits = scale * img_feats @ text.T
                 return common.cross_entropy(logits, labels), logits
 
@@ -143,7 +140,8 @@ class Trainer(BaseTrainer):
 
         step_jit = jax.jit(train_step, donate_argnums=(1, 2))
         self._train_step = lambda params, opt_state, feats, labels: step_jit(
-            self._clip_params, params, opt_state, feats, labels
+            self._clip_params, params, opt_state, feats, labels,
+            self.token_prefix, self.token_suffix, self._eot,
         )
 
     # ------------------------------------------------------------------

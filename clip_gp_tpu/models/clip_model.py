@@ -207,11 +207,23 @@ def transformer(
     num_heads: int,
     mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Stack of residual blocks, scanned so XLA compiles the block body once."""
+    """Stack of residual blocks, scanned so XLA compiles the block body once.
+
+    The block body is rematerialized (``jax.checkpoint``): backward through
+    the towers (CoOp/CoCoOp prompt grads) saves only per-block inputs instead
+    of every in-block activation — without it, a CoCoOp step at B·K=3200
+    prompts tries to keep 24 GB of MLP hiddens (measured OOM on a 16 GB v5e).
+    Pure-forward paths (frozen feature extraction) are unaffected.
+    """
     blocks = p["blocks"]
 
+    def block_fn(block_params, x, mask):
+        return attention_block(block_params, x, num_heads, mask)
+
+    block_remat = jax.checkpoint(block_fn)
+
     def body(x, block_params):
-        return attention_block(block_params, x, num_heads, mask), None
+        return block_remat(block_params, x, mask), None
 
     x, _ = jax.lax.scan(body, x, blocks)
     return x

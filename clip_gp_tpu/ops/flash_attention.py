@@ -165,6 +165,65 @@ def _fused_block_kernel(h_ref, wqkv_ref, bqkv_ref, wout_ref, mask_ref, o_ref, ac
     o_ref[...] = acc[...].astype(o_ref.dtype)
 
 
+def _xla_attention_block(h, w_qkv, b_qkv, w_out, b_out, num_heads, mask):
+    """XLA reference of the fused block (same math; used for parity tests and
+    as the differentiated function in the custom VJP)."""
+    b, n, d = h.shape
+    dh = d // num_heads
+    qkv = h @ w_qkv.astype(h.dtype) + b_qkv.astype(h.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(x):
+        return x.reshape(b, n, num_heads, dh).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(dh).astype(q.dtype)
+    if mask is not None:
+        scores = scores + mask.astype(scores.dtype)
+    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    attn = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, n, d)
+    return attn @ w_out.astype(h.dtype) + b_out.astype(h.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _fused_block(h, w_qkv, b_qkv, w_out, b_out, mask, num_heads, interpret):
+    return _fused_block_pallas(
+        h, w_qkv, b_qkv, w_out, b_out, mask, num_heads, interpret
+    )
+
+
+def _fused_block_fwd(h, w_qkv, b_qkv, w_out, b_out, mask, num_heads, interpret):
+    # Under differentiation, run the XLA forward instead of Pallas: the
+    # backward re-derives the VJP from the XLA math anyway, so a Pallas
+    # forward here would be strictly extra work (measured: CoOp-style text
+    # tower steps 700 ms XLA-only vs 1025 ms Pallas-forward on v5e).
+    # Inference-only paths (frozen feature extraction — the hot loop) never
+    # hit this rule and keep the fast kernel.
+    out = _xla_attention_block(h, w_qkv, b_qkv, w_out, b_out, num_heads, mask)
+    return out, (h, w_qkv, b_qkv, w_out, b_out, mask)
+
+
+def _fused_block_bwd(num_heads, interpret, residuals, g):
+    """Backward through the XLA reference math (Pallas kernels have no JVP
+    rule; CoOp/CoCoOp differentiate through the text tower, so the fused
+    forward must be paired with an exact XLA VJP). Costs one XLA forward
+    recompute — the price of keeping the fast kernel on inference-heavy
+    paths without a handwritten backward kernel."""
+    h, w_qkv, b_qkv, w_out, b_out, mask = residuals
+
+    def ref(h, w_qkv, b_qkv, w_out, b_out):
+        return _xla_attention_block(h, w_qkv, b_qkv, w_out, b_out,
+                                    num_heads, mask)
+
+    _, vjp = jax.vjp(ref, h, w_qkv, b_qkv, w_out, b_out)
+    dh, dwqkv, dbqkv, dwout, dbout = vjp(g)
+    return dh, dwqkv, dbqkv, dwout, dbout, jnp.zeros_like(mask)
+
+
+_fused_block.defvjp(_fused_block_fwd, _fused_block_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
 def fused_attention_block(
     h: jnp.ndarray,
@@ -176,20 +235,42 @@ def fused_attention_block(
     mask: Optional[jnp.ndarray] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused qkv-projection + MHA + out-projection. h: [B, N, D] (post-LN),
-    weights in torch packing ([D,3D] / [D,D] — no repacking needed: the
-    out-projection's per-head view is a free row-major reshape).
+    """Fused qkv-projection + MHA + out-projection (differentiable: Pallas
+    forward + XLA-math custom VJP). h: [B, N, D] (post-LN), weights in torch
+    packing ([D,3D] / [D,D]).
 
     Returns attn(h) @ W_out + b_out — the caller adds the residual.
     """
+    n = h.shape[1]
+    mask_arr = (
+        jnp.zeros((n, n), dtype=jnp.float32)
+        if mask is None
+        else mask.astype(jnp.float32)
+    )
+    return _fused_block(
+        h, w_qkv, b_qkv, w_out, b_out, mask_arr, num_heads, interpret
+    )
+
+
+def _fused_block_pallas(
+    h: jnp.ndarray,
+    w_qkv: jnp.ndarray,
+    b_qkv: jnp.ndarray,
+    w_out: jnp.ndarray,
+    b_out: jnp.ndarray,
+    mask: jnp.ndarray,
+    num_heads: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """The Pallas forward: one wide [D,3D] qkv matmul per batch tile, per-head
+    attention + out-projection accumulation, all in VMEM."""
     b, n, d = h.shape
     dh = d // num_heads
     interpret = interpret or jax.default_backend() != "tpu"
     n_pad = _round_up(n, LANE)
 
     full_mask = jnp.zeros((n_pad, n_pad), dtype=jnp.float32)
-    if mask is not None:
-        full_mask = full_mask.at[:n, :n].set(mask.astype(jnp.float32))
+    full_mask = full_mask.at[:n, :n].set(mask.astype(jnp.float32))
     if n_pad != n:
         full_mask = full_mask.at[:, n:].set(-jnp.inf)
 

@@ -93,3 +93,70 @@ def test_fused_text_tower_parity(monkeypatch):
     monkeypatch.setattr(fa, "use_flash", lambda: True)
     flash_txt = np.asarray(clip_model.encode_text(params, arch, tokens))
     np.testing.assert_allclose(flash_txt, baseline_txt, atol=5e-5)
+
+
+# ----------------------------------------------------------------------
+# differentiability: Pallas forward + XLA-math custom VJP
+# ----------------------------------------------------------------------
+
+def test_fused_block_grads_match_xla_reference():
+    """grad through fused_attention_block must equal grad of the XLA math
+    (the custom VJP differentiates the reference implementation)."""
+    from clip_gp_tpu.ops.flash_attention import (
+        _xla_attention_block,
+        fused_attention_block,
+    )
+
+    rng = np.random.default_rng(0)
+    b, n, d, heads = 2, 10, 32, 4
+    h = jnp.asarray(rng.normal(size=(b, n, d)).astype(np.float32))
+    w_qkv = jnp.asarray(rng.normal(size=(d, 3 * d)).astype(np.float32) * 0.05)
+    b_qkv = jnp.asarray(rng.normal(size=(3 * d,)).astype(np.float32) * 0.05)
+    w_out = jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.05)
+    b_out = jnp.asarray(rng.normal(size=(d,)).astype(np.float32) * 0.05)
+    mask = jnp.triu(jnp.full((n, n), -1e9, dtype=jnp.float32), k=1)
+
+    def loss_fused(args):
+        h, wq, bq, wo, bo = args
+        out = fused_attention_block(h, wq, bq, wo, bo, heads, mask,
+                                    interpret=True)
+        return jnp.sum(out**2)
+
+    def loss_ref(args):
+        h, wq, bq, wo, bo = args
+        out = _xla_attention_block(h, wq, bq, wo, bo, heads, mask)
+        return jnp.sum(out**2)
+
+    args = (h, w_qkv, b_qkv, w_out, b_out)
+    g_fused = jax.grad(loss_fused)(args)
+    g_ref = jax.grad(loss_ref)(args)
+    for gf, gr in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_text_tower_grads_with_flash_enabled(monkeypatch):
+    """CoOp/CoCoOp differentiate through the text tower; with the Pallas path
+    forced (the TPU default) grads must exist and be finite — round 1 shipped
+    a forward-only kernel that raised under jax.grad."""
+    import clip_gp_tpu.ops.flash_attention as fa
+    from clip_gp_tpu.models import clip_model
+    from clip_gp_tpu.models.clip_loader import init_clip_params
+
+    monkeypatch.setattr(fa, "use_flash", lambda: True)
+    arch = clip_model.ARCHITECTURES["TEST-ViT"]
+    params = init_clip_params(jax.random.key(0), arch)
+    rng = np.random.default_rng(0)
+    w = int(arch.transformer_width)
+    embeds = jnp.asarray(rng.normal(size=(2, 77, w)).astype(np.float32) * 0.02)
+    eot = jnp.asarray(np.array([7, 7], dtype=np.int32))
+
+    def loss(embeds):
+        feats = clip_model.text_features_from_embeddings(
+            params, arch, embeds, eot
+        )
+        return jnp.sum(feats**2)
+
+    g = jax.grad(loss)(embeds)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0

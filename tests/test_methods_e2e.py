@@ -177,3 +177,38 @@ def test_adapter_minmax_template_init(tmp_path):
         make_config(tmp_path, "Adapter", template_init_method="minmax")
     )
     assert np.isfinite(payload["metrics"]["top1_acc"])
+
+
+def test_cocoop_batched_vs_chunked_logits_parity(tmp_path, monkeypatch):
+    """The single-call batched text encode (PROMPT_BUDGET >= B*K) must produce
+    the same logits as the chunked lax.map fallback path."""
+    import jax.numpy as jnp
+
+    from clip_gp_tpu.methods import cocoop as cocoop_mod
+
+    config = make_config(tmp_path, "Adapter-CoCoOp")
+    set_random_seed(config.seed)
+    dm = build_data_manager(config)
+
+    def build(budget):
+        monkeypatch.setattr(cocoop_mod, "PROMPT_BUDGET", budget)
+        set_random_seed(config.seed)
+        trainer = build_trainer(config, dm)
+        trainer.build_model()
+        return trainer
+
+    trainer_full = build(10_000)  # B*K = 8*4 << budget: single call
+    trainer_chunk = build(4)  # chunk = 1 image per call: lax.map path
+
+    rng = np.random.default_rng(0)
+    d = int(trainer_full.arch.embed_dim)
+    feats = rng.normal(size=(8, d)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    # identical init (same seed) -> identical params; only chunking differs
+    logits_full = np.asarray(
+        trainer_full._logits_fn(trainer_full.params, jnp.asarray(feats))
+    )
+    logits_chunk = np.asarray(
+        trainer_chunk._logits_fn(trainer_full.params, jnp.asarray(feats))
+    )
+    np.testing.assert_allclose(logits_full, logits_chunk, rtol=2e-4, atol=2e-4)
