@@ -51,11 +51,11 @@ import numpy as np
 
 REFERENCE_TORCH_V100_IMGS_PER_SEC = 325.0
 
-BATCH = 128
+BATCHES = (128, 256, 512)
 TIMED_ITERS = 20
 
 
-def main():
+def measure(batch: int) -> float:
     from clip_gp_tpu.data.transforms import device_preprocess
     from clip_gp_tpu.models import clip_model
     from clip_gp_tpu.models.clip_loader import init_clip_params
@@ -81,7 +81,7 @@ def main():
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(
-        rng.integers(0, 256, size=(BATCH, 224, 224, 3), dtype=np.uint8)
+        rng.integers(0, 256, size=(batch, 224, 224, 3), dtype=np.uint8)
     )
 
     # warmup/compile, materialized to host
@@ -93,16 +93,28 @@ def main():
         x, out = step(params, x)
     float(jnp.sum(out))  # materializes the whole chain
     elapsed = time.perf_counter() - start
+    return batch * TIMED_ITERS / elapsed
 
-    imgs_per_sec = BATCH * TIMED_ITERS / elapsed
+
+def main():
+    by_batch = {str(b): round(measure(b), 1) for b in BATCHES}
+    best_batch = max(by_batch, key=by_batch.get)
+    imgs_per_sec = by_batch[best_batch]
     print(
         json.dumps(
             {
                 "metric": "vitb16_feature_extract_imgs_per_sec_per_chip",
-                "value": round(imgs_per_sec, 1),
+                "value": imgs_per_sec,
                 "unit": "imgs/s",
                 "vs_baseline": round(
                     imgs_per_sec / REFERENCE_TORCH_V100_IMGS_PER_SEC, 2
+                ),
+                "batch": int(best_batch),
+                "by_batch": by_batch,
+                "baseline_note": (
+                    "reference publishes no numbers; denominator is a "
+                    "documented ESTIMATE of torch fp32 ViT-B/16 on one V100 "
+                    "(~325 imgs/s) - see bench.py docstring"
                 ),
             }
         )

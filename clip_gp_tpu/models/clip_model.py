@@ -176,7 +176,11 @@ def attention_block(
     """
     h = layer_norm(p["ln_1"], x)
     a = p["attn"]
-    from clip_gp_tpu.ops.flash_attention import fused_attention_block, use_flash
+    from clip_gp_tpu.ops.flash_attention import (
+        fused_attention_block,
+        fused_ln_mlp,
+        use_flash,
+    )
 
     if use_flash():
         # whole attention sub-block (qkv proj + MHA + out proj) as one Pallas
@@ -190,11 +194,22 @@ def attention_block(
             num_heads,
             mask,
         )
-    else:
-        qkv = h @ a["w_qkv"].astype(x.dtype) + a["b_qkv"].astype(x.dtype)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        attn = multi_head_attention(q, k, v, num_heads, mask)
-        x = x + attn @ a["w_out"].astype(x.dtype) + a["b_out"].astype(x.dtype)
+        # ln_2 + MLP as one Pallas kernel — the [B·N, 4D] hidden activation
+        # stays in VMEM between the two MLP matmuls (measured 3437 vs 3402
+        # imgs/s e2e ViT-B/16 with the XLA ln+MLP on v5e)
+        return fused_ln_mlp(
+            x,
+            p["ln_2"]["scale"],
+            p["ln_2"]["bias"],
+            p["mlp"]["c_fc"]["w"],
+            p["mlp"]["c_fc"]["b"],
+            p["mlp"]["c_proj"]["w"],
+            p["mlp"]["c_proj"]["b"],
+        )
+    qkv = h @ a["w_qkv"].astype(x.dtype) + a["b_qkv"].astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    attn = multi_head_attention(q, k, v, num_heads, mask)
+    x = x + attn @ a["w_out"].astype(x.dtype) + a["b_out"].astype(x.dtype)
     h = layer_norm(p["ln_2"], x)
     h = quick_gelu(linear(p["mlp"]["c_fc"], h))
     x = x + linear(p["mlp"]["c_proj"], h)

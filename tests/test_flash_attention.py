@@ -160,3 +160,37 @@ def test_text_tower_grads_with_flash_enabled(monkeypatch):
     g = jax.grad(loss)(embeds)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_fused_ln_mlp_parity_and_grads():
+    """fused_ln_mlp (interpret mode) must match the XLA reference in both
+    values and gradients (custom VJP differentiates the XLA math)."""
+    from clip_gp_tpu.ops.flash_attention import _xla_ln_mlp, fused_ln_mlp
+
+    rng = np.random.default_rng(0)
+    b, n, d, h = 2, 9, 32, 128
+    x = jnp.asarray(rng.normal(size=(b, n, d)).astype(np.float32))
+    g = jnp.asarray(1.0 + 0.1 * rng.normal(size=(d,)).astype(np.float32))
+    bias = jnp.asarray(0.1 * rng.normal(size=(d,)).astype(np.float32))
+    w_fc = jnp.asarray(rng.normal(size=(d, h)).astype(np.float32) * 0.1)
+    b_fc = jnp.asarray(rng.normal(size=(h,)).astype(np.float32) * 0.1)
+    w_pr = jnp.asarray(rng.normal(size=(h, d)).astype(np.float32) * 0.1)
+    b_pr = jnp.asarray(rng.normal(size=(d,)).astype(np.float32) * 0.1)
+
+    out = fused_ln_mlp(x, g, bias, w_fc, b_fc, w_pr, b_pr, interpret=True)
+    ref = _xla_ln_mlp(x, g, bias, w_fc, b_fc, w_pr, b_pr)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_fused(args):
+        return jnp.sum(fused_ln_mlp(*args, interpret=True) ** 2)
+
+    def loss_ref(args):
+        return jnp.sum(_xla_ln_mlp(*args) ** 2)
+
+    args = (x, g, bias, w_fc, b_fc, w_pr, b_pr)
+    gf = jax.grad(loss_fused)(args)
+    gr = jax.grad(loss_ref)(args)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
