@@ -1,0 +1,141 @@
+#!/usr/bin/env python3
+"""North-star sweep projection: 11 datasets × {1,2,4,8,16} shots × 5 seeds
+GP suite (275 trials) vs the BASELINE.md <30 min v4-8 target.
+
+Measures, END-TO-END on one chip at realistic scale (100 classes, 224px
+images through the real decode→augment→encode pipeline, ViT-B/16, 100 GP
+epochs, S=30/300): one 5-seed vmapped trial group per shot count — exactly
+the unit the sweep runner schedules. The per-dataset cost is the sum over
+the 5 shot-count groups (test features are encoded once per group here,
+which over-counts: the runner caches them per dataset, so the projection is
+conservative).
+
+Projection model: dataset×shot groups are embarrassingly parallel (no
+cross-group communication; the trial axis inside a group can additionally
+shard over a mesh — tests/test_trial_vmap.py exercises that placement), so
+8-chip wall ≈ ceil(55 groups / 8 chips) × mean-group-time, plus the one-time
+XLA compile (shared cache: 5 train shapes + 1 eval shape).
+
+Writes BENCH_sweep.json at the repo root and prints it.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+os.environ.setdefault("CLIP_GP_TPU_ALLOW_RANDOM_WEIGHTS", "1")
+
+import jax
+
+if os.environ.get("CLIP_GP_TPU_NO_COMPILE_CACHE") != "1":
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.cache/clip_gp_tpu/xla"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+SHOTS = (1, 2, 4, 8, 16)
+SEEDS = (1, 2, 3, 4, 5)
+N_DATASETS = 11
+N_CHIPS = 8
+
+
+def main():
+    from clip_gp_tpu.core.config import Config
+    from clip_gp_tpu.data.datasets.synthetic import (
+        generate_synthetic_imagefolder,
+    )
+    from clip_gp_tpu.parallel.trial_vmap import run_seed_vmapped_adapter
+
+    import clip_gp_tpu.data.datasets  # noqa: F401
+    import clip_gp_tpu.methods  # noqa: F401
+
+    tmp = tempfile.mkdtemp(prefix="bench_sweep_proj_")
+    t0 = time.time()
+    generate_synthetic_imagefolder(
+        tmp, num_classes=100, images_per_class=42, image_size=224, seed=0
+    )
+    gen_s = time.time() - t0
+
+    def config(shots):
+        c = Config()
+        c.dataset.name = "Synthetic"
+        c.dataset.root = tmp
+        c.dataset.num_shots = shots
+        c.model.backbone_name = "ViT-B/16"
+        c.input.size = (224, 224)
+        c.dataloader.batch_size_train = 128
+        c.dataloader.batch_size_test = 128
+        c.dataloader.num_workers = max(2, os.cpu_count() or 2)
+        c.adapter.num_templates = 8
+        c.adapter.use_gp = True
+        c.adapter.gp_kernel_type = "linear"
+        c.adapter.gp_num_mc_samples_train = 30
+        c.adapter.gp_num_mc_samples_eval = 300
+        c.adapter.clip_adapter_epochs = 100
+        c.optim.max_epoch = 100
+        c.train.print_freq = 10_000
+        c.seed = 1
+        return c
+
+    group_s = {}
+    for shots in SHOTS:
+        outdirs = [os.path.join(tmp, f"out/s{shots}_t{i}") for i in range(5)]
+        t0 = time.time()
+        results = run_seed_vmapped_adapter(config(shots), list(SEEDS), outdirs)
+        group_s[shots] = time.time() - t0
+        print(f"# shots={shots}: {group_s[shots]:.1f}s "
+              f"({len(results)} trials)", file=sys.stderr)
+
+    per_dataset_s = sum(group_s.values())
+    single_chip_s = N_DATASETS * per_dataset_s
+    n_groups = N_DATASETS * len(SHOTS)
+    mean_group_s = per_dataset_s / len(SHOTS)
+    eight_chip_s = math.ceil(n_groups / N_CHIPS) * mean_group_s
+
+    payload = {
+        "metric": "gp_sweep_11x5shots_5seeds_projection",
+        "trials_total": N_DATASETS * len(SHOTS) * len(SEEDS),
+        "measured_group_s_by_shots": {
+            str(k): round(v, 1) for k, v in group_s.items()
+        },
+        "measured_per_dataset_s": round(per_dataset_s, 1),
+        "single_chip_projection_min": round(single_chip_s / 60, 1),
+        "eight_chip_projection_min": round(eight_chip_s / 60, 1),
+        "target_min": 30,
+        "meets_target": eight_chip_s / 60 < 30,
+        "dataset_gen_s": round(gen_s, 1),
+        "backend": jax.default_backend(),
+        "assumptions": [
+            "representative dataset = 100 classes, 42 imgs/class (real "
+            "decode->augment->encode pipeline at 224px), ViT-B/16, linear-"
+            "kernel GP, 100 epochs, S=30/300 (configs/trainers/gp.yaml shape)",
+            "5 seeds per (dataset, shots) group train as one vmapped program "
+            "(measured here); groups are independent -> distribute 55 groups "
+            "over 8 chips",
+            "test features re-encoded per group in this measurement; the "
+            "sweep runner caches them per dataset (projection conservative)",
+            "XLA compiles shared via the persistent cache (first-run compile "
+            "excluded the same way a real sweep amortizes it across groups)",
+            "measured on a tunneled v5e chip; a v4 chip has comparable bf16 "
+            "throughput",
+        ],
+    }
+    (REPO / "BENCH_sweep.json").write_text(json.dumps(payload, indent=2))
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

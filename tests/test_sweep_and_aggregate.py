@@ -217,3 +217,30 @@ def test_strict_vmap_raises_and_fallback_counts(tmp_path, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert "1 group(s) fell back" in out
     assert len(ran) == len(trials)
+
+
+def test_bars_notebook_analog(tmp_path):
+    """reporting.bars: the scripts/test.ipynb analog — runs.csv + per-dataset
+    3-metric grouped bar figures from metrics.json runs across experiments."""
+    import csv
+
+    from clip_gp_tpu.reporting import bars
+
+    root = tmp_path / "output"
+    for exp in ("expA", "expB"):
+        for shots in (1, 4):
+            for seed in (1, 2):
+                _write_run(root, exp, "caltech101", f"GP_{shots}shots", seed,
+                           shots, acc=55.0 + shots + seed, ece=6.0 + seed)
+    rc = bars.main([
+        "expA", "expB", "--output-root", str(root),
+        "--outdir", str(root / "plots"),
+    ])
+    assert rc == 0
+    with (root / "runs.csv").open() as f:
+        rows = list(csv.DictReader(f))
+    # 2 experiments x 1 dataset x 2 shot counts
+    assert len(rows) == 4
+    assert {r["experiment_name"] for r in rows} == {"expA", "expB"}
+    assert float(rows[0]["acc_mean"]) > 0
+    assert (root / "plots" / "caltech101_all_metrics.png").exists()
