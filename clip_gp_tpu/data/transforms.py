@@ -37,15 +37,15 @@ def _interp(mode: str):
     return _PIL_INTERP.get(mode, Image.BILINEAR)
 
 
-def random_resized_crop(
-    img: Image.Image,
-    size: Tuple[int, int],
+def sample_rrc_box(
+    width: int,
+    height: int,
     scale=(0.08, 1.0),
     ratio=(3 / 4, 4 / 3),
-    interpolation=Image.BICUBIC,
     rng=random,
-) -> Image.Image:
-    width, height = img.size
+) -> Tuple[int, int, int, int]:
+    """torchvision RandomResizedCrop window (x, y, w, h). Shared by the PIL
+    and native decode paths so both consume the identical RNG stream."""
     area = width * height
     for _ in range(10):
         target_area = area * rng.uniform(*scale)
@@ -56,7 +56,7 @@ def random_resized_crop(
         if 0 < w <= width and 0 < h <= height:
             x = rng.randint(0, width - w)
             y = rng.randint(0, height - h)
-            return img.resize(size, interpolation, box=(x, y, x + w, y + h))
+            return x, y, w, h
     # fallback: center crop at the clamped aspect ratio
     in_ratio = width / height
     if in_ratio < ratio[0]:
@@ -67,6 +67,19 @@ def random_resized_crop(
         w, h = width, height
     x = (width - w) // 2
     y = (height - h) // 2
+    return x, y, w, h
+
+
+def random_resized_crop(
+    img: Image.Image,
+    size: Tuple[int, int],
+    scale=(0.08, 1.0),
+    ratio=(3 / 4, 4 / 3),
+    interpolation=Image.BICUBIC,
+    rng=random,
+) -> Image.Image:
+    width, height = img.size
+    x, y, w, h = sample_rrc_box(width, height, scale, ratio, rng)
     return img.resize(size, interpolation, box=(x, y, x + w, y + h))
 
 
@@ -169,6 +182,22 @@ def build_transform(config, is_train: bool = False) -> Callable[[Image.Image], n
                 img = center_crop(img, size)
             return np.asarray(img.convert("RGB"), dtype=np.uint8)
 
+        spatial_names = [n for n in names if n != "normalize"]
+        if (
+            size[0] == size[1]
+            and config.input.interpolation == "bicubic"
+            and spatial_names in (
+                ["random_resized_crop"],
+                ["random_resized_crop", "random_flip"],
+            )
+        ):
+            # eligible for the native fused decode→crop→resize(→flip) path
+            # (data/pipeline.py); the window/flip RNG draws stay in Python
+            # via sample_rrc_box so PIL and native consume the same stream
+            train_tfm.native_rrc = {
+                "target": size[0],
+                "flip": "random_flip" in names,
+            }
         return train_tfm
 
     def test_tfm(img: Image.Image, rng=None) -> np.ndarray:

@@ -8,5 +8,7 @@ back to the PIL path when the toolchain or libjpeg is unavailable.
 
 from clip_gp_tpu.native.loader import (  # noqa: F401
     decode_resize_crop,
+    decode_rrc,
+    jpeg_dims,
     native_available,
 )

@@ -44,11 +44,13 @@ inline float cubic(float x) {
 
 // Separable bicubic resize with PIL-style antialiasing: on downscale the
 // kernel is stretched by the scale factor (support 2*scale), matching
-// Pillow's ImagingResample weight computation.
-void resize_bicubic(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
-                    int dw) {
-  const float scale_y = static_cast<float>(sh) / dh;
-  const float scale_x = static_cast<float>(sw) / dw;
+// Pillow's ImagingResample weight computation. Resamples from a float source
+// box (x0, y0, w, h) — PIL's resize(box=...) convention — so cropping is free.
+void resize_bicubic_box(const uint8_t* src, int sh, int sw, float box_x,
+                        float box_y, float box_w, float box_h, uint8_t* dst,
+                        int dh, int dw) {
+  const float scale_y = box_h / dh;
+  const float scale_x = box_w / dw;
 
   struct Taps {
     std::vector<int> bounds;    // xmin per output pixel
@@ -57,7 +59,7 @@ void resize_bicubic(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
     int max_taps;
   };
 
-  auto build_taps = [](int in_size, int out_size, float scale) {
+  auto build_taps = [](int in_size, int out_size, float scale, float offset) {
     Taps t;
     const float filterscale = std::max(scale, 1.0f);
     const float support = 2.0f * filterscale;
@@ -66,7 +68,7 @@ void resize_bicubic(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
     t.counts.resize(out_size);
     t.weights.resize(static_cast<size_t>(out_size) * t.max_taps, 0.0f);
     for (int o = 0; o < out_size; ++o) {
-      const float center = (o + 0.5f) * scale;
+      const float center = offset + (o + 0.5f) * scale;
       int xmin = static_cast<int>(center - support + 0.5f);
       int xmax = static_cast<int>(center + support + 0.5f);
       xmin = std::max(xmin, 0);
@@ -86,8 +88,8 @@ void resize_bicubic(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
     return t;
   };
 
-  const Taps tx = build_taps(sw, dw, scale_x);
-  const Taps ty = build_taps(sh, dh, scale_y);
+  const Taps tx = build_taps(sw, dw, scale_x, box_x);
+  const Taps ty = build_taps(sh, dh, scale_y, box_y);
 
   // horizontal pass into float intermediate [sh, dw, 3]
   std::vector<float> tmp(static_cast<size_t>(sh) * dw * 3);
@@ -129,15 +131,18 @@ void resize_bicubic(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
   }
 }
 
-}  // namespace
+void resize_bicubic(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
+                    int dw) {
+  resize_bicubic_box(src, sh, sw, 0.0f, 0.0f, static_cast<float>(sw),
+                     static_cast<float>(sh), dst, dh, dw);
+}
 
-extern "C" {
-
-// Decode a JPEG byte buffer, resize shortest side to `target`, center-crop to
-// target×target; writes target*target*3 uint8 RGB into `out`.
-// Returns 0 on success, nonzero on failure (caller falls back to PIL).
-int decode_resize_crop(const uint8_t* data, long size, int target,
-                       uint8_t* out) {
+// Shared decode: JPEG bytes → RGB pixel buffer, optionally DCT-scaled so the
+// given region stays >= 2*target on its short side. On success fills
+// `pixels` ([sh, sw, 3]) and the scale factors applied (output/original).
+int decode_pixels(const uint8_t* data, long size, float region_short,
+                  int target, std::vector<uint8_t>* pixels, int* out_sw,
+                  int* out_sh, float* fx, float* fy) {
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -153,14 +158,12 @@ int decode_resize_crop(const uint8_t* data, long size, int target,
     return 2;
   }
   cinfo.out_color_space = JCS_RGB;
-
-  // DCT-domain scaling: decode at the smallest scale >= 2x the target on the
-  // short side (leaves headroom so the bicubic pass stays high quality).
-  const int short_side = std::min(cinfo.image_width, cinfo.image_height);
+  const unsigned orig_w = cinfo.image_width;
+  const unsigned orig_h = cinfo.image_height;
   cinfo.scale_num = 1;
   cinfo.scale_denom = 1;
   for (int denom = 8; denom >= 2; denom /= 2) {
-    if (short_side / denom >= 2 * target) {
+    if (region_short / denom >= 2.0f * target) {
       cinfo.scale_denom = denom;
       break;
     }
@@ -175,13 +178,13 @@ int decode_resize_crop(const uint8_t* data, long size, int target,
     jpeg_destroy_decompress(&cinfo);
     return 3;
   }
-  std::vector<uint8_t> pixels(static_cast<size_t>(sw) * sh * 3);
+  pixels->resize(static_cast<size_t>(sw) * sh * 3);
   std::vector<uint8_t> rowbuf(static_cast<size_t>(sw) * channels);
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* rowptr = rowbuf.data();
     jpeg_read_scanlines(&cinfo, &rowptr, 1);
     uint8_t* dst_row =
-        &pixels[static_cast<size_t>(cinfo.output_scanline - 1) * sw * 3];
+        &(*pixels)[static_cast<size_t>(cinfo.output_scanline - 1) * sw * 3];
     if (channels == 3) {
       std::memcpy(dst_row, rowbuf.data(), static_cast<size_t>(sw) * 3);
     } else {  // grayscale → RGB
@@ -192,6 +195,86 @@ int decode_resize_crop(const uint8_t* data, long size, int target,
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
+  *out_sw = sw;
+  *out_sh = sh;
+  *fx = static_cast<float>(sw) / orig_w;
+  *fy = static_cast<float>(sh) / orig_h;
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Read only the JPEG header; writes original width/height. 0 on success.
+int jpeg_dims(const uint8_t* data, long size, int* width, int* height) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, static_cast<unsigned long>(size));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  *width = static_cast<int>(cinfo.image_width);
+  *height = static_cast<int>(cinfo.image_height);
+  jpeg_abort_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Train-path: decode → crop the (x, y, w, h) box (original-image float
+// coordinates, the torchvision RandomResizedCrop window — sampled by the
+// CALLER so augmentation RNG stays in Python, per-item seeded) → bicubic
+// resize to target×target → optional horizontal flip.
+// DCT-domain scaling is applied when the crop is comfortably larger than the
+// target; box coordinates are rescaled to match.
+int decode_rrc(const uint8_t* data, long size, float x, float y, float w,
+               float h, int target, int flip, uint8_t* out) {
+  std::vector<uint8_t> pixels;
+  int sw, sh;
+  float fx, fy;
+  const float region_short = std::min(w, h);
+  const int rc = decode_pixels(data, size, region_short, target, &pixels,
+                               &sw, &sh, &fx, &fy);
+  if (rc != 0) return rc;
+  resize_bicubic_box(pixels.data(), sh, sw, x * fx, y * fy, w * fx, h * fy,
+                     out, target, target);
+  if (flip) {
+    for (int row = 0; row < target; ++row) {
+      uint8_t* r = out + static_cast<size_t>(row) * target * 3;
+      for (int a = 0, b = target - 1; a < b; ++a, --b) {
+        for (int c = 0; c < 3; ++c) std::swap(r[a * 3 + c], r[b * 3 + c]);
+      }
+    }
+  }
+  return 0;
+}
+
+// Decode a JPEG byte buffer, resize shortest side to `target`, center-crop to
+// target×target; writes target*target*3 uint8 RGB into `out`.
+// Returns 0 on success, nonzero on failure (caller falls back to PIL).
+int decode_resize_crop(const uint8_t* data, long size, int target,
+                       uint8_t* out) {
+  std::vector<uint8_t> pixels_vec;
+  int sw, sh;
+  float fx, fy;
+  {
+    // peek dims for the DCT-scale decision (short side of the full image)
+    int ow, oh;
+    if (jpeg_dims(data, size, &ow, &oh) != 0) return 2;
+    const int rc = decode_pixels(
+        data, size, static_cast<float>(std::min(ow, oh)), target,
+        &pixels_vec, &sw, &sh, &fx, &fy);
+    if (rc != 0) return rc;
+  }
+  std::vector<uint8_t>& pixels = pixels_vec;
 
   // shortest-side resize
   int rw, rh;

@@ -60,6 +60,25 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8),
     ]
+    lib.jpeg_dims.restype = ctypes.c_int
+    lib.jpeg_dims.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.decode_rrc.restype = ctypes.c_int
+    lib.decode_rrc.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.c_float,
+        ctypes.c_float,
+        ctypes.c_float,
+        ctypes.c_float,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     return lib
 
 
@@ -84,6 +103,46 @@ def decode_resize_crop(jpeg_bytes: bytes, target: int) -> Optional[np.ndarray]:
         jpeg_bytes,
         len(jpeg_bytes),
         target,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        return None
+    return out
+
+
+def jpeg_dims(jpeg_bytes: bytes) -> Optional[tuple]:
+    """(width, height) from the JPEG header only, or None."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    w = ctypes.c_int(0)
+    h = ctypes.c_int(0)
+    rc = lib.jpeg_dims(
+        jpeg_bytes, len(jpeg_bytes), ctypes.byref(w), ctypes.byref(h)
+    )
+    if rc != 0:
+        return None
+    return (w.value, h.value)
+
+
+def decode_rrc(
+    jpeg_bytes: bytes, box, target: int, flip: bool
+) -> Optional[np.ndarray]:
+    """Train-path: decode → crop ``box`` (x, y, w, h in original coords) →
+    bicubic resize to target×target → optional horizontal flip. The crop
+    window is sampled by the CALLER (augmentation RNG stays in Python,
+    per-item seeded — CLAUDE.md reproducibility contract)."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    x, y, w, h = (float(v) for v in box)
+    out = np.empty((target, target, 3), dtype=np.uint8)
+    rc = lib.decode_rrc(
+        jpeg_bytes,
+        len(jpeg_bytes),
+        x, y, w, h,
+        target,
+        1 if flip else 0,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     if rc != 0:

@@ -76,3 +76,88 @@ def test_throughput_not_slower_than_pil():
     pil_dt = time.perf_counter() - t0
     print(f"native {n / native_dt:.1f} imgs/s vs PIL {n / pil_dt:.1f} imgs/s")
     assert native_dt < pil_dt * 1.5  # at minimum competitive
+
+
+# ----------------------------------------------------------------------
+# train-path: decode + RandomResizedCrop window + flip (round 2)
+# ----------------------------------------------------------------------
+
+def test_jpeg_dims():
+    from clip_gp_tpu.native import jpeg_dims
+
+    assert jpeg_dims(_jpeg_bytes(320, 240)) == (320, 240)
+    assert jpeg_dims(b"nope") is None
+
+
+@pytest.mark.parametrize("flip", [False, True])
+def test_decode_rrc_matches_pil_box_resize(flip):
+    from clip_gp_tpu.native import decode_rrc
+
+    jpeg = _jpeg_bytes(400, 300, seed=3)
+    box = (37, 22, 260, 211)  # x, y, w, h
+    target = 224
+    ours = decode_rrc(jpeg, box, target, flip)
+    assert ours is not None and ours.shape == (target, target, 3)
+
+    img = Image.open(io.BytesIO(jpeg)).convert("RGB")
+    x, y, w, h = box
+    ref = img.resize((target, target), Image.BICUBIC,
+                     box=(x, y, x + w, y + h))
+    if flip:
+        ref = ref.transpose(Image.FLIP_LEFT_RIGHT)
+    ref = np.asarray(ref, dtype=np.uint8)
+    diff = np.abs(ours.astype(np.int16) - ref.astype(np.int16))
+    assert float(diff.mean()) < 4.0, f"mean abs diff {diff.mean():.2f}"
+
+
+def test_decode_rrc_dct_scaled_large_crop():
+    from clip_gp_tpu.native import decode_rrc
+
+    jpeg = _jpeg_bytes(2000, 1500, seed=5)
+    box = (100.0, 80.0, 1600.0, 1200.0)  # big crop -> DCT-scaled decode
+    ours = decode_rrc(jpeg, box, 224, False)
+    assert ours is not None
+    img = Image.open(io.BytesIO(jpeg)).convert("RGB")
+    x, y, w, h = box
+    ref = np.asarray(
+        img.resize((224, 224), Image.BICUBIC, box=(x, y, x + w, y + h)),
+        dtype=np.uint8,
+    )
+    diff = np.abs(ours.astype(np.int16) - ref.astype(np.int16))
+    assert float(diff.mean()) < 6.0
+
+
+def test_pipeline_native_train_path_rng_parity(tmp_path, monkeypatch):
+    """The native train path and the PIL path must consume the identical RNG
+    stream (same crop window, same flip draw) and produce close pixels."""
+    import random as pyrandom
+
+    import clip_gp_tpu.data.pipeline as pipeline
+    from clip_gp_tpu.core.config import Config
+    from clip_gp_tpu.data.datum import Datum
+    from clip_gp_tpu.data.transforms import build_transform
+
+    path = tmp_path / "img.jpg"
+    path.write_bytes(_jpeg_bytes(400, 300, seed=7))
+    item = Datum(impath=str(path), label=0, classname="x")
+
+    c = Config()
+    c.input.size = (224, 224)
+    c.input.interpolation = "bicubic"
+    c.input.transforms = ["random_resized_crop", "random_flip", "normalize"]
+    tfm = build_transform(c, is_train=True)
+    assert getattr(tfm, "native_rrc", None) == {"target": 224, "flip": True}
+
+    monkeypatch.setattr(pipeline, "_USE_NATIVE", False)
+    rng_pil = pyrandom.Random(123)
+    out_pil = pipeline._load_one(item, tfm, rng_pil)
+
+    monkeypatch.setattr(pipeline, "_USE_NATIVE", True)
+    rng_nat = pyrandom.Random(123)
+    out_nat = pipeline._load_one(item, tfm, rng_nat)
+
+    # identical draws consumed -> subsequent values from both rngs agree
+    assert rng_pil.random() == rng_nat.random()
+    assert out_pil.shape == out_nat.shape == (224, 224, 3)
+    diff = np.abs(out_pil.astype(np.int16) - out_nat.astype(np.int16))
+    assert float(diff.mean()) < 4.0, f"mean abs diff {diff.mean():.2f}"
