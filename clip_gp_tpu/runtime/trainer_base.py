@@ -88,6 +88,8 @@ class BaseTrainer:
         self.keys = KeySequence(int(config.seed))
         self.preprocess = preprocess_fn(config)
         self.zero_shot_metrics: Optional[Dict] = None
+        self._best_val_acc = float("-inf")
+        self._val_feature_memo: Optional[Tuple] = None
         self._writer = None
         # set by build_model
         self.clip_arch = None
@@ -239,6 +241,28 @@ class BaseTrainer:
             self.config.train, "enable_adapter_checkpoints", False
         ):
             self.save_model(self.epoch, self.output_dir)
+        # best-val tracking: the reference defines the final_model=best_val
+        # deploy path but never writes model-best (quirk — utils/trainer.py
+        # save_model(val_result) is never called with one); here the intended
+        # behavior is implemented: evaluate val each epoch, keep the best
+        if (
+            getattr(self.config, "final_model", "last") == "best_val"
+            and self.val_loader is not None
+            and len(self.dm.dataset.val or []) > 0
+        ):
+            if self._val_feature_memo is None:
+                self._val_feature_memo = self.encode_images_batched(
+                    self.val_loader, cacheable=True
+                )
+            labels, feats = self._val_feature_memo
+            logits = np.asarray(self.predict_logits(jnp.asarray(feats)))
+            acc = compute_accuracy(logits, labels)[0]
+            if acc > self._best_val_acc:
+                self._best_val_acc = acc
+                self.save_model(self.epoch, self.output_dir,
+                                model_name="model-best")
+                print(f"New best val accuracy: {acc:.2f} "
+                      f"(epoch {self.epoch + 1})")
 
     def train(self):
         with maybe_trace("train"):

@@ -212,3 +212,21 @@ def test_cocoop_batched_vs_chunked_logits_parity(tmp_path, monkeypatch):
         trainer_chunk._logits_fn(trainer_full.params, jnp.asarray(feats))
     )
     np.testing.assert_allclose(logits_full, logits_chunk, rtol=2e-4, atol=2e-4)
+
+
+def test_final_model_best_val(tmp_path, capfd):
+    """final_model=best_val: per-epoch val tracking writes model-best.npz and
+    after_train deploys it (the reference defines this deploy path but never
+    writes model-best — quirk fixed, documented in COMPONENTS.md)."""
+    import os
+
+    config = make_config(tmp_path, "CLIP-Adapter")
+    config.final_model = "best_val"
+    config.adapter.clip_adapter_epochs = 3
+    _run(config)
+    out = capfd.readouterr().out
+    assert "New best val accuracy" in out
+    assert "Deploy the model with the best val performance" in out
+    assert os.path.exists(
+        os.path.join(config.output_dir, "adapter", "model-best.npz")
+    )
