@@ -323,6 +323,39 @@ def encode_image(
     return feats.astype(jnp.float32)
 
 
+def encode_image_all_layers(
+    params: Params,
+    arch: ClipArchitecture,
+    images: jnp.ndarray,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Per-layer projected CLS features — the ViT debug mode
+    (ref: clip/model.py:225-274, ``all_layer_outputs=True``): after every
+    block, ln_post + proj applied to the CLS token. Returns
+    [layers, B, embed_dim] (the reference returns a Python list; here the
+    block scan's ys give the stacked equivalent in one compiled program)."""
+    assert arch.is_vit, "all-layer outputs are defined for the ViT tower"
+    p = params["visual"]
+    x = images.astype(compute_dtype)
+    ps = arch.vision_patch_size
+    x = conv2d(p["conv1"], x, stride=ps)
+    b, gh, gw, w = x.shape
+    x = x.reshape(b, gh * gw, w)
+    cls = jnp.broadcast_to(p["class_embed"].astype(x.dtype), (b, 1, w))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + p["pos_embed"].astype(x.dtype)
+    x = layer_norm(p["ln_pre"], x)
+    num_heads = arch.vision_heads
+
+    def body(x, block_params):
+        x = attention_block(block_params, x, num_heads, None)
+        out = layer_norm(p["ln_post"], x[:, 0]) @ p["proj"].astype(x.dtype)
+        return x, out.astype(jnp.float32)
+
+    _, outs = jax.lax.scan(body, x, p["transformer"]["blocks"])
+    return outs
+
+
 # ---------------------------------------------------------------------------
 # text tower
 # ---------------------------------------------------------------------------

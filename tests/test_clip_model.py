@@ -154,3 +154,38 @@ def test_npz_roundtrip(tmp_path):
     assert len(before) == len(after)
     for a, b in zip(before, after):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_encode_image_all_layers():
+    """all_layer_outputs analog (ref: clip/model.py:225-274): per-layer
+    projected CLS features; the last layer equals the standard encode."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_gp_tpu.models.clip_loader import init_clip_params
+    from clip_gp_tpu.models.clip_model import (
+        ARCHITECTURES,
+        encode_image,
+        encode_image_all_layers,
+    )
+
+    arch = ARCHITECTURES["TEST-ViT"]
+    params = init_clip_params(jax.random.key(0), arch)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    outs = np.asarray(encode_image_all_layers(params, arch, images))
+    assert outs.shape == (arch.vision_layers, 2, arch.embed_dim)
+    final = np.asarray(encode_image(params, arch, images))
+    np.testing.assert_allclose(outs[-1], final, rtol=1e-5, atol=1e-5)
+
+
+def test_grouped_imagenet_templates_bank():
+    from clip_gp_tpu.data.template_banks import (
+        GROUPED_IMAGENET_TEMPLATES,
+        IMAGENET_TEMPLATES,
+    )
+
+    assert len(GROUPED_IMAGENET_TEMPLATES) == 8
+    assert all(len(g) == 10 for g in GROUPED_IMAGENET_TEMPLATES)
+    flat = [t for g in GROUPED_IMAGENET_TEMPLATES for t in g]
+    assert flat == list(IMAGENET_TEMPLATES[:80])
