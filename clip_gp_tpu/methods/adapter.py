@@ -533,7 +533,7 @@ class Trainer(BaseTrainer):
         labels = jnp.asarray(self.labels_test.astype(np.int32))
         scale = self.logit_scale
 
-        def loss_fn(params, key, consts):
+        def loss_fn(params, key, consts, features, labels):
             projected = features @ params["visual_proj"].T
             f_norm = common.l2_normalize(projected)
             protos, _ = self._prototypes(params, key, self.s_train, consts)
@@ -549,15 +549,20 @@ class Trainer(BaseTrainer):
                 ).sum()
             return ce
 
+        # features/labels are explicit jit arguments — the test set is a
+        # large array, and closure leaves become HLO constants (CLAUDE.md)
         @jax.jit
-        def step(params, opt_state, key, consts):
-            loss, grads = jax.value_and_grad(loss_fn)(params, key, consts)
+        def step(params, opt_state, key, consts, features, labels):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, key, consts, features, labels
+            )
             updates, opt_state = opt.update(grads, opt_state, params)
             return jax.tree.map(lambda p, u: p + u, params, updates), opt_state, loss
 
         for ep in range(100):
             self.params, opt_state, loss = step(
-                self.params, opt_state, self.keys.next(), self._consts()
+                self.params, opt_state, self.keys.next(), self._consts(),
+                features, labels,
             )
             if (ep + 1) % 20 == 0:
                 logits = np.asarray(

@@ -63,27 +63,34 @@ def train_gp_stage(
     tx = optax.adamw(sched, weight_decay=wd)
     opt_state = tx.init(params)
 
-    def loss_fn(params, key):
-        protos, _ = svgp.sample_prototypes(static, params, buffers, key, s_tr)
-        p = common.l2_normalize(protos)
-        logits = 100.0 * jnp.einsum("bd,skd->bsk", feats, p).mean(axis=1)
-        ce = common.cross_entropy(logits, labels)
-        kl = svgp.kl_divergence(params).sum()
-        return ce + beta_kl * kl, (ce, kl, logits)
-
+    # feats/labels/buffers are explicit jit arguments — cached train features
+    # are large arrays and closure leaves become HLO constants (CLAUDE.md)
     @jax.jit
-    def epoch_step(carry, key):
-        params, opt_state = carry
-        (loss, (ce, kl, logits)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(params, key)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state), (loss, ce, kl, logits)
+    def fit(params, opt_state, keys, feats, labels, buffers):
+        def loss_fn(params, key):
+            protos, _ = svgp.sample_prototypes(
+                static, params, buffers, key, s_tr
+            )
+            p = common.l2_normalize(protos)
+            logits = 100.0 * jnp.einsum("bd,skd->bsk", feats, p).mean(axis=1)
+            ce = common.cross_entropy(logits, labels)
+            kl = svgp.kl_divergence(params).sum()
+            return ce + beta_kl * kl, (ce, kl, logits)
+
+        def epoch_step(carry, key):
+            params, opt_state = carry
+            (loss, (ce, kl, logits)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, key)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss, ce, kl, logits)
+
+        return jax.lax.scan(epoch_step, (params, opt_state), keys)
 
     keys = key_seq.next(max(epochs, 1) + 1)[: max(epochs, 1)]
-    (params, opt_state), (losses, ces, kls, logits_hist) = jax.lax.scan(
-        epoch_step, (params, opt_state), keys
+    (params, opt_state), (losses, ces, kls, logits_hist) = fit(
+        params, opt_state, keys, feats, labels, buffers
     )
     for ep in (0, epochs - 1):
         if 0 <= ep < epochs:
@@ -122,25 +129,36 @@ def train_template_weight_stage(
     tx = optax.adamw(sched, weight_decay=wd)
     opt_state = tx.init(tw_logits)
 
-    def loss_fn(tw_logits):
-        weights = jax.nn.softmax(tw_logits, axis=-1)
-        protos = common.l2_normalize(jnp.einsum("km,kmd->kd", weights, e))
-        logits = 100.0 * feats @ protos.T
-        ce = common.cross_entropy(logits, labels)
-        if l2_to_uniform_lambda > 0 and m > 0:
-            reg = ((weights - 1.0 / m) ** 2).mean()
-            ce = ce + l2_to_uniform_lambda * reg
-        return ce, logits
-
+    # feats/labels/e explicit (no large closure constants — CLAUDE.md)
     @jax.jit
-    def epoch_step(carry, _):
-        tw_logits, opt_state = carry
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(tw_logits)
-        updates, opt_state = tx.update(grads, opt_state, tw_logits)
-        return (optax.apply_updates(tw_logits, updates), opt_state), (loss, logits)
+    def fit(tw_logits, opt_state, feats, labels, e):
+        def loss_fn(tw_logits):
+            weights = jax.nn.softmax(tw_logits, axis=-1)
+            protos = common.l2_normalize(jnp.einsum("km,kmd->kd", weights, e))
+            logits = 100.0 * feats @ protos.T
+            ce = common.cross_entropy(logits, labels)
+            if l2_to_uniform_lambda > 0 and m > 0:
+                reg = ((weights - 1.0 / m) ** 2).mean()
+                ce = ce + l2_to_uniform_lambda * reg
+            return ce, logits
 
-    (tw_logits, opt_state), (losses, logits_hist) = jax.lax.scan(
-        epoch_step, (tw_logits, opt_state), None, length=max(epochs, 1)
+        def epoch_step(carry, _):
+            tw_logits, opt_state = carry
+            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                tw_logits
+            )
+            updates, opt_state = tx.update(grads, opt_state, tw_logits)
+            return (
+                (optax.apply_updates(tw_logits, updates), opt_state),
+                (loss, logits),
+            )
+
+        return jax.lax.scan(
+            epoch_step, (tw_logits, opt_state), None, length=max(epochs, 1)
+        )
+
+    (tw_logits, opt_state), (losses, logits_hist) = fit(
+        tw_logits, opt_state, feats, labels, e
     )
     acc = compute_accuracy(np.asarray(logits_hist[-1]), train_labels)[0]
     print(f"[TW] epoch {epochs}/{epochs} loss={float(losses[-1]):.4f} acc={acc:.2f}")

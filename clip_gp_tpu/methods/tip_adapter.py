@@ -213,10 +213,9 @@ class Trainer(BaseTrainer):
         sched = optax.cosine_decay_schedule(lr, max(1, epochs * n_batches))
         tx = optax.adamw(sched, eps=eps)
         opt_state = tx.init(adapter_w)
-        cache_vals = self.cache_vals
-        clip_logits_fn = self._clip_logits
-
-        def step(adapter_w, opt_state, feats, labels, clip_logits):
+        # cache_vals is [N,K] (large at ImageNet scale) — explicit jit
+        # argument, never a closure leaf (HLO-constant blowup; CLAUDE.md)
+        def step(adapter_w, opt_state, feats, labels, clip_logits, cache_vals):
             def loss_fn(adapter_w):
                 affinity = feats @ adapter_w.T
                 cache_logits = jnp.exp(-(beta - beta * affinity)) @ cache_vals
@@ -227,7 +226,11 @@ class Trainer(BaseTrainer):
             updates, opt_state = tx.update(grads, opt_state, adapter_w)
             return optax.apply_updates(adapter_w, updates), opt_state, loss, tip
 
-        jit_step = jax.jit(step, donate_argnums=(0, 1))
+        _jit_step = jax.jit(step, donate_argnums=(0, 1))
+
+        def jit_step(adapter_w, opt_state, feats, labels, clip_logits):
+            return _jit_step(adapter_w, opt_state, feats, labels, clip_logits,
+                             self.cache_vals)
 
         best_acc, best_w = 0.0, np.asarray(adapter_w)
         test_feats_j = jnp.asarray(test_feats)

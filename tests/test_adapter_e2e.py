@@ -145,3 +145,16 @@ def test_run_reproducibility_and_rng_stream_parity(tmp_path):
         np.asarray(jax.random.key_data(t1.keys._key)),
         np.asarray(jax.random.key_data(t3.keys._key)),
     )
+
+
+def test_finetune_on_test_sanity_mode(tmp_path, capfd):
+    """--finetune-on-test: the cheating ceiling diagnostic optimizes only the
+    weighting head on the test set, printing at a 20-epoch cadence
+    (ref: trainers/adapter.py:968-1065)."""
+    config = make_config(tmp_path)
+    config.adapter.finetune_on_test = True
+    _run(config)
+    out = capfd.readouterr().out
+    assert "[SANITY] Template weights fine-tuning on TEST set" in out
+    for ep in (20, 40, 60, 80, 100):
+        assert f"[SANITY] epoch {ep}/100" in out
