@@ -358,9 +358,18 @@ def run_trials_subprocess(
     devices: List[str],
     jobs_per_device: int,
     verbose: bool = False,
+    launcher: Optional[str] = None,
 ) -> List[Dict[str, Any]]:
     """Reference-style process-per-trial worker pool
-    (ref: utils/hparam_search.py:209-281)."""
+    (ref: utils/hparam_search.py:209-281).
+
+    ``launcher``: optional command-prefix template for multi-host (DCN)
+    dispatch — each trial's command becomes
+    ``launcher.format(device=<assigned device>).split() + [python train.py …]``
+    (e.g. ``--devices host1,host2 --launcher "ssh {device}"`` fans trials out
+    over hosts; the remote side needs the repo + env on its PATH). With no
+    launcher, ``devices`` round-robins via the CLIP_GP_TPU_DEVICE env var
+    exactly like the reference's CUDA_VISIBLE_DEVICES pinning."""
     results: List[Dict[str, Any]] = []
     total = len(trials)
     completed = {"n": 0}
@@ -387,6 +396,8 @@ def run_trials_subprocess(
                 env = os.environ.copy()
                 env.update(trial.extra_env)
                 cmd = [sys.executable, train_py] + trial.to_argv()
+                if launcher:
+                    cmd = launcher.format(device=dev).split() + cmd
                 kwargs = (
                     {}
                     if verbose
@@ -439,6 +450,11 @@ def main(argv=None):
         help="error out if a vmapped trial group fails instead of silently "
              "falling back to the in-process backend",
     )
+    ap.add_argument(
+        "--launcher", default=None,
+        help="subprocess-backend command prefix template for multi-host "
+             "dispatch, e.g. 'ssh {device}' with --devices host1,host2",
+    )
     args = ap.parse_args(argv)
 
     t0 = time.time()
@@ -457,7 +473,10 @@ def main(argv=None):
     if args.backend == "vmap":
         run_trials_vmapped(todo, strict=args.strict_vmap)
     elif args.backend == "subprocess" or devices:
-        run_trials_subprocess(todo, devices, args.jobs_per_device, args.verbose)
+        run_trials_subprocess(
+            todo, devices, args.jobs_per_device, args.verbose,
+            launcher=args.launcher,
+        )
     else:
         run_trials_inprocess(todo)
     exp = meta["experiment_name"]

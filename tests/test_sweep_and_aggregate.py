@@ -244,3 +244,32 @@ def test_bars_notebook_analog(tmp_path):
     assert {r["experiment_name"] for r in rows} == {"expA", "expB"}
     assert float(rows[0]["acc_mean"]) > 0
     assert (root / "plots" / "caltech101_all_metrics.png").exists()
+
+
+def test_subprocess_launcher_prefix(tmp_path, monkeypatch):
+    """--launcher prefixes each trial command with the per-device template
+    (the multi-host dispatch hook); verified with a no-op `env` launcher."""
+    import clip_gp_tpu.parallel.sweep as sweep_mod
+
+    calls = []
+
+    def fake_call(cmd, env=None, **kwargs):
+        calls.append(cmd)
+        outdir = cmd[cmd.index("--output-dir") + 1]
+        (Path(outdir) / "log.txt").write_text("ok")
+        return 0
+
+    monkeypatch.setattr(sweep_mod.subprocess, "call", fake_call)
+    trials, _ = build_trials(_clip_adapter_sweep_cfg(tmp_path))
+    results = sweep_mod.run_trials_subprocess(
+        trials, devices=["hostA", "hostB"], jobs_per_device=1,
+        launcher="env CLIP_GP_TPU_HOST={device}",
+    )
+    assert len(results) == len(trials)
+    assert all(r["return_code"] == 0 for r in results)
+    prefixes = {tuple(c[:3]) for c in calls}
+    assert prefixes <= {
+        ("env", "CLIP_GP_TPU_HOST=hostA", str(sweep_mod.sys.executable)),
+        ("env", "CLIP_GP_TPU_HOST=hostB", str(sweep_mod.sys.executable)),
+    }
+    assert len(prefixes) == 2  # round-robined over both hosts
