@@ -174,19 +174,21 @@ def attention_block(
     ``p['attn']`` holds the fused in-projection ``w_qkv [D,3D]`` / ``b_qkv``
     and out-projection, matching torch MultiheadAttention packing.
     """
-    h = layer_norm(p["ln_1"], x)
     a = p["attn"]
     from clip_gp_tpu.ops.flash_attention import (
-        fused_attention_block,
+        fused_ln_attention_block,
         fused_ln_mlp,
         use_flash,
     )
 
     if use_flash():
-        # whole attention sub-block (qkv proj + MHA + out proj) as one Pallas
-        # kernel — q/k/v and the score matrix never leave VMEM
-        x = x + fused_attention_block(
-            h,
+        # whole pre-LN attention sub-block (ln_1 + qkv proj + MHA + out proj
+        # + residual) as one Pallas kernel — the pre-LN activation, q/k/v,
+        # and the score matrix never leave VMEM
+        x = fused_ln_attention_block(
+            x,
+            p["ln_1"]["scale"],
+            p["ln_1"]["bias"],
             a["w_qkv"].astype(x.dtype),
             a["b_qkv"].astype(x.dtype),
             a["w_out"].astype(x.dtype),
@@ -206,6 +208,7 @@ def attention_block(
             p["mlp"]["c_proj"]["w"],
             p["mlp"]["c_proj"]["b"],
         )
+    h = layer_norm(p["ln_1"], x)
     qkv = h @ a["w_qkv"].astype(x.dtype) + a["b_qkv"].astype(x.dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     attn = multi_head_attention(q, k, v, num_heads, mask)

@@ -107,13 +107,15 @@ def flash_attention(
 
 
 def use_flash() -> bool:
-    """Default-ON for TPU. The wide-qkv fused block kernel (one [D,3D] matmul
-    in-kernel, heads split only for the attention contraction) beats XLA
-    end-to-end: 3085–3092 vs 2987–2989 imgs/s ViT-B/16 encode on v5e
-    (dependency-chain protocol, ±0.5% repeatable; 2.7 vs 3.55 ms per layer in
-    isolation). Earlier layouts lost — per-(batch·head) grids to per-program
-    overhead, per-head qkv tiles to MXU under-utilization (history in git).
-    CLIP_GP_TPU_DISABLE_FLASH=1 opts out."""
+    """Default-ON for TPU: 3,568 vs 2,988 imgs/s ViT-B/16 encode on v5e for
+    the full fused path vs XLA (dependency-chain protocol). The round-2
+    recipe: ln_1 + wide-qkv + per-head attention + out-proj + residual in one
+    kernel (fused_ln_attention_block), ln_2 + MLP in a second
+    (fused_ln_mlp), tokens padded to the 8-sublane boundary only (197 -> 200,
+    not 256 — 2.23 vs 2.58 ms/layer). Earlier layouts lost —
+    per-(batch·head) grids to per-program overhead, per-head qkv tiles to
+    MXU under-utilization (history in git). CLIP_GP_TPU_DISABLE_FLASH=1
+    opts out."""
     if os.environ.get("CLIP_GP_TPU_DISABLE_FLASH") == "1":
         return False
     try:
@@ -435,3 +437,176 @@ def _fused_ln_mlp_pallas(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
         b_proj.astype(jnp.float32),
     )
     return out[:rows].reshape(b, n, d)
+
+
+# ---------------------------------------------------------------------------
+# fully fused attention sub-block WITH ln_1 and the residual add in-kernel:
+# x -> LN -> qkv -> MHA -> out-proj -> x + out. The pre-LN activation and the
+# residual never round-trip HBM separately (measured: see use_flash notes).
+# ---------------------------------------------------------------------------
+
+def _fused_ln_block_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
+                           bout_ref, mask_ref, o_ref, acc):
+    x = x_ref[...]                      # [BT, N, D]
+    n_heads = wout_ref.shape[0]
+    dh = wout_ref.shape[1]
+    d = x.shape[-1]
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=-1, keepdims=True)
+    var = ((x32 - mean) ** 2).mean(axis=-1, keepdims=True)
+    h = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    h = (h * g_ref[...] + b_ref[...]).astype(x.dtype)
+    qkv = jax.lax.dot_general(          # [BT, N, 3D] in one wide matmul
+        h, wqkv_ref[...],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + bqkv_ref[...].astype(x.dtype)
+    acc[...] = jnp.zeros_like(acc)
+    for head in range(n_heads):
+        q = qkv[:, :, head * dh : (head + 1) * dh] * (1.0 / (dh**0.5))
+        k = qkv[:, :, d + head * dh : d + (head + 1) * dh]
+        v = qkv[:, :, 2 * d + head * dh : 2 * d + (head + 1) * dh]
+        scores = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        scores = scores + mask_ref[...][None]
+        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+        weights = jnp.exp(scores)
+        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+        out_h = jax.lax.dot_general(
+            weights.astype(v.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        acc[...] += jax.lax.dot_general(
+            out_h, wout_ref[head],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    o_ref[...] = (x32 + acc[...] + bout_ref[...]).astype(o_ref.dtype)
+
+
+def _xla_ln_attention_block(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+                            num_heads, mask):
+    """XLA reference: x + attention(LN(x)) (parity tests + custom VJP)."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    h = ((x32 - mean) * jax.lax.rsqrt(var + 1e-5) * ln_scale + ln_bias).astype(
+        dtype
+    )
+    return x + _xla_attention_block(h, w_qkv, b_qkv, w_out, b_out,
+                                    num_heads, mask)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _fused_ln_block(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, mask,
+                    num_heads, interpret):
+    return _fused_ln_block_pallas(
+        x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, mask, num_heads,
+        interpret,
+    )
+
+
+def _fused_ln_block_fwd(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+                        mask, num_heads, interpret):
+    # XLA forward under differentiation (see _fused_block_fwd rationale)
+    out = _xla_ln_attention_block(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
+                                  b_out, num_heads, mask)
+    return out, (x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, mask)
+
+
+def _fused_ln_block_bwd(num_heads, interpret, residuals, g):
+    x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, mask = residuals
+
+    def ref(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out):
+        return _xla_ln_attention_block(x, ln_scale, ln_bias, w_qkv, b_qkv,
+                                       w_out, b_out, num_heads, mask)
+
+    _, vjp = jax.vjp(ref, x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out)
+    grads = vjp(g)
+    return grads + (jnp.zeros_like(mask),)
+
+
+_fused_ln_block.defvjp(_fused_ln_block_fwd, _fused_ln_block_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def fused_ln_attention_block(
+    x: jnp.ndarray,
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    w_qkv: jnp.ndarray,
+    b_qkv: jnp.ndarray,
+    w_out: jnp.ndarray,
+    b_out: jnp.ndarray,
+    num_heads: int,
+    mask: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x + MHA(LN(x)) — the whole pre-LN attention sub-block incl. ln_1 and
+    the residual add as one Pallas kernel. Differentiable (XLA-math VJP)."""
+    n = x.shape[1]
+    mask_arr = (
+        jnp.zeros((n, n), dtype=jnp.float32)
+        if mask is None
+        else mask.astype(jnp.float32)
+    )
+    return _fused_ln_block(
+        x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, mask_arr,
+        num_heads, interpret,
+    )
+
+
+def _fused_ln_block_pallas(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+                           mask, num_heads, interpret):
+    b, n, d = x.shape
+    dh = d // num_heads
+    interpret = interpret or jax.default_backend() != "tpu"
+    n_pad = _round_up(n, 8)  # sublane-only padding (see _fused_block_pallas)
+
+    full_mask = jnp.zeros((n_pad, n_pad), dtype=jnp.float32)
+    full_mask = full_mask.at[:n, :n].set(mask.astype(jnp.float32))
+    if n_pad != n:
+        full_mask = full_mask.at[:, n:].set(-jnp.inf)
+
+    wout_hm = w_out.reshape(num_heads, dh, w_out.shape[1])  # free view
+
+    bt = 2
+    b_pad = _round_up(b, bt)
+    xp = jnp.pad(x, ((0, b_pad - b), (0, n_pad - n), (0, 0)))
+    out = pl.pallas_call(
+        _fused_ln_block_kernel,
+        grid=(b_pad // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, n_pad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * d,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads, dh, d), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, n_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, n_pad, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad, n_pad, d), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bt, n_pad, d), jnp.float32)],
+        interpret=interpret,
+    )(
+        xp,
+        ln_scale.astype(jnp.float32),
+        ln_bias.astype(jnp.float32),
+        w_qkv.astype(x.dtype),
+        b_qkv.astype(x.dtype),
+        wout_hm.astype(x.dtype),
+        b_out.astype(jnp.float32),
+        full_mask,
+    )
+    return out[:b, :n]
