@@ -219,9 +219,9 @@ VMAPPABLE_KEYS: Dict[str, Dict[str, str]] = {
 def _vmap_supported(config, group_size: int) -> bool:
     """Can this trial group train as one vmapped program?
 
-    Pre-stage variants (GP / template-weight stages of CLIP-Adapter, TaskRes,
-    Tip-Adapter) train per-trial GPs on per-seed features and stay in-process.
-    """
+    All four tiny-state heads qualify, including their GP / template-weight
+    pre-stage variants (the pre-stages themselves run as vmapped per-trial
+    fits — trial_vmap.vmapped_{gp,tw}_prestage)."""
     a = config.adapter
     name = str(config.trainer_name)
     if group_size < 2:
@@ -233,16 +233,10 @@ def _vmap_supported(config, group_size: int) -> bool:
             and not a.shared_template_weights
             and (a.use_gp or a.train_template_weights)
         )
-    if name == "CLIP-Adapter":
-        return not a.use_gp and not a.clip_adapter_use_template_weight_training
-    if name == "TaskRes":
-        return not a.use_gp and not a.taskres_use_template_weight_training
+    if name in ("CLIP-Adapter", "TaskRes"):
+        return True
     if name == "Tip-Adapter":
-        return (
-            bool(a.tip_adapter_trainable)  # only the trainable -F variant
-            and not a.use_gp
-            and not a.tip_adapter_use_template_weight_training
-        )
+        return bool(a.tip_adapter_trainable)  # only the trainable -F variant
     return False
 
 

@@ -65,6 +65,142 @@ def _stack(trees):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
 
 
+def vmapped_gp_prestage(runner, feats_train, labels_train):
+    """Per-trial standalone GP fits as ONE vmapped program — the vmap-axis
+    analog of ``pre_stages.train_gp_stage`` (CE of mean-over-S logits at
+    scale 100 + β·KL, AdamW(gp_lr) + cosine over optim.max_epoch, per-trial
+    template-weight warm start).
+
+    Returns (static, per-trial gp params [T,...], mean prototypes [T,K,D]
+    L2-normalized). Buffers land in ``runner.shared["gp_buffers"]`` (text
+    embeddings are identical across trials, so PCA/buffers are shared)."""
+    import optax
+
+    config = runner.config
+    static, params0, buffers = svgp.create_gp(runner.text_embeddings, config)
+    runner.shared["gp_buffers"] = buffers
+    t_trials = runner.t_trials
+    feats_n = common.l2_normalize(feats_train)  # [T,N,D]
+    tw = jnp.stack([
+        common.get_template_weights(
+            config, runner.text_embeddings, feats_n[t], labels_train[t],
+            runner.logit_scale,
+        )
+        for t in range(t_trials)
+    ])
+    params = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (t_trials,) + x.shape).copy(),
+        params0,
+    )
+    params = jax.vmap(svgp.initialize_from_weights)(params, tw)
+
+    epochs = max(1, int(config.optim.max_epoch))
+    gp_lr = float(config.adapter.gp_lr)
+    wd = float(config.optim.weight_decay)
+    s_tr = max(1, int(config.adapter.gp_num_mc_samples_train or 1))
+    beta = float(config.adapter.gp_beta)
+    sched = optax.cosine_decay_schedule(gp_lr, epochs)
+    tx = optax.adamw(sched, weight_decay=wd)
+    opt_state = tx.init(params)
+
+    # feats/labels/buffers explicit (no large jit closure constants)
+    @jax.jit
+    def fit(params, opt_state, keys, feats_n, labels, buffers):
+        def loss_one(p, f, l, key):
+            protos, _ = svgp.sample_prototypes(static, p, buffers, key, s_tr)
+            pn = common.l2_normalize(protos)
+            logits = 100.0 * jnp.einsum("bd,skd->bsk", f, pn).mean(axis=1)
+            ce = common.cross_entropy(logits, l)
+            return ce + beta * svgp.kl_divergence(p).sum()
+
+        def epoch_step(carry, key_t):
+            params, opt_state = carry
+            losses, grads = jax.vmap(jax.value_and_grad(loss_one))(
+                params, feats_n, labels, key_t
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), losses
+
+        return jax.lax.scan(epoch_step, (params, opt_state), keys)
+
+    # per-trial key streams folded from the trial seeds (deterministic)
+    keys = jnp.stack([
+        jax.random.split(jax.random.fold_in(jax.random.key(1000), int(s)),
+                         epochs)
+        for s in runner.seeds
+    ], axis=1)  # [epochs, T]
+    (params, _), losses = fit(
+        params, opt_state, keys, feats_n, labels_train, buffers
+    )
+    print(f"[vmap-GP-stage] {t_trials} trials x {epochs} epochs, "
+          f"final losses: "
+          + " ".join(f"{float(v):.3f}" for v in losses[-1]))
+
+    s_eval = max(1, int(config.adapter.gp_num_mc_samples_eval or 1))
+
+    def protos_one(p, key, buffers):
+        protos, _ = svgp.sample_prototypes(static, p, buffers, key, s_eval)
+        return common.l2_normalize(protos.mean(axis=0))
+
+    keys2 = jnp.stack([
+        jax.random.fold_in(jax.random.key(2000), int(s)) for s in runner.seeds
+    ])
+    mean_protos = jax.jit(jax.vmap(protos_one, in_axes=(0, 0, None)))(
+        params, keys2, buffers
+    )  # [T,K,D]
+    return static, params, mean_protos
+
+
+def vmapped_tw_prestage(runner, feats_train, labels_train,
+                        l2_to_uniform_lambda: float = 0.0):
+    """Per-trial template-weight-logits fits as one vmapped program
+    (``pre_stages.train_template_weight_stage`` analog).
+    Returns L2-normalized prototypes [T,K,D]."""
+    import optax
+
+    config = runner.config
+    k, m = runner.k, runner.m
+    t_trials = runner.t_trials
+    feats_n = common.l2_normalize(feats_train)
+    epochs = max(1, int(config.optim.max_epoch))
+    lr = float(config.optim.lr)
+    wd = float(config.optim.weight_decay)
+    sched = optax.cosine_decay_schedule(lr, epochs)
+    tx = optax.adamw(sched, weight_decay=wd)
+    tw_logits = jnp.zeros((t_trials, k, m))
+    opt_state = tx.init(tw_logits)
+
+    @jax.jit
+    def fit(tw_logits, opt_state, feats_n, labels, e):
+        def loss_one(tw, f, l):
+            weights = jax.nn.softmax(tw, axis=-1)
+            protos = common.l2_normalize(jnp.einsum("km,kmd->kd", weights, e))
+            ce = common.cross_entropy(100.0 * f @ protos.T, l)
+            if l2_to_uniform_lambda > 0 and m > 0:
+                ce = ce + l2_to_uniform_lambda * (
+                    (weights - 1.0 / m) ** 2
+                ).mean()
+            return ce
+
+        def epoch_step(carry, _):
+            tw_logits, opt_state = carry
+            losses, grads = jax.vmap(jax.value_and_grad(loss_one))(
+                tw_logits, feats_n, labels
+            )
+            updates, opt_state = tx.update(grads, opt_state, tw_logits)
+            return (optax.apply_updates(tw_logits, updates), opt_state), losses
+
+        (tw_logits, opt_state), _ = jax.lax.scan(
+            epoch_step, (tw_logits, opt_state), None, length=epochs
+        )
+        weights = jax.nn.softmax(tw_logits, axis=-1)
+        protos = common.l2_normalize(jnp.einsum("tkm,kmd->tkd", weights, e))
+        return protos
+
+    return fit(tw_logits, opt_state, feats_n, labels_train,
+               runner.text_embeddings)
+
+
 class _SchedView:
     """Config view over ``config.optim`` with per-head lr / epochs / optimizer
     name (the vmapped analog of the in-process ``_OverrideLr`` + ``_TmpOptim``
@@ -285,8 +421,9 @@ class AdapterSpec(MethodSpec):
 
 class ClipAdapterSpec(MethodSpec):
     """CLIP-Adapter bottleneck MLP, ratio-blended
-    (ref: trainers/clip_adapter.py:16-113). Non-pre-stage variant: the
-    classifier is the fixed zero-shot clip_weights [D,K]."""
+    (ref: trainers/clip_adapter.py:16-113). The classifier is the zero-shot
+    clip_weights [D,K], optionally replaced per trial by GP-mean or learned
+    template-weight prototypes (vmapped pre-stages)."""
 
     name = "CLIP-Adapter"
     supported_hparams = ("clip_adapter_lr", "clip_adapter_ratio")
@@ -295,6 +432,8 @@ class ClipAdapterSpec(MethodSpec):
     def __init__(self, runner):
         super().__init__(runner)
         a = runner.config.adapter
+        self.use_gp = bool(a.use_gp)
+        self.use_tw = bool(a.clip_adapter_use_template_weight_training)
         self._lr_default = float(a.clip_adapter_lr)
         self._epochs = int(a.clip_adapter_epochs)
         view = _SchedView(
@@ -303,9 +442,7 @@ class ClipAdapterSpec(MethodSpec):
         )
         self._view = view
         self._sched = build_lr_schedule(view)
-        runner.shared["clip_weights"] = common.zero_shot_classifier(
-            runner.text_embeddings
-        )
+        self._zs_weights = common.zero_shot_classifier(runner.text_embeddings)
 
     def lr_vectors(self):
         return {"lr": self.hp("clip_adapter_lr", self._lr_default)}
@@ -342,32 +479,62 @@ class ClipAdapterSpec(MethodSpec):
             ),
         }
 
-    def _logits(self, p, feats, ratio, shared):
+    def _logits(self, p, feats, ratio, clip_w):
         adapted = jax.nn.relu(jax.nn.relu(feats @ p["fc1"]) @ p["fc2"])
         blended = ratio * adapted + (1.0 - ratio) * feats
         f = common.l2_normalize(blended)
-        w = shared["clip_weights"]
-        w = w / jnp.linalg.norm(w, axis=0, keepdims=True)
+        w = clip_w / jnp.linalg.norm(clip_w, axis=0, keepdims=True)
         return self.r.logit_scale * f @ w
 
     def loss(self, p, c, feats, labels, key, hps, shared):
         return common.cross_entropy(
-            self._logits(p, feats, hps["ratio"], shared), labels
+            self._logits(p, feats, hps["ratio"], c["clip_weights"]), labels
         )
 
     def eval_logits(self, p, c, key, shared):
-        return self._logits(p, shared["feats_test"], c["ratio"], shared)
+        return self._logits(
+            p, shared["feats_test"], c["ratio"], c["clip_weights"]
+        )
 
     def trial_consts(self, feats_train, labels_train):
-        # eval needs the per-trial ratio (hps only reach the loss)
-        return {"ratio": self.hp(
-            "clip_adapter_ratio", self.r.config.adapter.clip_adapter_ratio
-        )}
+        t = self.r.t_trials
+        if self.use_gp:
+            _, _, protos = vmapped_gp_prestage(
+                self.r, feats_train, labels_train
+            )
+            clip_w = jnp.swapaxes(protos, 1, 2)  # [T,D,K]
+        elif self.use_tw:
+            protos = vmapped_tw_prestage(self.r, feats_train, labels_train)
+            clip_w = jnp.swapaxes(protos, 1, 2)
+        else:
+            clip_w = jnp.broadcast_to(
+                self._zs_weights[None], (t,) + self._zs_weights.shape
+            )
+        return {
+            # eval needs the per-trial ratio (hps only reach the loss)
+            "ratio": self.hp(
+                "clip_adapter_ratio", self.r.config.adapter.clip_adapter_ratio
+            ),
+            "clip_weights": clip_w,
+        }
+
+    def zero_shot_logits(self, eval_fn, zs_params, consts, shared):
+        # in-process order: zero-shot recorded BEFORE the pre-stage replaces
+        # the classifier (ref: clip_adapter.py train()) — use plain weights
+        t = self.r.t_trials
+        zs_consts = dict(consts)
+        zs_consts["clip_weights"] = jnp.broadcast_to(
+            self._zs_weights[None], (t,) + self._zs_weights.shape
+        )
+        keys = jax.random.split(jax.random.key(0), t)
+        return np.asarray(eval_fn(zs_params, zs_consts, keys, shared))
 
 
 class TaskResSpec(MethodSpec):
     """TaskRes residual on frozen base text features
-    (ref: trainers/taskres.py:35-99). Non-pre-stage variant."""
+    (ref: trainers/taskres.py:35-99); GP / template-weight pre-stages replace
+    the base features per trial (vmapped), and the GP variant adds residuals
+    to each MC prototype sample at eval (ref: taskres.py:101-116)."""
 
     name = "TaskRes"
     supported_hparams = ("taskres_lr", "taskres_residual_scale")
@@ -376,6 +543,10 @@ class TaskResSpec(MethodSpec):
     def __init__(self, runner):
         super().__init__(runner)
         a = runner.config.adapter
+        self.use_gp = bool(a.use_gp)
+        self.use_tw = bool(a.taskres_use_template_weight_training)
+        self.s_eval = max(1, int(a.gp_num_mc_samples_eval or 1))
+        self.gp_static = None
         self._lr_default = float(a.taskres_lr)
         self._epochs = int(a.taskres_epochs)
         view = _SchedView(
@@ -384,8 +555,6 @@ class TaskResSpec(MethodSpec):
         )
         self._view = view
         self._sched = build_lr_schedule(view)
-        # base text features: plain mean over templates (ref: taskres.py:72-94)
-        runner.shared["base_text"] = runner.text_embeddings.mean(axis=1)
         runner.shared["zs_weights"] = common.zero_shot_classifier(
             runner.text_embeddings
         )
@@ -414,18 +583,52 @@ class TaskResSpec(MethodSpec):
         return {"residuals": jnp.zeros((self.r.k, self.r.d))}
 
     def trial_consts(self, feats_train, labels_train):
-        return {"alpha": self.hp(
+        t = self.r.t_trials
+        consts = {"alpha": self.hp(
             "taskres_residual_scale",
             self.r.config.adapter.taskres_residual_scale,
         )}
+        if self.use_gp:
+            self.gp_static, gp_params, protos = vmapped_gp_prestage(
+                self.r, feats_train, labels_train
+            )
+            consts["base_text"] = protos  # [T,K,D] GP-mean prototypes
+            consts["gp"] = gp_params
+        elif self.use_tw:
+            consts["base_text"] = vmapped_tw_prestage(
+                self.r, feats_train, labels_train,
+                l2_to_uniform_lambda=float(
+                    self.r.config.adapter.template_tw_l2_lambda
+                ),
+            )
+        else:
+            # plain mean over templates (ref: taskres.py:72-94)
+            base = self.r.text_embeddings.mean(axis=1)
+            consts["base_text"] = jnp.broadcast_to(
+                base[None], (t,) + base.shape
+            )
+        return consts
 
     def loss(self, p, c, feats, labels, key, hps, shared):
-        text = shared["base_text"] + hps["alpha"] * p["residuals"]
+        text = c["base_text"] + hps["alpha"] * p["residuals"]
         logits = common.cosine_logits(feats, text, self.r.logit_scale)
         return common.cross_entropy(logits, labels)
 
     def eval_logits(self, p, c, key, shared):
-        text = shared["base_text"] + c["alpha"] * p["residuals"]
+        if self.use_gp:
+            # residuals added to each normalized MC prototype sample
+            # (ref: taskres.py:101-116)
+            protos, _ = svgp.sample_prototypes(
+                self.gp_static, c["gp"], shared["gp_buffers"], key,
+                self.s_eval,
+            )
+            text_s = common.l2_normalize(protos) + (
+                c["alpha"] * p["residuals"]
+            )[None]
+            return common.cosine_logits(
+                shared["feats_test"], text_s, self.r.logit_scale
+            )
+        text = c["base_text"] + c["alpha"] * p["residuals"]
         return common.cosine_logits(
             shared["feats_test"], text, self.r.logit_scale
         )
@@ -462,12 +665,12 @@ class TipAdapterFSpec(MethodSpec):
     def __init__(self, runner):
         super().__init__(runner)
         a = runner.config.adapter
+        self.use_gp = bool(a.use_gp)
+        self.use_tw = bool(a.tip_adapter_use_template_weight_training)
         self._lr_default = float(a.tip_adapter_lr)
         self._epochs = int(a.tip_adapter_epochs)
         self._eps = float(a.tip_adapter_eps) or 1e-8
-        runner.shared["clip_weights"] = common.zero_shot_classifier(
-            runner.text_embeddings
-        )
+        self._zs_weights = common.zero_shot_classifier(runner.text_embeddings)
         self._best_acc: Optional[np.ndarray] = None
         self._best_w: Optional[np.ndarray] = None
         self._eval_jit = None
@@ -499,9 +702,27 @@ class TipAdapterFSpec(MethodSpec):
         return {"adapter_w": jnp.zeros((1,))}
 
     def trial_consts(self, feats_train, labels_train):
+        t = self.r.t_trials
         cache_vals = jax.nn.one_hot(labels_train, self.r.k)  # [T,N,K]
+        if self.use_gp:
+            # MC-mean GP prototypes replace the zero-shot classifier; the
+            # mean over samples of per-sample logits is linear, so mean
+            # prototypes give identical clip logits (ref: tip_adapter.py
+            # _clip_logits) at 1/S the eval FLOPs
+            _, _, protos = vmapped_gp_prestage(
+                self.r, feats_train, labels_train
+            )
+            clip_w = jnp.swapaxes(protos, 1, 2)  # [T,D,K]
+        elif self.use_tw:
+            protos = vmapped_tw_prestage(self.r, feats_train, labels_train)
+            clip_w = jnp.swapaxes(protos, 1, 2)
+        else:
+            clip_w = jnp.broadcast_to(
+                self._zs_weights[None], (t,) + self._zs_weights.shape
+            )
         return {
             "cache_vals": cache_vals,
+            "clip_w": clip_w,
             "beta": self.hp(
                 "tip_adapter_init_beta",
                 self.r.config.adapter.tip_adapter_init_beta,
@@ -520,7 +741,7 @@ class TipAdapterFSpec(MethodSpec):
     def _tip_logits(self, p, c, feats, shared):
         affinity = feats @ p["adapter_w"].T
         cache = jnp.exp(-(c["beta"] - c["beta"] * affinity)) @ c["cache_vals"]
-        clip = 100.0 * feats @ shared["clip_weights"]
+        clip = 100.0 * feats @ c["clip_w"]
         return clip + c["alpha"] * cache
 
     def loss(self, p, c, feats, labels, key, hps, shared):
@@ -532,10 +753,16 @@ class TipAdapterFSpec(MethodSpec):
         return self._tip_logits(p, c, shared["feats_test"], shared)
 
     def zero_shot_logits(self, eval_fn, zs_params, consts, shared):
-        f = np.asarray(shared["feats_test"])
-        logits = 100.0 * f @ np.asarray(shared["clip_weights"])
-        return np.broadcast_to(
-            logits[None], (self.r.t_trials,) + logits.shape
+        # in-process order: the pre-stage replaces the classifier BEFORE the
+        # zero-shot block is recorded (ref: tip_adapter.py train()) — so the
+        # zero-shot logits use the per-trial (possibly pre-staged) weights
+        def _zs(clip_w, feats):
+            return 100.0 * feats @ clip_w
+
+        return np.asarray(
+            jax.jit(jax.vmap(_zs, in_axes=(0, None)))(
+                consts["clip_w"], shared["feats_test"]
+            )
         )
 
     def on_epoch_end(self, params, consts, shared, epoch):
@@ -566,19 +793,19 @@ class TipAdapterFSpec(MethodSpec):
         betas = jnp.asarray(self.BETAS)
         alphas = jnp.asarray(self.ALPHAS)
 
-        def _grid(w, vals, vf, vl):
+        def _grid(w, vals, clip_w, vf, vl):
             affinity = vf @ w.T  # [Nv, N]
             cache = jnp.exp(
                 betas[:, None, None] * (affinity[None] - 1.0)
             ) @ vals  # [B, Nv, K]
-            clip = 100.0 * vf @ shared["clip_weights"]  # [Nv, K]
+            clip = 100.0 * vf @ clip_w  # [Nv, K]
             tip = clip[None, None] + alphas[None, :, None, None] * cache[:, None]
             preds = tip.argmax(-1)  # [B, A, Nv]
             return (preds == vl[None, None]).mean(-1)  # [B, A]
 
         accs = np.asarray(
             jax.jit(jax.vmap(_grid))(
-                params["adapter_w"], consts["cache_vals"],
+                params["adapter_w"], consts["cache_vals"], consts["clip_w"],
                 jnp.asarray(val_feats), jnp.asarray(val_labels),
             )
         )  # [T, B, A]

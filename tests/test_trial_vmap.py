@@ -168,3 +168,37 @@ def test_vmapped_head_hparam_grid(tmp_path, method, key, values):
         payload = json.loads((outdir / "metrics.json").read_text())
         assert payload["config"]["adapter"][key] == overrides[i][key]
         assert np.isfinite(payload["metrics"]["top1_acc"])
+
+
+@pytest.mark.parametrize(
+    "method,flags",
+    [
+        ("CLIP-Adapter", {"use_gp": True}),
+        ("CLIP-Adapter", {"clip_adapter_use_template_weight_training": True}),
+        ("TaskRes", {"use_gp": True}),
+        ("TaskRes", {"taskres_use_template_weight_training": True,
+                     "template_tw_l2_lambda": 0.1}),
+        ("Tip-Adapter", {"use_gp": True}),
+    ],
+    ids=["ca-gp", "ca-tw", "tr-gp", "tr-tw", "tip-gp"],
+)
+def test_vmapped_prestage_variants(tmp_path, method, flags):
+    """GP / template-weight pre-stages run as vmapped per-trial fits, so the
+    pre-stage variants of the three heads stay on the vmap backend."""
+    from clip_gp_tpu.parallel.trial_vmap import run_vmapped_trials
+
+    config = _head_config(tmp_path, method)
+    config.adapter.gp_pca_dim = 8
+    config.adapter.gp_num_mc_samples_train = 4
+    config.adapter.gp_num_mc_samples_eval = 8
+    config.optim.max_epoch = 3  # pre-stage epochs
+    for key, val in flags.items():
+        setattr(config.adapter, key, val)
+    seeds = [1, 2]
+    outdirs = [tmp_path / f"out/seed{s}" for s in seeds]
+    results = run_vmapped_trials(config, seeds, outdirs, method=method)
+    assert len(results) == 2
+    for result, outdir in zip(results, outdirs):
+        assert np.isfinite(result["metrics"]["top1_acc"])
+        payload = json.loads((outdir / "metrics.json").read_text())
+        assert np.isfinite(payload["metrics"]["top1_acc"])
