@@ -27,11 +27,17 @@ def generate_synthetic_imagefolder(
     images_per_class: int = 20,
     image_size: int = 64,
     seed: int = 0,
+    fmt: str = "png",
 ) -> str:
-    """Create <root>/synthetic/images/<class>/img_*.png; idempotent."""
+    """Create <root>/synthetic/images/<class>/img_*.<fmt>; idempotent.
+
+    ``fmt="jpg"`` matches the real catalogs (all 15 are JPEG datasets), which
+    also exercises the native fused decode path in benchmarks."""
     image_dir = os.path.join(root, "synthetic", "images")
     marker = os.path.join(
-        image_dir, f".done_{num_classes}_{images_per_class}_{image_size}"
+        image_dir,
+        f".done_{num_classes}_{images_per_class}_{image_size}"
+        + ("" if fmt == "png" else f"_{fmt}"),
     )
     if os.path.exists(marker):
         return image_dir
@@ -55,7 +61,7 @@ def generate_synthetic_imagefolder(
             img += base_color * (0.6 + 0.4 * pattern[..., None])
             img += rng.normal(0, 20, img.shape)
             Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(
-                os.path.join(cdir, f"img_{i:04d}.png")
+                os.path.join(cdir, f"img_{i:04d}.{fmt}")
             )
     with open(marker, "w") as f:
         f.write("ok")
@@ -70,7 +76,11 @@ class Synthetic(_SplitJsonDataset):
     new_cnames = {name.replace(" ", "_"): name for name in SYNTH_CLASSNAMES}
 
     def _load_splits(self, config):
-        generate_synthetic_imagefolder(
-            os.path.abspath(os.path.expanduser(config.dataset.root))
-        )
+        root = os.path.abspath(os.path.expanduser(config.dataset.root))
+        image_dir = os.path.join(root, "synthetic", "images")
+        # only generate the default fixture into an empty tree — benchmarks
+        # pre-generate larger variants (more classes / jpg) into the same
+        # layout, and a default-args regeneration would clobber them
+        if not (os.path.isdir(image_dir) and os.listdir(image_dir)):
+            generate_synthetic_imagefolder(root)
         return super()._load_splits(config)

@@ -49,6 +49,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from clip_gp_tpu.core.seeding import set_random_seed
+from clip_gp_tpu.runtime.profiling import phase_timer
 from clip_gp_tpu.data.templates import get_templates
 from clip_gp_tpu.gp import svgp
 from clip_gp_tpu.methods import common
@@ -134,7 +135,7 @@ def vmapped_gp_prestage(runner, feats_train, labels_train):
     )
     print(f"[vmap-GP-stage] {t_trials} trials x {epochs} epochs, "
           f"final losses: "
-          + " ".join(f"{float(v):.3f}" for v in losses[-1]))
+          + " ".join(f"{v:.3f}" for v in np.asarray(losses[-1])))
 
     s_eval = max(1, int(config.adapter.gp_num_mc_samples_eval or 1))
 
@@ -671,8 +672,8 @@ class TipAdapterFSpec(MethodSpec):
         self._epochs = int(a.tip_adapter_epochs)
         self._eps = float(a.tip_adapter_eps) or 1e-8
         self._zs_weights = common.zero_shot_classifier(runner.text_embeddings)
-        self._best_acc: Optional[np.ndarray] = None
-        self._best_w: Optional[np.ndarray] = None
+        self._best_acc = None  # [T] device array once tracking starts
+        self._best_w = None  # [T,N,D] device array (best-on-test keys)
         self._eval_jit = None
 
     def lr_vectors(self):
@@ -767,22 +768,36 @@ class TipAdapterFSpec(MethodSpec):
 
     def on_epoch_end(self, params, consts, shared, epoch):
         """Track each trial's best-on-test adapter state
-        (ref: tip_adapter.py:259-267)."""
+        (ref: tip_adapter.py:259-267). The comparison and the conditional
+        copy run ON DEVICE — per-epoch logits never cross the host boundary
+        (a [T,Ntest,K] transfer per epoch costs a full RTT on tunneled
+        backends)."""
         if self._eval_jit is None:
-            def _logits(p, c, shared):
-                return self._tip_logits(p, c, shared["feats_test"], shared)
+            def _update(params, consts, shared, labels, best_acc, best_w):
+                def _logits(p, c):
+                    return self._tip_logits(p, c, shared["feats_test"], shared)
 
-            self._eval_jit = jax.jit(jax.vmap(_logits, in_axes=(0, 0, None)))
-        logits = np.asarray(self._eval_jit(params, consts, shared))  # [T,Nt,K]
-        labels = self.r.labels_test
-        accs = (logits.argmax(-1) == labels[None]).mean(-1) * 100.0  # [T]
-        w = np.asarray(params["adapter_w"])
+                logits = jax.vmap(_logits)(params, consts)  # [T,Nt,K]
+                accs = (
+                    (logits.argmax(-1) == labels[None]).mean(-1) * 100.0
+                )  # [T]
+                improved = accs > best_acc
+                best_acc = jnp.where(improved, accs, best_acc)
+                best_w = jnp.where(
+                    improved[:, None, None], params["adapter_w"], best_w
+                )
+                return best_acc, best_w
+
+            self._eval_jit = jax.jit(_update)
         if self._best_acc is None:
-            self._best_acc, self._best_w = accs.copy(), w.copy()
-        else:
-            improved = accs > self._best_acc
-            self._best_acc = np.where(improved, accs, self._best_acc)
-            self._best_w[improved] = w[improved]
+            self._best_acc = jnp.full(
+                (self.r.t_trials,), -jnp.inf, dtype=jnp.float32
+            )
+            self._best_w = params["adapter_w"]
+        self._best_acc, self._best_w = self._eval_jit(
+            params, consts, shared, jnp.asarray(self.r.labels_test),
+            self._best_acc, self._best_w,
+        )
 
     def finalize(self, params, consts, shared, val_feats, val_labels):
         if self._best_w is not None:
@@ -955,19 +970,22 @@ class VmappedTrials:
                 f"unsupported vmapped hparams for {self.method}: {unknown}"
             )
 
-        (union_items, seed_index, seed_labels,
-         val_union, val_index, val_labels, dm) = self._build_per_seed_splits(
-            needs_val=spec_cls.needs_val
-        )
+        with phase_timer("vmap.splits"):
+            (union_items, seed_index, seed_labels,
+             val_union, val_index, val_labels, dm) = self._build_per_seed_splits(
+                needs_val=spec_cls.needs_val
+            )
         self.dm = dm
         classnames = dm.dataset.classnames
 
         base = BaseTrainer(config, dm)
-        arch, clip_params = base.load_clip_model()
+        with phase_timer("vmap.clip_load"):
+            arch, clip_params = base.load_clip_model()
         templates = get_templates(config)
-        self.text_embeddings = common.encode_templates(
-            clip_params, arch, classnames, templates
-        )
+        with phase_timer("vmap.text_encode"):
+            self.text_embeddings = common.encode_templates(
+                clip_params, arch, classnames, templates
+            )
         self.logit_scale = float(np.exp(np.asarray(clip_params["logit_scale"])))
         self.k, self.m, self.d = self.text_embeddings.shape
         self.shared["text_embeddings"] = self.text_embeddings
@@ -976,12 +994,14 @@ class VmappedTrials:
 
         # one shared frozen-tower pass: union of all trials' few-shot images
         train_idx_j = jnp.asarray(seed_index)
-        union_feats = self._encode_union(
-            base, union_items, dm, spec.normalize_features
-        )
-        labels_test, feats_test = base.encode_images_batched(
-            dm.test_loader, cacheable=True
-        )
+        with phase_timer("vmap.union_encode"):
+            union_feats = self._encode_union(
+                base, union_items, dm, spec.normalize_features
+            )
+        with phase_timer("vmap.test_encode"):
+            labels_test, feats_test = base.encode_images_batched(
+                dm.test_loader, cacheable=True
+            )
         feats_test_j = jnp.asarray(feats_test)
         if spec.normalize_features:
             feats_test_j = common.l2_normalize(feats_test_j)
@@ -1003,11 +1023,13 @@ class VmappedTrials:
 
         # per-trial params + consts
         params = _stack([spec.init_params(s) for s in self.seeds])
-        consts = spec.trial_consts(feats_train, labels_train)
+        with phase_timer("vmap.consts_prestage"):
+            consts = spec.trial_consts(feats_train, labels_train)
         # shallow copy: warm start replaces top-level entries, so this
         # snapshot keeps the pre-warm-start arrays (the zero-shot state)
         zs_params = dict(params)
-        params = spec.warm_start(params, feats_train, labels_train)
+        with phase_timer("vmap.warm_start"):
+            params = spec.warm_start(params, feats_train, labels_train)
 
         lr_vecs = spec.lr_vectors()
         hp_tree = spec.hp_tree()
@@ -1076,7 +1098,8 @@ class VmappedTrials:
 
         # zero-shot block per trial (recorded before training, like the
         # in-process trainers)
-        zs_logits = spec.zero_shot_logits(eval_fn, zs_params, consts, shared)
+        with phase_timer("vmap.zero_shot"):
+            zs_logits = spec.zero_shot_logits(eval_fn, zs_params, consts, shared)
 
         n = feats_train.shape[1]
         batch_size = config.dataloader.batch_size_train
@@ -1090,9 +1113,10 @@ class VmappedTrials:
                 # fresh augmentations: one shared union pass per epoch
                 # (ref: the per-epoch image encode in clip_adapter/taskres/
                 # tip_adapter run_epoch loops)
-                union_feats = self._encode_union(
-                    base, union_items, dm, spec.normalize_features
-                )
+                with phase_timer("vmap.train.reencode"):
+                    union_feats = self._encode_union(
+                        base, union_items, dm, spec.normalize_features
+                    )
                 feats_train = self._shard_trials(union_feats[train_idx_j])
             factors = np.asarray(
                 [spec.lr_factor(epoch, b, n_batches) for b in range(n_batches)],
@@ -1121,35 +1145,43 @@ class VmappedTrials:
                 keys_e = jax.random.split(sub, n_batches * t_trials).reshape(
                     n_batches, t_trials
                 )
-                params, opt_state, losses = epoch_jit(
-                    params, opt_state, consts, fb, lb, keys_e,
-                    jnp.asarray(factors), shared,
-                )
+                with phase_timer("vmap.train.dispatch"):
+                    params, opt_state, losses = epoch_jit(
+                        params, opt_state, consts, fb, lb, keys_e,
+                        jnp.asarray(factors), shared,
+                    )
                 losses = losses[-1]
             else:
                 for b, (lo, hi) in enumerate(slices):
                     root_key, sub = jax.random.split(root_key)
                     keys = jax.random.split(sub, t_trials)
-                    params, opt_state, losses = step_jit(
-                        params, opt_state, consts,
-                        feats_e[:, lo:hi], labels_e[:, lo:hi],
-                        keys, jnp.asarray(factors[b]), shared,
+                    with phase_timer("vmap.train.dispatch"):
+                        params, opt_state, losses = step_jit(
+                            params, opt_state, consts,
+                            feats_e[:, lo:hi], labels_e[:, lo:hi],
+                            keys, jnp.asarray(factors[b]), shared,
+                        )
+            with phase_timer("vmap.train.epoch_end"):
+                spec.on_epoch_end(params, consts, shared, epoch)
+                if (epoch + 1) % 10 == 0 or epoch == 0:
+                    # ONE host transfer for all trials (per-value float()
+                    # costs a full RTT each on tunneled backends — CLAUDE.md)
+                    losses_np = np.asarray(losses)
+                    print(
+                        f"[vmap-trials:{self.method}] epoch {epoch + 1}/"
+                        f"{max_epoch} loss per trial: "
+                        + " ".join(f"{v:.4f}" for v in losses_np)
                     )
-            spec.on_epoch_end(params, consts, shared, epoch)
-            if (epoch + 1) % 10 == 0 or epoch == 0:
-                print(
-                    f"[vmap-trials:{self.method}] epoch {epoch + 1}/{max_epoch} "
-                    f"loss per trial: "
-                    + " ".join(f"{float(v):.4f}" for v in losses)
-                )
 
         # final eval + per-trial metrics.json
-        params, eval_consts = spec.finalize(
-            params, consts, shared, feats_val, labels_val_j
-        )
+        with phase_timer("vmap.finalize"):
+            params, eval_consts = spec.finalize(
+                params, consts, shared, feats_val, labels_val_j
+            )
         root_key, sub = jax.random.split(root_key)
         eval_keys = jax.random.split(sub, t_trials)
-        logits = np.asarray(eval_fn(params, eval_consts, eval_keys, shared))
+        with phase_timer("vmap.final_eval"):
+            logits = np.asarray(eval_fn(params, eval_consts, eval_keys, shared))
         results = []
         for t, seed in enumerate(self.seeds):
             acc = compute_accuracy(logits[t], labels_test)[0]

@@ -19,10 +19,37 @@ from __future__ import annotations
 
 import hashlib
 import os
+from collections import OrderedDict
 from pathlib import Path
 from typing import List, Optional, Tuple
 
 import numpy as np
+
+# In-process memo, always on for cacheable (deterministic eval) splits: a
+# sweep backend runs many trial groups in ONE process and consecutive groups
+# share a dataset, so the test set is encoded once per dataset instead of
+# once per (dataset, shots) group. Small LRU — entries are [N, D] float32
+# (the largest, ImageNet-val, is ~100 MB).
+_MEMO: "OrderedDict[str, Tuple[np.ndarray, np.ndarray]]" = OrderedDict()
+_MEMO_MAX_ENTRIES = 4
+
+
+def memo_get(key: str) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    hit = _MEMO.get(key)
+    if hit is not None:
+        _MEMO.move_to_end(key)
+    return hit
+
+
+def memo_put(key: str, labels: np.ndarray, features: np.ndarray) -> None:
+    _MEMO[key] = (labels, features)
+    _MEMO.move_to_end(key)
+    while len(_MEMO) > _MEMO_MAX_ENTRIES:
+        _MEMO.popitem(last=False)
+
+
+def memo_clear() -> None:
+    _MEMO.clear()
 
 
 def cache_dir() -> Optional[Path]:

@@ -137,15 +137,21 @@ class BaseTrainer:
         from clip_gp_tpu.runtime import feature_cache
 
         key = None
-        if cacheable and feature_cache.cache_dir() is not None:
+        if cacheable:
             key = feature_cache.cache_key(
                 self.config, loader.data_source,
                 getattr(self, "weights_tag", "default"),
             )
-            hit = feature_cache.load(key)
+            hit = feature_cache.memo_get(key)
             if hit is not None:
-                print(f"[feature-cache] hit: {key}")
+                print(f"[feature-cache] memo hit: {key}")
                 return hit
+            if feature_cache.cache_dir() is not None:
+                hit = feature_cache.load(key)
+                if hit is not None:
+                    print(f"[feature-cache] hit: {key}")
+                    feature_cache.memo_put(key, *hit)
+                    return hit
         arch, params = self.clip_arch, self.clip_params
         batch_size = loader.batch_size
         preprocess = self.preprocess
@@ -164,7 +170,9 @@ class BaseTrainer:
                 lambda imgs: encode(params, imgs), loader
             )
         if key is not None:
-            feature_cache.store(key, labels, feats)
+            feature_cache.memo_put(key, labels, feats)
+            if feature_cache.cache_dir() is not None:
+                feature_cache.store(key, labels, feats)
         return labels, feats
 
     def extract_features(self, partition: str = "train"):

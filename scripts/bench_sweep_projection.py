@@ -33,6 +33,9 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 os.environ.setdefault("CLIP_GP_TPU_ALLOW_RANDOM_WEIGHTS", "1")
+# production host pipeline: fused native JPEG decode->augment (2-3x the PIL
+# path per core; identical RNG stream — see clip_gp_tpu/native/)
+os.environ.setdefault("CLIP_GP_TPU_NATIVE_DECODE", "1")
 
 import jax
 
@@ -65,7 +68,8 @@ def main():
     tmp = tempfile.mkdtemp(prefix="bench_sweep_proj_")
     t0 = time.time()
     generate_synthetic_imagefolder(
-        tmp, num_classes=100, images_per_class=42, image_size=224, seed=0
+        tmp, num_classes=100, images_per_class=42, image_size=224, seed=0,
+        fmt="jpg",
     )
     gen_s = time.time() - t0
 
