@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import copy
 import math
+import os
 import time
 from typing import Dict, List, Optional, Sequence
 
@@ -1108,7 +1109,91 @@ class VmappedTrials:
         max_epoch = spec.max_epoch()
         root_key = jax.random.key(int(self.seeds[0]))
 
-        for epoch in range(max_epoch):
+        # Feature-cached methods (no per-epoch re-encode, no per-epoch host
+        # hook) train the WHOLE run as one scanned executable: per-epoch
+        # shuffles/keys/schedule factors are precomputed with the exact
+        # streams the eager path consumes, so results are identical while the
+        # ~max_epoch dispatch round-trips collapse to one (the vmap-axis
+        # analog of the in-process Adapter's quiet-scan epochs).
+        whole_run = (
+            max_epoch > 0
+            and not spec.reencode_per_epoch
+            and type(spec).on_epoch_end is MethodSpec.on_epoch_end
+            and os.environ.get("CLIP_GP_TPU_VMAP_EAGER_EPOCHS") != "1"
+        )
+        if whole_run:
+            b_sz = slices[0][1] - slices[0][0]
+            n_full = n_batches * b_sz
+            perms_all = jnp.asarray(np.stack([
+                np.stack([
+                    np.random.default_rng((seed, epoch)).permutation(n)
+                    for seed in self.seeds
+                ])
+                for epoch in range(max_epoch)
+            ]))  # [E, T, N]
+            factors_all = jnp.asarray(np.asarray([
+                [spec.lr_factor(e, b, n_batches) for b in range(n_batches)]
+                for e in range(max_epoch)
+            ], dtype=np.float32))  # [E, n_batches]
+            keys_all = []
+            for _ in range(max_epoch):  # same root_key evolution as eager
+                root_key, sub = jax.random.split(root_key)
+                keys_all.append(
+                    jax.random.split(sub, n_batches * t_trials).reshape(
+                        n_batches, t_trials
+                    )
+                )
+            keys_all = jnp.stack(keys_all)  # [E, n_batches, T]
+
+            def whole_train(params, opt_state, consts, feats_train,
+                            labels_train, perms, keys, factors, shared):
+                def epoch_body(carry, xs):
+                    params, opt_state = carry
+                    perm, keys_e, fac = xs
+                    feats_e = jnp.take_along_axis(
+                        feats_train, perm[:, :, None], axis=1
+                    )
+                    labels_e = jnp.take_along_axis(labels_train, perm, axis=1)
+                    fb = feats_e[:, :n_full].reshape(
+                        t_trials, n_batches, b_sz, -1
+                    ).transpose(1, 0, 2, 3)
+                    lb = labels_e[:, :n_full].reshape(
+                        t_trials, n_batches, b_sz
+                    ).transpose(1, 0, 2)
+
+                    def body(c, batch):
+                        p, o = c
+                        f, l, k, fc = batch
+                        p, o, losses = step(p, o, consts, f, l, k, fc, shared)
+                        return (p, o), losses
+
+                    (params, opt_state), losses = jax.lax.scan(
+                        body, (params, opt_state), (fb, lb, keys_e, fac)
+                    )
+                    return (params, opt_state), losses[-1]
+
+                (params, opt_state), losses_hist = jax.lax.scan(
+                    epoch_body, (params, opt_state), (perms, keys, factors)
+                )
+                return params, opt_state, losses_hist
+
+            whole_jit = jax.jit(whole_train, donate_argnums=(0, 1))
+            with phase_timer("vmap.train.dispatch"):
+                params, opt_state, losses_hist = whole_jit(
+                    params, opt_state, consts, feats_train, labels_train,
+                    perms_all, keys_all, factors_all, shared,
+                )
+            with phase_timer("vmap.train.epoch_end"):
+                losses_np = np.asarray(losses_hist)  # ONE host transfer
+                for epoch in range(max_epoch):
+                    if (epoch + 1) % 10 == 0 or epoch == 0:
+                        print(
+                            f"[vmap-trials:{self.method}] epoch {epoch + 1}/"
+                            f"{max_epoch} loss per trial: "
+                            + " ".join(f"{v:.4f}" for v in losses_np[epoch])
+                        )
+
+        for epoch in range(0 if whole_run else max_epoch):
             if spec.reencode_per_epoch and epoch > 0:
                 # fresh augmentations: one shared union pass per epoch
                 # (ref: the per-epoch image encode in clip_adapter/taskres/

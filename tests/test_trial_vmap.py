@@ -202,3 +202,36 @@ def test_vmapped_prestage_variants(tmp_path, method, flags):
         assert np.isfinite(result["metrics"]["top1_acc"])
         payload = json.loads((outdir / "metrics.json").read_text())
         assert np.isfinite(payload["metrics"]["top1_acc"])
+
+
+@pytest.mark.parametrize("use_gp", [False, True], ids=["baseline", "gp"])
+def test_whole_run_scan_matches_eager_epochs(tmp_path, use_gp, monkeypatch):
+    """The whole-training lax.scan path (default for feature-cached methods)
+    must produce the same metrics as per-epoch dispatch: the precomputed
+    perm/key/schedule streams are the ones the eager path consumes."""
+    import copy
+
+    from clip_gp_tpu.core.seeding import set_random_seed
+    from clip_gp_tpu.data.pipeline import build_data_manager
+    from clip_gp_tpu.runtime import feature_cache
+
+    config = _config(tmp_path, use_gp)
+    seeds = [1, 2]
+    # pre-generate the few-shot pickle caches: generating vs loading them
+    # consumes different amounts of the (seeded) global RNG stream, and the
+    # comparison needs both runs to see identical augmentation draws
+    for s in seeds:
+        cfg = copy.deepcopy(config)
+        cfg.seed = s
+        set_random_seed(s)
+        build_data_manager(cfg)
+    feature_cache.memo_clear()
+    monkeypatch.setenv("CLIP_GP_TPU_VMAP_EAGER_EPOCHS", "1")
+    eager = run_seed_vmapped_adapter(config, seeds)
+    feature_cache.memo_clear()
+    monkeypatch.delenv("CLIP_GP_TPU_VMAP_EAGER_EPOCHS")
+    scanned = run_seed_vmapped_adapter(config, seeds)
+    for a, b in zip(eager, scanned):
+        assert a["metrics"]["top1_acc"] == b["metrics"]["top1_acc"]
+        assert a["metrics"]["ece"] == b["metrics"]["ece"]
+        assert a["metrics"]["aece"] == b["metrics"]["aece"]
