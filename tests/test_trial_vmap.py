@@ -204,11 +204,18 @@ def test_vmapped_prestage_variants(tmp_path, method, flags):
         assert np.isfinite(payload["metrics"]["top1_acc"])
 
 
-@pytest.mark.parametrize("use_gp", [False, True], ids=["baseline", "gp"])
-def test_whole_run_scan_matches_eager_epochs(tmp_path, use_gp, monkeypatch):
+@pytest.mark.parametrize(
+    "use_gp,batch",
+    [(False, 8), (True, 8), (False, 4)],
+    ids=["baseline", "gp", "baseline-multibatch"],
+)
+def test_whole_run_scan_matches_eager_epochs(tmp_path, use_gp, batch,
+                                             monkeypatch):
     """The whole-training lax.scan path (default for feature-cached methods)
     must produce the same metrics as per-epoch dispatch: the precomputed
-    perm/key/schedule streams are the ones the eager path consumes."""
+    perm/key/schedule streams are the ones the eager path consumes. The
+    multibatch case (batch 4 over 8 samples) exercises the inner
+    scan-over-batches reshape."""
     import copy
 
     from clip_gp_tpu.core.seeding import set_random_seed
@@ -216,6 +223,7 @@ def test_whole_run_scan_matches_eager_epochs(tmp_path, use_gp, monkeypatch):
     from clip_gp_tpu.runtime import feature_cache
 
     config = _config(tmp_path, use_gp)
+    config.dataloader.batch_size_train = batch
     seeds = [1, 2]
     # pre-generate the few-shot pickle caches: generating vs loading them
     # consumes different amounts of the (seeded) global RNG stream, and the
