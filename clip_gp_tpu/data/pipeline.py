@@ -86,6 +86,7 @@ class BatchLoader:
         shuffle: bool = False,
         drop_last: bool = False,
         num_workers: int = 4,
+        rng: Optional[random.Random] = None,
     ):
         self.data_source = data_source
         self.transform = transform
@@ -93,6 +94,11 @@ class BatchLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last and len(data_source) >= batch_size
         self.num_workers = max(1, num_workers)
+        # optional private stream: callers that iterate loaders concurrently
+        # (the sweep's group-parallel workers) pass their own Random so the
+        # shuffle/item-seed draws stay deterministic under any interleaving;
+        # default is the run-seeded global stream (reference parity)
+        self.rng = rng
 
     def __len__(self) -> int:
         n = len(self.data_source)
@@ -101,13 +107,14 @@ class BatchLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator[Dict]:
+        src = self.rng if self.rng is not None else random
         order = list(range(len(self.data_source)))
         if self.shuffle:
-            random.shuffle(order)
+            src.shuffle(order)
         # one deterministic augmentation seed per item, drawn sequentially
-        # from the (run-seeded) global stream BEFORE threading — worker-thread
+        # from the (run-seeded) stream BEFORE threading — worker-thread
         # interleaving can no longer change augmentation draws between runs
-        item_seeds = [random.getrandbits(63) for _ in order]
+        item_seeds = [src.getrandbits(63) for _ in order]
         n_batches = len(self)
         with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
             for b in range(n_batches):

@@ -241,13 +241,23 @@ def _vmap_supported(config, group_size: int) -> bool:
 
 
 def run_trials_vmapped(
-    trials: List[Trial], strict: bool = False
+    trials: List[Trial], strict: bool = False,
+    group_parallel: Optional[int] = None,
 ) -> List[Dict[str, Any]]:
     """Group trials that differ only by seed (or vmappable scalar grid cells)
     and train each group as one vmapped program. Supported methods: Adapter,
     CLIP-Adapter, TaskRes, Tip-Adapter-F. Non-groupable trials fall back to
     in-process sequential execution; with ``strict`` a vmapped-group failure
-    raises instead of silently degrading the sweep to the slow path."""
+    raises instead of silently degrading the sweep to the slow path.
+
+    ``group_parallel``: run up to N trial groups concurrently, each pinned to
+    its own local device via ``jax.default_device`` — the TPU-native analog of
+    the reference's per-GPU subprocess pinning (ref:
+    utils/hparam_search.py:201-258), with threads instead of processes so the
+    XLA executables and feature memo stay shared. Groups are assigned to
+    workers *per dataset* (dataset-sticky), so each dataset's eval split is
+    encoded once on one device. Default (None) = one worker per local device,
+    capped by the dataset count; 1 = sequential (single-chip behavior)."""
     from clip_gp_tpu.core.config import Config, merge_config_from_file, merge_from_opts
     from clip_gp_tpu.parallel.trial_vmap import run_vmapped_trials
 
@@ -278,6 +288,8 @@ def run_trials_vmapped(
     results: List[Dict[str, Any]] = []
     leftovers: List[Trial] = []
     n_fallback_groups = 0
+
+    work_items: List[Tuple] = []
     for key, group in groups.items():
         config = configs[key]
         method = str(config.trainer_name)
@@ -295,44 +307,103 @@ def run_trials_vmapped(
         outdirs = [t.format_outdir() for t in group]
         for d in outdirs:
             d.mkdir(parents=True, exist_ok=True)
+        work_items.append((key, group, config, method, seeds, overrides, outdirs))
+
+    lock = threading.Lock()
+    strict_errors: List[BaseException] = []
+
+    def _run_group(item) -> None:
+        nonlocal n_fallback_groups
+        key, group, config, method, seeds, overrides, outdirs = item
         try:
             run_vmapped_trials(
                 config, seeds, outdirs, trial_overrides=overrides,
                 method=method,
             )
-            rc = 0
         except Exception as e:
             import traceback
 
             traceback.print_exc()
-            if strict:
-                raise RuntimeError(
-                    f"vmapped group {key} failed under --strict-vmap"
-                ) from e
-            n_fallback_groups += 1
-            print(
-                f"[ERROR] vmapped group {key} failed ({e}); "
-                "falling back to in-process (use --strict-vmap to error)"
-            )
-            leftovers.extend(group)
-            continue
-        for t in group:
-            (t.format_outdir() / "log.txt").touch()  # skip-if-done contract
-            results.append(
-                {
-                    "index": t.index,
-                    "dataset": t.dataset,
-                    "seed": t.seed,
-                    "shots": t.shots,
-                    "sig": t.signature(),
-                    "out_dir": str(t.format_outdir()),
-                    "return_code": rc,
-                }
-            )
-            print(
-                f"[vmap] OK method={method} dataset={t.dataset} "
-                f"shots={t.shots} seed={t.seed} config={t.signature()}"
-            )
+            with lock:
+                if strict:
+                    strict_errors.append(
+                        RuntimeError(
+                            f"vmapped group {key} failed under --strict-vmap"
+                        )
+                    )
+                    return
+                n_fallback_groups += 1
+                print(
+                    f"[ERROR] vmapped group {key} failed ({e}); "
+                    "falling back to in-process (use --strict-vmap to error)"
+                )
+                leftovers.extend(group)
+            return
+        with lock:
+            for t in group:
+                (t.format_outdir() / "log.txt").touch()  # skip-if-done
+                results.append(
+                    {
+                        "index": t.index,
+                        "dataset": t.dataset,
+                        "seed": t.seed,
+                        "shots": t.shots,
+                        "sig": t.signature(),
+                        "out_dir": str(t.format_outdir()),
+                        "return_code": 0,
+                    }
+                )
+                print(
+                    f"[vmap] OK method={method} dataset={t.dataset} "
+                    f"shots={t.shots} seed={t.seed} config={t.signature()}"
+                )
+
+    # dataset-sticky buckets: all of a dataset's groups run on one worker so
+    # its eval split is memo-encoded once, on that worker's device
+    buckets: Dict[str, List[Tuple]] = {}
+    for item in work_items:
+        buckets.setdefault(item[1][0].dataset, []).append(item)
+    import jax
+
+    n_workers = group_parallel or min(len(jax.local_devices()), len(buckets) or 1)
+    n_workers = max(1, min(n_workers, len(buckets) or 1))
+    if n_workers <= 1:
+        for item in work_items:
+            _run_group(item)
+            if strict_errors:
+                raise strict_errors[0]
+    else:
+        devices = jax.local_devices()
+        print(
+            f"[vmap] scheduling {len(work_items)} trial group(s) over "
+            f"{n_workers} device(s), dataset-sticky"
+        )
+
+        def _worker(wid: int, my_items: List[Tuple]) -> None:
+            dev = devices[wid % len(devices)]
+            for item in my_items:
+                with lock:
+                    aborted = bool(strict_errors)
+                if aborted:
+                    return
+                with jax.default_device(dev):
+                    _run_group(item)
+
+        assignments: List[List[Tuple]] = [[] for _ in range(n_workers)]
+        for i, ds in enumerate(sorted(buckets)):
+            assignments[i % n_workers].extend(buckets[ds])
+        threads = [
+            threading.Thread(target=_worker, args=(i, items), daemon=True)
+            for i, items in enumerate(assignments)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        if strict_errors:
+            raise strict_errors[0]
+        results.sort(key=lambda r: r["index"])
+
     if n_fallback_groups:
         print(
             f"[vmap] WARNING: {n_fallback_groups} group(s) fell back to the "
@@ -449,6 +520,12 @@ def main(argv=None):
         help="subprocess-backend command prefix template for multi-host "
              "dispatch, e.g. 'ssh {device}' with --devices host1,host2",
     )
+    ap.add_argument(
+        "--group-parallel", type=int, default=None,
+        help="vmap backend: run up to N trial groups concurrently, one per "
+             "local device (default: one worker per device, dataset-sticky; "
+             "1 = sequential)",
+    )
     args = ap.parse_args(argv)
 
     t0 = time.time()
@@ -465,7 +542,9 @@ def main(argv=None):
     todo = pending_trials(trials, skip_logged=not args.no_skip_logged)
     devices = [d.strip() for d in (args.devices or "").split(",") if d.strip()]
     if args.backend == "vmap":
-        run_trials_vmapped(todo, strict=args.strict_vmap)
+        run_trials_vmapped(
+            todo, strict=args.strict_vmap, group_parallel=args.group_parallel
+        )
     elif args.backend == "subprocess" or devices:
         run_trials_subprocess(
             todo, devices, args.jobs_per_device, args.verbose,

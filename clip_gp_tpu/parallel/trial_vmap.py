@@ -42,6 +42,7 @@ from __future__ import annotations
 import copy
 import math
 import os
+import threading
 import time
 from typing import Dict, List, Optional, Sequence
 
@@ -61,6 +62,11 @@ from clip_gp_tpu.ops.metrics import (
     compute_macro_f1,
 )
 from clip_gp_tpu.runtime.optim import _core_transform, build_lr_schedule
+
+
+# serializes the global-RNG few-shot sampling window across the sweep's
+# concurrent group workers (sweep.run_trials_vmapped --group-parallel)
+_SPLIT_RNG_LOCK = threading.Lock()
 
 
 def _stack(trees):
@@ -881,6 +887,16 @@ class VmappedTrials:
         )
         assert len(self.trial_overrides) == len(self.seeds)
         self.shared: Dict = {}
+        # group-private augmentation stream: with --group-parallel several
+        # groups iterate loaders concurrently, so drawing item seeds from the
+        # process-global `random` would make draws depend on scheduling; a
+        # per-group Random seeded from the trial seeds keeps every loader
+        # iteration deterministic under any interleaving
+        import random as _random
+
+        self._aug_rng = _random.Random(
+            "clip-gp-vmap-aug-" + "-".join(str(int(s)) for s in self.seeds)
+        )
 
     def _shard_trials(self, tree):
         """Place [T, ...] arrays with the leading axis over the trial mesh axis."""
@@ -901,13 +917,19 @@ class VmappedTrials:
         per_seed_train: List[List] = []
         per_seed_val: List[List] = []
         dm = None
-        for seed in self.seeds:
-            cfg = copy.deepcopy(self.config)
-            cfg.seed = seed
-            set_random_seed(seed)
-            dm = build_data_manager(cfg)
-            per_seed_train.append(list(dm.dataset.train_x))
-            per_seed_val.append(list(getattr(dm.dataset, "val", None) or []))
+        # few-shot sampling consumes the process-global seeded RNG stream
+        # (reference pickle-cache parity); when the sweep runs groups on
+        # concurrent workers, the set_random_seed→sample window must not
+        # interleave with another group's, or splits stop being
+        # seed-deterministic
+        with _SPLIT_RNG_LOCK:
+            for seed in self.seeds:
+                cfg = copy.deepcopy(self.config)
+                cfg.seed = seed
+                set_random_seed(seed)
+                dm = build_data_manager(cfg)
+                per_seed_train.append(list(dm.dataset.train_x))
+                per_seed_val.append(list(getattr(dm.dataset, "val", None) or []))
 
         def _union(per_seed_items):
             counts = {len(items) for items in per_seed_items}
@@ -949,6 +971,7 @@ class VmappedTrials:
             shuffle=False,
             drop_last=False,
             num_workers=self.config.dataloader.num_workers,
+            rng=self._aug_rng,
         )
         _, feats = base.encode_images_batched(loader)
         feats = jnp.asarray(feats)
@@ -977,6 +1000,12 @@ class VmappedTrials:
                 needs_val=spec_cls.needs_val
             )
         self.dm = dm
+        # eval transforms never use the rng, but loader iteration draws item
+        # seeds regardless — keep those draws off the global stream too
+        if dm.test_loader is not None:
+            dm.test_loader.rng = self._aug_rng
+        if dm.val_loader is not None:
+            dm.val_loader.rng = self._aug_rng
         classnames = dm.dataset.classnames
 
         base = BaseTrainer(config, dm)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import threading
 from collections import OrderedDict
 from pathlib import Path
 from typing import List, Optional, Tuple
@@ -32,24 +33,29 @@ import numpy as np
 # (the largest, ImageNet-val, is ~100 MB).
 _MEMO: "OrderedDict[str, Tuple[np.ndarray, np.ndarray]]" = OrderedDict()
 _MEMO_MAX_ENTRIES = 4
+# the vmap sweep backend runs trial groups on concurrent worker threads
+_MEMO_LOCK = threading.Lock()
 
 
 def memo_get(key: str) -> Optional[Tuple[np.ndarray, np.ndarray]]:
-    hit = _MEMO.get(key)
-    if hit is not None:
-        _MEMO.move_to_end(key)
-    return hit
+    with _MEMO_LOCK:
+        hit = _MEMO.get(key)
+        if hit is not None:
+            _MEMO.move_to_end(key)
+        return hit
 
 
 def memo_put(key: str, labels: np.ndarray, features: np.ndarray) -> None:
-    _MEMO[key] = (labels, features)
-    _MEMO.move_to_end(key)
-    while len(_MEMO) > _MEMO_MAX_ENTRIES:
-        _MEMO.popitem(last=False)
+    with _MEMO_LOCK:
+        _MEMO[key] = (labels, features)
+        _MEMO.move_to_end(key)
+        while len(_MEMO) > _MEMO_MAX_ENTRIES:
+            _MEMO.popitem(last=False)
 
 
 def memo_clear() -> None:
-    _MEMO.clear()
+    with _MEMO_LOCK:
+        _MEMO.clear()
 
 
 def cache_dir() -> Optional[Path]:
