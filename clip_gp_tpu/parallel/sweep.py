@@ -360,13 +360,29 @@ def run_trials_vmapped(
 
     # dataset-sticky buckets: all of a dataset's groups run on one worker so
     # its eval split is memo-encoded once, on that worker's device
-    buckets: Dict[str, List[Tuple]] = {}
+    buckets: Dict[Any, List[Tuple]] = {}
     for item in work_items:
         buckets.setdefault(item[1][0].dataset, []).append(item)
     import jax
 
-    n_workers = group_parallel or min(len(jax.local_devices()), len(buckets) or 1)
-    n_workers = max(1, min(n_workers, len(buckets) or 1))
+    if group_parallel:
+        # explicit: workers may outnumber devices — co-resident groups
+        # software-pipeline a chip (one group's host decode overlaps another's
+        # device training; the in-flight memo lock stops duplicate eval
+        # encodes). If the dataset count can't feed that many workers, split
+        # buckets down to (dataset, shots).
+        n_workers = max(1, group_parallel)
+        if n_workers > len(buckets):
+            buckets = {}
+            for item in work_items:
+                buckets.setdefault(
+                    (item[1][0].dataset, item[1][0].shots), []
+                ).append(item)
+        n_workers = min(n_workers, len(buckets) or 1)
+    else:
+        n_workers = max(
+            1, min(len(jax.local_devices()), len(buckets) or 1)
+        )
     if n_workers <= 1:
         for item in work_items:
             _run_group(item)
@@ -376,7 +392,7 @@ def run_trials_vmapped(
         devices = jax.local_devices()
         print(
             f"[vmap] scheduling {len(work_items)} trial group(s) over "
-            f"{n_workers} device(s), dataset-sticky"
+            f"{n_workers} worker(s) / {len(devices)} device(s)"
         )
 
         def _worker(wid: int, my_items: List[Tuple]) -> None:

@@ -895,7 +895,9 @@ class VmappedTrials:
         import random as _random
 
         self._aug_rng = _random.Random(
-            "clip-gp-vmap-aug-" + "-".join(str(int(s)) for s in self.seeds)
+            "clip-gp-vmap-aug-"
+            + "-".join(str(int(s)) for s in self.seeds)
+            + f"-{config.dataset.name}-{config.dataset.num_shots}"
         )
 
     def _shard_trials(self, tree):

@@ -22,7 +22,7 @@ import os
 import threading
 from collections import OrderedDict
 from pathlib import Path
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -56,6 +56,20 @@ def memo_put(key: str, labels: np.ndarray, features: np.ndarray) -> None:
 def memo_clear() -> None:
     with _MEMO_LOCK:
         _MEMO.clear()
+
+
+# per-key in-flight locks: when concurrent sweep workers miss the memo for
+# the same split simultaneously, the second waits for the first's encode
+# instead of duplicating a full frozen-tower pass
+_INFLIGHT: Dict[str, "threading.Lock"] = {}
+
+
+def inflight_lock(key: str) -> "threading.Lock":
+    with _MEMO_LOCK:
+        lk = _INFLIGHT.get(key)
+        if lk is None:
+            lk = _INFLIGHT[key] = threading.Lock()
+        return lk
 
 
 def cache_dir() -> Optional[Path]:

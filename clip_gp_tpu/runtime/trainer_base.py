@@ -142,16 +142,27 @@ class BaseTrainer:
                 self.config, loader.data_source,
                 getattr(self, "weights_tag", "default"),
             )
-            hit = feature_cache.memo_get(key)
-            if hit is not None:
-                print(f"[feature-cache] memo hit: {key}")
-                return hit
-            if feature_cache.cache_dir() is not None:
-                hit = feature_cache.load(key)
+            # in-flight lock: a concurrent sweep worker missing the memo for
+            # the same split waits for the winner's encode instead of
+            # duplicating it
+            with feature_cache.inflight_lock(key):
+                hit = feature_cache.memo_get(key)
                 if hit is not None:
-                    print(f"[feature-cache] hit: {key}")
-                    feature_cache.memo_put(key, *hit)
+                    print(f"[feature-cache] memo hit: {key}")
                     return hit
+                if feature_cache.cache_dir() is not None:
+                    hit = feature_cache.load(key)
+                    if hit is not None:
+                        print(f"[feature-cache] hit: {key}")
+                        feature_cache.memo_put(key, *hit)
+                        return hit
+                return self._encode_batched_uncached(loader, key)
+        return self._encode_batched_uncached(loader, key)
+
+    def _encode_batched_uncached(
+        self, loader, key: Optional[str]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        from clip_gp_tpu.runtime import feature_cache
         arch, params = self.clip_arch, self.clip_params
         batch_size = loader.batch_size
         preprocess = self.preprocess

@@ -124,6 +124,45 @@ def main():
     mean_group_s = per_dataset_s / len(SHOTS)
     eight_chip_s = math.ceil(n_groups / N_CHIPS) * mean_group_s
 
+    # Optional pass 3 (--pipelined) — two co-resident workers on the ONE chip
+    # (sweep --group-parallel 2), so one group's host-side decode overlaps
+    # the other group's device training. MEASURED SLOWER on this 1-core bench
+    # host (127 vs 77 s/dataset): with the whole-run scan, device train is
+    # ~8 s/group vs ~13 s of single-core host decode, so both workers mostly
+    # contend for the same CPU. On a normal many-core host the decode pool
+    # parallelizes and this pass is the single-chip win; off by default so
+    # the artifact reports the reproducible sequential steady state.
+    pipelined_per_dataset_s = None
+    if "--pipelined" in sys.argv[1:]:
+        import queue as _queue
+        import threading as _threading
+
+        q: "_queue.Queue" = _queue.Queue()
+        for shots in SHOTS:
+            q.put(shots)
+
+        def _worker():
+            while True:
+                try:
+                    shots = q.get_nowait()
+                except _queue.Empty:
+                    return
+                outdirs = [
+                    os.path.join(tmp, f"out/pipe_s{shots}_t{i}")
+                    for i in range(5)
+                ]
+                run_seed_vmapped_adapter(config(shots), list(SEEDS), outdirs)
+
+        t0 = time.time()
+        workers = [_threading.Thread(target=_worker) for _ in range(2)]
+        for w in workers:
+            w.start()
+        for w in workers:
+            w.join()
+        pipelined_per_dataset_s = time.time() - t0
+        print(f"# pipelined pass (2 workers): {pipelined_per_dataset_s:.1f}s",
+              file=sys.stderr)
+
     payload = {
         "metric": "gp_sweep_11x5shots_5seeds_projection",
         "trials_total": N_DATASETS * len(SHOTS) * len(SEEDS),
@@ -159,6 +198,13 @@ def main():
             "a v4 chip has comparable bf16 throughput",
         ],
     }
+    if pipelined_per_dataset_s is not None:
+        payload["measured_per_dataset_pipelined_s"] = round(
+            pipelined_per_dataset_s, 1
+        )
+        payload["single_chip_pipelined_min"] = round(
+            N_DATASETS * pipelined_per_dataset_s / 60, 1
+        )
     (REPO / "BENCH_sweep.json").write_text(json.dumps(payload, indent=2))
     print(json.dumps(payload))
 

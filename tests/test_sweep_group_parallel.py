@@ -28,14 +28,14 @@ def _random_weights_env(monkeypatch):
     monkeypatch.setenv("CLIP_GP_TPU_ALLOW_RANDOM_WEIGHTS", "1")
 
 
-def _experiment_yaml(tmp_path, root, output_root):
+def _experiment_yaml(tmp_path, root, output_root, datasets, shots):
     spec = {
         "name": "gp_par",
         "BASE_CONFIG": "configs/trainers/default.yaml",
         "root": str(root),
-        "datasets": ["synthetic", "caltech101"],
+        "datasets": datasets,
         "seeds": [1, 2],
-        "shots": [1],
+        "shots": shots,
         "output_root": str(output_root),
         "template": "{experiment}/{dataset}/GP_{shots}shots{sig}/seed{seed}",
         "grid": {},
@@ -60,22 +60,30 @@ def _experiment_yaml(tmp_path, root, output_root):
     return path
 
 
-def _build(tmp_path, root, output_root):
-    cfg_path = _experiment_yaml(tmp_path, root, output_root)
+def _build(tmp_path, root, output_root, datasets, shots):
+    cfg_path = _experiment_yaml(tmp_path, root, output_root, datasets, shots)
     cfg = yaml.safe_load(cfg_path.read_text())
     cfg["__config_file__"] = str(cfg_path)
     trials, _ = build_trials(cfg)
     return trials
 
 
-def test_group_parallel_matches_sequential(tmp_path):
+@pytest.mark.parametrize(
+    "datasets,shots",
+    [
+        (["synthetic", "caltech101"], [1]),  # dataset-sticky, 2 devices
+        (["synthetic"], [1, 2]),  # pipelined: (dataset, shots) buckets
+    ],
+    ids=["two-datasets", "pipelined-one-dataset"],
+)
+def test_group_parallel_matches_sequential(tmp_path, datasets, shots):
     root = tmp_path / "data"
     root.mkdir()
     build_caltech101(root)
 
-    par_trials = _build(tmp_path, root, tmp_path / "out_par")
-    seq_trials = _build(tmp_path, root, tmp_path / "out_seq")
-    assert len(par_trials) == len(seq_trials) == 4  # 2 datasets x 2 seeds
+    par_trials = _build(tmp_path, root, tmp_path / "out_par", datasets, shots)
+    seq_trials = _build(tmp_path, root, tmp_path / "out_seq", datasets, shots)
+    assert len(par_trials) == len(seq_trials) == 4  # 2x2
 
     # pre-generate every few-shot pickle cache: generating vs loading them
     # consumes different amounts of the seeded global RNG stream, and the two
