@@ -219,6 +219,36 @@ def test_strict_vmap_raises_and_fallback_counts(tmp_path, capsys, monkeypatch):
     assert len(ran) == len(trials)
 
 
+def test_group_parallel_strict_and_fallback(tmp_path, capsys, monkeypatch):
+    """Strict failures propagate out of concurrent workers; non-strict
+    failures fall back to in-process for every group."""
+    import clip_gp_tpu.parallel.sweep as sweep_mod
+    import clip_gp_tpu.parallel.trial_vmap as tv
+
+    def boom(*a, **k):
+        raise RuntimeError("injected vmap failure")
+
+    monkeypatch.setattr(tv, "run_vmapped_trials", boom)
+    monkeypatch.setenv("CLIP_GP_TPU_ALLOW_RANDOM_WEIGHTS", "1")
+    cfg = _clip_adapter_sweep_cfg(tmp_path)
+    cfg["shots"] = [1, 2, 4]  # 3 groups -> 2 workers, one runs 2 items
+    trials, _ = build_trials(cfg)
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="strict-vmap"):
+        sweep_mod.run_trials_vmapped(trials, strict=True, group_parallel=2)
+
+    ran = []
+    monkeypatch.setattr(
+        sweep_mod, "run_trials_inprocess", lambda ts: ran.extend(ts) or []
+    )
+    sweep_mod.run_trials_vmapped(trials, strict=False, group_parallel=2)
+    out = capsys.readouterr().out
+    assert "3 group(s) fell back" in out
+    assert len(ran) == len(trials)
+
+
 def test_bars_notebook_analog(tmp_path):
     """reporting.bars: the scripts/test.ipynb analog — runs.csv + per-dataset
     3-metric grouped bar figures from metrics.json runs across experiments."""
