@@ -76,11 +76,22 @@ class Synthetic(_SplitJsonDataset):
     new_cnames = {name.replace(" ", "_"): name for name in SYNTH_CLASSNAMES}
 
     def _load_splits(self, config):
+        import glob
+        import shutil
+
         root = os.path.abspath(os.path.expanduser(config.dataset.root))
         image_dir = os.path.join(root, "synthetic", "images")
-        # only generate the default fixture into an empty tree — benchmarks
+        # a completed generation leaves a .done_* marker; benchmarks
         # pre-generate larger variants (more classes / jpg) into the same
-        # layout, and a default-args regeneration would clobber them
-        if not (os.path.isdir(image_dir) and os.listdir(image_dir)):
+        # layout with their own marker, and a default-args regeneration
+        # would clobber them — so any marker means the tree is usable
+        done = glob.glob(os.path.join(image_dir, ".done_*"))
+        if not done:
+            if os.path.isdir(image_dir) and os.listdir(image_dir):
+                # non-empty but marker-less: an interrupted generation left a
+                # partial tree — silently training on it would give a wrong
+                # class count; regenerate from scratch (cheap, deterministic)
+                print(f"[Synthetic] partial tree at {image_dir}; regenerating")
+                shutil.rmtree(image_dir)
             generate_synthetic_imagefolder(root)
         return super()._load_splits(config)

@@ -193,14 +193,24 @@ def extract_with(encode_fn, loader) -> Tuple[np.ndarray, np.ndarray]:
     feats_dev, labels = [], []
     bs = loader.batch_size
     target = int(os.environ.get("CLIP_GP_TPU_EXTRACT_DEVICE_BATCH", "512"))
-    group = max(1, min(target // max(bs, 1), 8))
+    group = max(1, target // max(bs, 1))
     dev_bs = group * bs
     buf: list = []
 
     def flush():
         imgs = buf[0] if len(buf) == 1 else np.concatenate(buf)
         n = imgs.shape[0]
-        feats_dev.append(encode_fn(jnp.asarray(pad_batch(imgs, dev_bs)))[:n])
+        # full super-batches pad to dev_bs (one compiled shape); the final
+        # partial one pads to the next power-of-two batch multiple — bounded
+        # extra shapes, without encoding a 512-pad for a 24-image tail
+        if n >= dev_bs:
+            padded = dev_bs
+        else:
+            g = 1
+            while g * bs < n:
+                g *= 2
+            padded = min(g * bs, dev_bs)
+        feats_dev.append(encode_fn(jnp.asarray(pad_batch(imgs, padded)))[:n])
         buf.clear()
 
     for batch in loader:

@@ -191,29 +191,9 @@ def run_trials_inprocess(trials: List[Trial]) -> List[Dict[str, Any]]:
     return results
 
 
-# grid keys whose values can join the vmap axis as per-trial scalars, per
-# method (values are the trial_vmap hparam names = config attribute names)
-VMAPPABLE_KEYS: Dict[str, Dict[str, str]] = {
-    "Adapter": {
-        "TRAINER.ADAPTER.GP_BETA": "gp_beta",
-        "TRAINER.ADAPTER.GP_LR": "gp_lr",
-        "OPTIM.LR": "lr",
-        "TRAINER.ADAPTER.L2_LAMBDA": "l2_lambda",
-    },
-    "CLIP-Adapter": {
-        "TRAINER.ADAPTER.CLIP_ADAPTER_LR": "clip_adapter_lr",
-        "TRAINER.ADAPTER.CLIP_ADAPTER_RATIO": "clip_adapter_ratio",
-    },
-    "TaskRes": {
-        "TRAINER.ADAPTER.TASKRES_LR": "taskres_lr",
-        "TRAINER.ADAPTER.TASKRES_RESIDUAL_SCALE": "taskres_residual_scale",
-    },
-    "Tip-Adapter": {
-        "TRAINER.ADAPTER.TIP_ADAPTER_LR": "tip_adapter_lr",
-        "TRAINER.ADAPTER.TIP_ADAPTER_INIT_BETA": "tip_adapter_init_beta",
-        "TRAINER.ADAPTER.TIP_ADAPTER_INIT_ALPHA": "tip_adapter_init_alpha",
-    },
-}
+# grid keys whose values can join the vmap axis live on each MethodSpec
+# (trial_vmap.vmappable_config_keys — one source of truth with the specs'
+# supported_hparams); fetched lazily so importing sweep.py stays jax-free
 
 
 def _vmap_supported(config, group_size: int) -> bool:
@@ -259,7 +239,12 @@ def run_trials_vmapped(
     encoded once on one device. Default (None) = one worker per local device,
     capped by the dataset count; 1 = sequential (single-chip behavior)."""
     from clip_gp_tpu.core.config import Config, merge_config_from_file, merge_from_opts
-    from clip_gp_tpu.parallel.trial_vmap import run_vmapped_trials
+    from clip_gp_tpu.parallel.trial_vmap import (
+        run_vmapped_trials,
+        vmappable_config_keys,
+    )
+
+    vmappable_keys = vmappable_config_keys()
 
     import clip_gp_tpu.data.datasets  # noqa: F401
     import clip_gp_tpu.methods  # noqa: F401
@@ -276,7 +261,7 @@ def run_trials_vmapped(
         config.dataset.name = DATASET_NAME_MAP.get(t.dataset.lower(), t.dataset)
         if t.root_override:
             config.dataset.root = t.root_override
-        vmappable = VMAPPABLE_KEYS.get(str(config.trainer_name), {})
+        vmappable = vmappable_keys.get(str(config.trainer_name), {})
         if all(k in vmappable for k in t.grid_overrides):
             # seeds AND scalar grid cells share one vmapped program
             key = (t.dataset, t.shots, str(config.trainer_name))
@@ -297,7 +282,7 @@ def run_trials_vmapped(
             # head variants the vmapped runner doesn't model train in-process
             leftovers.extend(group)
             continue
-        vmappable = VMAPPABLE_KEYS[method]
+        vmappable = vmappable_keys[method]
         seeds = [t.seed for t in group]
         overrides = [
             {vmappable[k]: v for k, v in t.grid_overrides.items()

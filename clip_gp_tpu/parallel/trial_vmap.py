@@ -32,9 +32,10 @@ Methods are pluggable ``MethodSpec`` objects; supported heads:
 - **Tip-Adapter-F** (trainable cache keys with best-on-test state keeping and
   a per-trial (β, α) val grid search; ref: trainers/tip_adapter.py:225-327).
 
-GP/template-weight *pre-stage* variants of the latter three train per-trial
-GPs on per-seed features; those stay on the in-process backend (sweep.py
-groups them out before calling here).
+GP/template-weight *pre-stage* variants of the latter three run on this
+backend too: the pre-stage fits train as vmapped per-trial programs
+(``vmapped_gp_prestage`` / ``vmapped_tw_prestage``) before the head's own
+training, mirroring ``methods/pre_stages.py``.
 """
 
 from __future__ import annotations
@@ -243,6 +244,10 @@ class MethodSpec:
     # per-trial scalar hyperparameters that may join the vmap axis; names are
     # config attribute names (adapter.* unless noted)
     supported_hparams: tuple = ()
+    # sweep-grid OPTS key -> hparam name; the sweep backend derives its
+    # vmappable-grid table from this (single source of truth with
+    # supported_hparams — see vmappable_config_keys())
+    config_keys: Dict[str, str] = {}
     reencode_per_epoch = False  # re-encode augmented union each epoch
     normalize_features = False  # L2-normalize features at extraction
     needs_val = False  # trial-gathered val features (Tip grid search)
@@ -320,6 +325,12 @@ class AdapterSpec(MethodSpec):
 
     name = "Adapter"
     supported_hparams = ("gp_beta", "gp_lr", "lr", "l2_lambda")
+    config_keys = {
+        "TRAINER.ADAPTER.GP_BETA": "gp_beta",
+        "TRAINER.ADAPTER.GP_LR": "gp_lr",
+        "OPTIM.LR": "lr",
+        "TRAINER.ADAPTER.L2_LAMBDA": "l2_lambda",
+    }
 
     def __init__(self, runner):
         super().__init__(runner)
@@ -435,6 +446,10 @@ class ClipAdapterSpec(MethodSpec):
 
     name = "CLIP-Adapter"
     supported_hparams = ("clip_adapter_lr", "clip_adapter_ratio")
+    config_keys = {
+        "TRAINER.ADAPTER.CLIP_ADAPTER_LR": "clip_adapter_lr",
+        "TRAINER.ADAPTER.CLIP_ADAPTER_RATIO": "clip_adapter_ratio",
+    }
     reencode_per_epoch = True
 
     def __init__(self, runner):
@@ -546,6 +561,10 @@ class TaskResSpec(MethodSpec):
 
     name = "TaskRes"
     supported_hparams = ("taskres_lr", "taskres_residual_scale")
+    config_keys = {
+        "TRAINER.ADAPTER.TASKRES_LR": "taskres_lr",
+        "TRAINER.ADAPTER.TASKRES_RESIDUAL_SCALE": "taskres_residual_scale",
+    }
     reencode_per_epoch = True
 
     def __init__(self, runner):
@@ -662,6 +681,11 @@ class TipAdapterFSpec(MethodSpec):
     supported_hparams = (
         "tip_adapter_lr", "tip_adapter_init_beta", "tip_adapter_init_alpha"
     )
+    config_keys = {
+        "TRAINER.ADAPTER.TIP_ADAPTER_LR": "tip_adapter_lr",
+        "TRAINER.ADAPTER.TIP_ADAPTER_INIT_BETA": "tip_adapter_init_beta",
+        "TRAINER.ADAPTER.TIP_ADAPTER_INIT_ALPHA": "tip_adapter_init_alpha",
+    }
     reencode_per_epoch = True
     normalize_features = True
     needs_val = True
@@ -853,6 +877,18 @@ SPECS = {
 }
 
 
+def vmappable_config_keys() -> Dict[str, Dict[str, str]]:
+    """Per-method sweep-grid OPTS keys that may join the vmap axis, derived
+    from each spec's ``config_keys`` (the sweep backend's table — one source
+    of truth with ``supported_hparams``)."""
+    out = {}
+    for name, cls in SPECS.items():
+        unknown = set(cls.config_keys.values()) - set(cls.supported_hparams)
+        assert not unknown, f"{name}: config_keys not in supported_hparams: {unknown}"
+        out[name] = dict(cls.config_keys)
+    return out
+
+
 # ======================================================================
 # Runner
 # ======================================================================
@@ -963,16 +999,24 @@ class VmappedTrials:
             val_union, val_idx, val_lab = _union(per_seed_val)
         return train_union, train_idx, train_lab, val_union, val_idx, val_lab, dm
 
-    def _encode_union(self, base, union_items, dm, normalize: bool):
+    def _encode_union(self, base, union_items, dm, normalize: bool,
+                      train: bool = True):
+        """Encode a union of datums. ``train=True`` applies the train
+        transform (random augmentation, group-private rng); ``train=False``
+        the deterministic eval transform — val splits must use the latter
+        (the in-process path's val_loader is built with tfm_test,
+        pipeline.py; ref: utils/data_manager.py:62-83)."""
         from clip_gp_tpu.data.pipeline import BatchLoader
 
         loader = BatchLoader(
             union_items,
-            dm.tfm_train,
+            dm.tfm_train if train else dm.tfm_test,
             self.config.dataloader.batch_size_train,
             shuffle=False,
             drop_last=False,
             num_workers=self.config.dataloader.num_workers,
+            # eval transforms ignore the rng but the loader still draws item
+            # seeds — keep those draws on the group stream (off the global)
             rng=self._aug_rng,
         )
         _, feats = base.encode_images_batched(loader)
@@ -1048,7 +1092,7 @@ class VmappedTrials:
         feats_val = labels_val_j = None
         if val_union is not None:
             val_feats_union = self._encode_union(
-                base, val_union, dm, spec.normalize_features
+                base, val_union, dm, spec.normalize_features, train=False
             )
             feats_val = val_feats_union[jnp.asarray(val_index)]
             labels_val_j = jnp.asarray(val_labels)

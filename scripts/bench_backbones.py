@@ -20,18 +20,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 
-if __name__ != "__external__":  # persistent compile cache (see train.py)
-    import os as _os
+from clip_gp_tpu.runtime import compile_cache
 
-    if _os.environ.get("CLIP_GP_TPU_NO_COMPILE_CACHE") != "1":
-        try:
-            jax.config.update(
-                "jax_compilation_cache_dir",
-                _os.path.expanduser("~/.cache/clip_gp_tpu/xla"),
-            )
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        except Exception:
-            pass
+compile_cache.enable()
 import jax.numpy as jnp
 import numpy as np
 

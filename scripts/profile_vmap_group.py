@@ -24,15 +24,9 @@ os.environ.setdefault("CLIP_GP_TPU_NATIVE_DECODE", "1")
 
 import jax
 
-if os.environ.get("CLIP_GP_TPU_NO_COMPILE_CACHE") != "1":
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.expanduser("~/.cache/clip_gp_tpu/xla"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+from clip_gp_tpu.runtime import compile_cache
+
+compile_cache.enable()
 
 
 def main():

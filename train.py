@@ -21,25 +21,6 @@ def print_args(config):
 
 
 
-def _enable_compilation_cache():
-    """Persistent XLA compilation cache (measured 3-4x faster warm starts;
-    lets subprocess sweeps and repeated runs skip remote compiles). Opt out
-    with CLIP_GP_TPU_NO_COMPILE_CACHE=1."""
-    if os.environ.get("CLIP_GP_TPU_NO_COMPILE_CACHE") == "1":
-        return
-    import jax
-
-    cache_dir = os.environ.get(
-        "CLIP_GP_TPU_COMPILE_CACHE_DIR",
-        os.path.expanduser("~/.cache/clip_gp_tpu/xla"),
-    )
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
-
-
 def main(argv=None):
     # Sweep subprocess backend pins each child to one chip of a multi-chip
     # host (the TPU analog of the reference's CUDA_VISIBLE_DEVICES pinning,
@@ -47,7 +28,10 @@ def main(argv=None):
     device = os.environ.get("CLIP_GP_TPU_DEVICE")
     if device:
         os.environ.setdefault("TPU_VISIBLE_DEVICES", device)
-    _enable_compilation_cache()
+    # persistent XLA compile cache (measured 3-4x faster warm starts)
+    from clip_gp_tpu.runtime import compile_cache
+
+    compile_cache.enable()
 
     from clip_gp_tpu.core.config import parse_args_to_config, save_config_to_file
     from clip_gp_tpu.core.logging import setup_logger
