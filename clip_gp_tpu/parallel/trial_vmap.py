@@ -318,6 +318,15 @@ class MethodSpec:
         """Post-training adjustment; returns (params, consts) used at eval."""
         return params, consts
 
+    def export_state(self, params_t: Dict, consts_t: Dict) -> Optional[Dict]:
+        """One trial's state in the IN-PROCESS trainer's ``trainable_state``
+        layout, so TRAIN.ENABLE_ADAPTER_CHECKPOINTS checkpoints written by
+        the vmap backend reload through ``--eval-only --model-dir`` exactly
+        like the reference sweep children's (ref: utils/trainer.py:347-374,
+        457-467). None = the method writes no checkpoints (Tip-Adapter's
+        custom flow, like the reference's)."""
+        return None
+
 
 class AdapterSpec(MethodSpec):
     """Flagship Adapter: visual_proj + {GP weighter | template logits}
@@ -382,6 +391,10 @@ class AdapterSpec(MethodSpec):
         else:
             params["template_logits"] = jnp.zeros((self.r.k, self.r.m))
         return params
+
+    def export_state(self, params_t, consts_t):
+        # same layout as methods/adapter.py trainable_state (= self.params)
+        return dict(params_t)
 
     def warm_start(self, params, feats_train, labels_train):
         tw = []
@@ -500,6 +513,13 @@ class ClipAdapterSpec(MethodSpec):
                 k2, (hidden, d),
                 minval=-1 / np.sqrt(hidden), maxval=1 / np.sqrt(hidden),
             ),
+        }
+
+    def export_state(self, params_t, consts_t):
+        # methods/clip_adapter.py trainable_state layout
+        return {
+            "adapter": {"fc1": params_t["fc1"], "fc2": params_t["fc2"]},
+            "clip_weights": consts_t["clip_weights"],
         }
 
     def _logits(self, p, feats, ratio, clip_w):
@@ -635,6 +655,13 @@ class TaskResSpec(MethodSpec):
                 base[None], (t,) + base.shape
             )
         return consts
+
+    def export_state(self, params_t, consts_t):
+        # methods/taskres.py trainable_state layout
+        return {
+            "residuals": params_t["residuals"],
+            "base_text_features": consts_t["base_text"],
+        }
 
     def loss(self, p, c, feats, labels, key, hps, shared):
         text = c["base_text"] + hps["alpha"] * p["residuals"]
@@ -1387,6 +1414,19 @@ class VmappedTrials:
                 writer = BaseTrainer(cfg, dm)
                 writer.zero_shot_metrics = result["zero_shot"]
                 writer.write_run_summary_json(metrics, start_time=start_time)
+                if getattr(cfg.train, "enable_adapter_checkpoints", False):
+                    # per-trial checkpoint in the in-process trainer's
+                    # trainable_state layout → reloads via --eval-only
+                    # --model-dir like the reference sweep children's
+                    state = spec.export_state(
+                        jax.tree.map(lambda x: np.asarray(x[t]), params),
+                        jax.tree.map(lambda x: np.asarray(x[t]), eval_consts),
+                    )
+                    if state is not None:
+                        writer.trainable_state = lambda s=state: s
+                        writer.save_model(
+                            spec.max_epoch() - 1, str(trial_outdirs[t])
+                        )
         print(
             f"[vmap-trials:{self.method}] {t_trials} trials trained in "
             f"{time.time() - start_time:.1f}s"

@@ -204,6 +204,42 @@ def test_vmapped_prestage_variants(tmp_path, method, flags):
         assert np.isfinite(payload["metrics"]["top1_acc"])
 
 
+@pytest.mark.parametrize("method", ["Adapter", "CLIP-Adapter", "TaskRes"])
+def test_vmap_checkpoint_eval_only_roundtrip(tmp_path, method):
+    """With TRAIN.ENABLE_ADAPTER_CHECKPOINTS the vmap backend writes
+    per-trial checkpoints in the in-process trainer's trainable_state
+    layout; --eval-only --model-dir must reload one and reproduce the
+    trial's test accuracy (the reference sweep-children contract,
+    ref: utils/trainer.py:347-374 + train.py:92-96)."""
+    import json
+
+    import train as train_main
+    from clip_gp_tpu.parallel.trial_vmap import run_vmapped_trials
+
+    config = _config(tmp_path, use_gp=False)
+    config.trainer_name = method
+    config.train.enable_adapter_checkpoints = True
+    outdirs = [tmp_path / "out/seed1", tmp_path / "out/seed2"]
+    run_vmapped_trials(config, [1, 2], outdirs, method=method)
+    ckpts = list((outdirs[0] / "adapter").glob("*.npz"))
+    assert ckpts, "vmap backend wrote no checkpoint"
+
+    evaldir = tmp_path / "evalrun"
+    train_main.main([
+        "--dataset", "Synthetic", "--root", str(tmp_path / "data"),
+        "--shots", "2", "--backbone", "TEST-ViT", "--seed", "1",
+        "--output-dir", str(evaldir), "--batch-size", "8",
+        "--num-templates", "2", "--trainer", method,
+        "--eval-only", "--model-dir", str(outdirs[0]),
+        "INPUT.SIZE", "(32, 32)", "DATALOADER.NUM_WORKERS", "2",
+    ])
+    reloaded = json.loads((evaldir / "metrics.json").read_text())
+    vmapped = json.loads((outdirs[0] / "metrics.json").read_text())
+    assert (
+        reloaded["metrics"]["top1_acc"] == vmapped["metrics"]["top1_acc"]
+    )
+
+
 @pytest.mark.parametrize(
     "use_gp,batch",
     [(False, 8), (True, 8), (False, 4)],
