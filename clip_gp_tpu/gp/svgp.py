@@ -180,28 +180,47 @@ def safe_cholesky(
     diag_scale = jnp.clip(
         jnp.mean(jnp.diagonal(a_ng, axis1=-2, axis2=-1), axis=-1), 1.0, None
     )  # [...batch]
-    jitters = [
-        base_jitter * (10.0**i) * (diag_scale if i else 1.0)
-        for i in range(max_tries)
-    ]
-    oks = jnp.stack(
-        [
-            jnp.all(
-                jnp.isfinite(
-                    jnp.linalg.cholesky(a_ng + j[..., None, None] * eye
-                                        if i else a_ng + j * eye)
-                ),
-                axis=(-1, -2),
-            )
-            for i, j in enumerate(jitters)
+    batch_shape = diag_scale.shape
+
+    # one probe at the base jitter; the escalation ladder only executes when
+    # some matrix came back non-finite (scalar predicate -> lax.cond runs a
+    # single branch, so the healthy path pays 2 factorizations, not 6)
+    probe0 = jnp.linalg.cholesky(a_ng + base_jitter * eye)
+    all_ok = jnp.all(jnp.isfinite(probe0))
+
+    def healthy(_):
+        return jnp.broadcast_to(
+            jnp.asarray(base_jitter, dtype=a.dtype), batch_shape
+        )
+
+    def escalate(_):
+        jitters = [
+            base_jitter * (10.0**i) * (diag_scale if i else 1.0)
+            for i in range(max_tries)
         ]
-    )  # [tries, ...batch]
-    first = jnp.argmax(oks, axis=0)  # first True (or 0 if none)
-    first = jnp.where(jnp.any(oks, axis=0), first, max_tries - 1)
-    jit_stack = jnp.stack(
-        [jnp.broadcast_to(j, diag_scale.shape) for j in jitters]
-    )  # [tries, ...batch]
-    chosen = jnp.take_along_axis(jit_stack, first[None], axis=0)[0]
+        oks = jnp.stack(
+            [
+                jnp.all(
+                    jnp.isfinite(
+                        jnp.linalg.cholesky(a_ng + j[..., None, None] * eye
+                                            if i else a_ng + j * eye)
+                    ),
+                    axis=(-1, -2),
+                )
+                for i, j in enumerate(jitters)
+            ]
+        )  # [tries, ...batch]
+        first = jnp.argmax(oks, axis=0)  # first True (or 0 if none)
+        first = jnp.where(jnp.any(oks, axis=0), first, max_tries - 1)
+        jit_stack = jnp.stack(
+            [
+                jnp.broadcast_to(j, batch_shape).astype(a.dtype)
+                for j in jitters
+            ]
+        )  # [tries, ...batch]
+        return jnp.take_along_axis(jit_stack, first[None], axis=0)[0]
+
+    chosen = jax.lax.cond(all_ok, healthy, escalate, None)
     return jnp.linalg.cholesky(a + chosen[..., None, None] * eye)
 
 

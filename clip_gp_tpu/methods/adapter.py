@@ -174,9 +174,18 @@ class Trainer(BaseTrainer):
             )
             updates, opt_state = self.opt.update(grads, opt_state, params)
             params = jax.tree.map(lambda p, u: p + u, params, updates)
+            # "base" = every non-GP trainable (visual_proj + template
+            # logits/linear head), matching the reference's two optimizer
+            # param groups (ref: trainers/adapter.py:298-311) — hardcoding
+            # visual_proj would show a frozen param's norm and hide the
+            # trained head's under freeze_visual_proj / logits mode
+            base_leaves = [
+                leaf
+                for name2, sub in grads.items() if name2 != "gp"
+                for leaf in jax.tree.leaves(sub)
+            ]
             gnorms = {
-                "base": jnp.sqrt(sum(jnp.sum(g**2) for g in
-                                     [grads["visual_proj"]])),
+                "base": jnp.sqrt(sum(jnp.sum(g**2) for g in base_leaves)),
                 "gp": jnp.sqrt(
                     sum(jnp.sum(g**2) for g in jax.tree.leaves(grads.get("gp", 0.0)))
                 )
@@ -235,12 +244,19 @@ class Trainer(BaseTrainer):
     def predict_logits(self, features):
         return self._eval_logits(self.params, features, self.keys.next())
 
+    def _test_features_dev(self):
+        """Device-resident copy of the cached test features, uploaded once
+        (re-uploading per diagnostic print costs a full H2D of the test
+        matrix each time — 100 MB at ImageNet scale)."""
+        if getattr(self, "_features_test_dev", None) is None:
+            self._features_test_dev = jnp.asarray(self.features_test)
+        return self._features_test_dev
+
     def eval_logits_labels(self, split: str = "test"):
         if split == "test" and hasattr(self, "features_test"):
-            import jax.numpy as jnp
             import numpy as np
 
-            logits = np.asarray(self.predict_logits(jnp.asarray(self.features_test)))
+            logits = np.asarray(self.predict_logits(self._test_features_dev()))
             return logits, self.labels_test
         return super().eval_logits_labels(split)
 
@@ -259,6 +275,7 @@ class Trainer(BaseTrainer):
         self.labels_test, zs_logits, self.features_test = self.extract_features(
             "test"
         )
+        self._features_test_dev = None  # invalidate the device copy
         self.compute_zero_shot_block(zs_logits, self.labels_test)
 
         self.labels_train, _, self.features_train = self.extract_features("train")
@@ -320,9 +337,11 @@ class Trainer(BaseTrainer):
             print("[GP] One-step initialization applied to GP weights.")
 
         self.before_train()
-        from clip_gp_tpu.runtime.profiling import phase_timer
+        from clip_gp_tpu.runtime.profiling import maybe_trace, phase_timer
 
-        with phase_timer("train_epochs"):
+        # same jax.profiler trace hook as BaseTrainer.train — this override
+        # must not silently drop profiling for the flagship trainer
+        with maybe_trace("train"), phase_timer("train_epochs"):
             for self.epoch in range(self.start_epoch, self.max_epoch):
                 self.before_epoch()
                 self.run_epoch()
@@ -366,6 +385,10 @@ class Trainer(BaseTrainer):
         if self.num_batches == 1:
             epoch_keys = self.keys.next()[None]
         else:
+            # the +1-then-discard is LOAD-BEARING for reproducibility: it is
+            # how the stream consumed keys when baselines were recorded, and
+            # "simplifying" to next(num_batches) would silently shift every
+            # subsequent key (bit-exact same-seed runs are a tested contract)
             epoch_keys = self.keys.next(self.num_batches + 1)[: self.num_batches]
 
         if not verbose_epoch and self._writer is None and self.num_batches > 1:
@@ -412,7 +435,7 @@ class Trainer(BaseTrainer):
                     np.asarray(
                         self._eval_logits(
                             self.params,
-                            jnp.asarray(self.features_test),
+                            self._test_features_dev(),
                             self._diag_keys.next(),
                         )
                     ),
@@ -529,7 +552,7 @@ class Trainer(BaseTrainer):
             label_fn,
         )
         opt_state = opt.init(self.params)
-        features = jnp.asarray(self.features_test)
+        features = self._test_features_dev()
         labels = jnp.asarray(self.labels_test.astype(np.int32))
         scale = self.logit_scale
 

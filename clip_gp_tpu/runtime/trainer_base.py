@@ -164,21 +164,27 @@ class BaseTrainer:
     ) -> Tuple[np.ndarray, np.ndarray]:
         from clip_gp_tpu.runtime import feature_cache
         arch, params = self.clip_arch, self.clip_params
-        batch_size = loader.batch_size
         preprocess = self.preprocess
 
-        # params is an explicit argument: closing over the weights would bake
-        # them into the HLO as constants (huge executables / remote-compile
-        # payloads on tunneled TPU backends)
-        @jax.jit
-        def encode(params, images_u8):
-            return clip_model.encode_image(params, arch, preprocess(images_u8))
+        # one jitted encode per trainer: rebuilding the closure per call
+        # would re-trace (and re-compile) the whole frozen tower for every
+        # split extraction. params is an explicit argument: closing over the
+        # weights would bake them into the HLO as constants (huge
+        # executables / remote-compile payloads on tunneled TPU backends)
+        if getattr(self, "_encode_jit", None) is None:
+            @jax.jit
+            def encode(params, images_u8):
+                return clip_model.encode_image(
+                    params, arch, preprocess(images_u8)
+                )
+
+            self._encode_jit = encode
 
         from clip_gp_tpu.methods.common import extract_with
 
         with phase_timer("feature_extraction"):
             feats, labels = extract_with(
-                lambda imgs: encode(params, imgs), loader
+                lambda imgs: self._encode_jit(params, imgs), loader
             )
         if key is not None:
             feature_cache.memo_put(key, labels, feats)
@@ -270,11 +276,14 @@ class BaseTrainer:
             and len(self.dm.dataset.val or []) > 0
         ):
             if self._val_feature_memo is None:
-                self._val_feature_memo = self.encode_images_batched(
+                labels, feats = self.encode_images_batched(
                     self.val_loader, cacheable=True
                 )
+                # device-resident: this runs every epoch, and re-uploading
+                # the val matrix each time costs a full H2D round trip
+                self._val_feature_memo = (labels, jnp.asarray(feats))
             labels, feats = self._val_feature_memo
-            logits = np.asarray(self.predict_logits(jnp.asarray(feats)))
+            logits = np.asarray(self.predict_logits(feats))
             acc = compute_accuracy(logits, labels)[0]
             if acc > self._best_val_acc:
                 self._best_val_acc = acc
