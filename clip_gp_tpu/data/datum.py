@@ -182,6 +182,11 @@ class DatasetBase:
     ) -> List[List[Datum]]:
         """Keep all / first-half ("base") / second-half ("new") classes with
         relabeling (ref: datasets/oxford_pets.py:150-190)."""
+        # same assert as the reference (oxford_pets.py:154) — a typo'd value
+        # must not silently select the "new" split
+        assert subsample in ("all", "base", "new"), (
+            f"SUBSAMPLE_CLASSES must be all|base|new, got {subsample!r}"
+        )
         if subsample == "all":
             return list(splits)
         labels = sorted({item.label for item in splits[0]})

@@ -80,7 +80,10 @@ def random_resized_crop(
 ) -> Image.Image:
     width, height = img.size
     x, y, w, h = sample_rrc_box(width, height, scale, ratio, rng)
-    return img.resize(size, interpolation, box=(x, y, x + w, y + h))
+    # size is (h, w) like every transform here; PIL resize wants (w, h)
+    return img.resize(
+        (size[1], size[0]), interpolation, box=(x, y, x + w, y + h)
+    )
 
 
 def center_crop(img: Image.Image, size: Tuple[int, int]) -> Image.Image:

@@ -47,7 +47,12 @@ def compute_macro_f1(logits, labels) -> float:
     logits = _to_numpy(logits)
     labels = _to_numpy(labels).astype(np.int64)
     pred = logits.argmax(axis=1)
-    classes = np.unique(labels)
+    # sklearn f1_score(average="macro") averages over the UNION of classes
+    # seen in y_true and y_pred (a predicted-but-absent class contributes
+    # F1=0) — the reference delegates to sklearn (ref: utils/trainer.py:
+    # 508-514), so averaging over np.unique(labels) alone would inflate
+    # macro-F1 whenever the model predicts a class missing from the split
+    classes = np.union1d(np.unique(labels), np.unique(pred))
     f1s = []
     for c in classes:
         tp = float(np.sum((pred == c) & (labels == c)))

@@ -177,8 +177,12 @@ def per_dataset_fam_means(grouped):
     return per_ds
 
 
-def print_average_summary(grouped) -> None:
-    per_ds = per_dataset_fam_means(grouped)
+def collect_across_datasets(
+    per_ds,
+) -> Dict[str, Dict[int, Dict[str, List[float]]]]:
+    """fam -> shots -> metric -> per-dataset values (NaNs dropped) — the one
+    cross-dataset aggregation used by the console Average table, the Average
+    plots, and Average.csv (they must not drift apart)."""
     agg: Dict[str, Dict[int, Dict[str, List[float]]]] = {}
     for fam_map in per_ds.values():
         for fam, shot_map in fam_map.items():
@@ -189,6 +193,23 @@ def print_average_summary(grouped) -> None:
                 for m in METRICS:
                     if not math.isnan(metrics[m]):
                         lists[m].append(metrics[m])
+    return agg
+
+
+def average_across_datasets(per_ds):
+    """fam -> shots -> metric -> mean over datasets."""
+    return {
+        fam: {
+            s: {m: _fmean(lists[m]) for m in METRICS}
+            for s, lists in shot_map.items()
+        }
+        for fam, shot_map in collect_across_datasets(per_ds).items()
+    }
+
+
+def print_average_summary(grouped) -> None:
+    per_ds = per_dataset_fam_means(grouped)
+    agg = collect_across_datasets(per_ds)
     rows = []
     for fam, shot_map in agg.items():
         for shots, lists in shot_map.items():
@@ -260,24 +281,9 @@ def make_plots(
     ave_dir = plots_dir / "acc_vs_ece"
     pps_dir.mkdir(parents=True, exist_ok=True)
     ave_dir.mkdir(parents=True, exist_ok=True)
-    per_ds = per_dataset_fam_means(grouped)
-    per_ds = dict(per_ds)
+    per_ds = dict(per_dataset_fam_means(grouped))
     # average pseudo-dataset
-    agg: Dict[str, Dict[int, Dict[str, List[float]]]] = {}
-    for fam_map in per_ds.values():
-        for fam, shot_map in fam_map.items():
-            for s, metrics in shot_map.items():
-                lists = agg.setdefault(fam, {}).setdefault(s, {m: [] for m in METRICS})
-                for m in METRICS:
-                    if not math.isnan(metrics[m]):
-                        lists[m].append(metrics[m])
-    per_ds["Average"] = {
-        fam: {
-            s: {m: _fmean(lists[m]) for m in METRICS}
-            for s, lists in shot_map.items()
-        }
-        for fam, shot_map in agg.items()
-    }
+    per_ds["Average"] = average_across_datasets(per_ds)
 
     for ds, fam_map in per_ds.items():
         if use_grouping:
@@ -288,7 +294,10 @@ def make_plots(
             axes, METRICS, ("Accuracy (%)", "ECE (%)", "AECE (%)")
         ):
             for fam, shot_map in sorted(fam_map.items()):
-                shots = sorted(s for s in shot_map if s > 0 or show_zero_shot)
+                # the line connects s>0 only; the zero-shot point is drawn
+                # as a star, never a line vertex
+                # (ref: scripts/aggregate_results.py:432)
+                shots = sorted(s for s in shot_map if s > 0)
                 xs = [s for s in shots if not math.isnan(shot_map[s][metric])]
                 ys = [shot_map[s][metric] for s in xs]
                 if not xs:
@@ -422,19 +431,7 @@ def write_experiment_tables(
     for ds, fam_map in per_ds.items():
         write_csv(out_dir / f"{ds}.csv", fam_map)
     # average across datasets
-    agg: Dict[str, Dict[int, Dict[str, List[float]]]] = {}
-    for fam_map in per_ds.values():
-        for fam, shot_map in fam_map.items():
-            for s, metrics in shot_map.items():
-                lists = agg.setdefault(fam, {}).setdefault(s, {m: [] for m in METRICS})
-                for m in METRICS:
-                    if not math.isnan(metrics[m]):
-                        lists[m].append(metrics[m])
-    avg = {
-        fam: {s: {m: _fmean(lists[m]) for m in METRICS} for s, lists in sm.items()}
-        for fam, sm in agg.items()
-    }
-    write_csv(out_dir / "Average.csv", avg)
+    write_csv(out_dir / "Average.csv", average_across_datasets(per_ds))
 
 
 def main(argv=None):

@@ -85,6 +85,23 @@ def test_macro_f1_matches_sklearn():
     assert compute_macro_f1(logits, labels) == pytest.approx(expected, abs=1e-6)
 
 
+def test_macro_f1_predicted_absent_class_counts_as_zero():
+    """sklearn averages over the union of true and predicted classes — a
+    class predicted but absent from the labels must pull macro-F1 down
+    (ref: utils/trainer.py:508-514 delegates to sklearn)."""
+    from sklearn.metrics import f1_score
+
+    # labels only use classes {0, 1}; the model also predicts class 2
+    labels = np.array([0, 0, 1, 1])
+    logits = np.array(
+        [[9, 0, 0], [0, 0, 9], [0, 9, 0], [0, 9, 0]], dtype=np.float32
+    )
+    pred = logits.argmax(1)
+    assert 2 in pred and 2 not in labels
+    expected = f1_score(labels, pred, average="macro") * 100
+    assert compute_macro_f1(logits, labels) == pytest.approx(expected, abs=1e-6)
+
+
 def test_ece_matches_torch_reference_formula():
     for seed in range(3):
         logits, labels = _random_case(seed=seed)
