@@ -103,7 +103,11 @@ class DatasetBase:
         try:
             with path.open("rb") as f:
                 data = pickle.load(f)
-            return data["train"], data["val"]
+            # reference ImageNet caches store {"train"} ONLY
+            # (ref: datasets/imagenet.py:36-45) — a missing "val" key is a
+            # valid reference artifact, not corruption; deleting it here
+            # would destroy the user's prepared split
+            return data["train"], data.get("val", [])
         except Exception:
             try:
                 path.unlink()

@@ -61,6 +61,9 @@ class Trainer(BaseTrainer):
             ),
         }
         self.ratio = float(config.adapter.clip_adapter_ratio)
+        # GP runs use the no-renorm classifier path; config-derived so
+        # --eval-only reloads pick the right path too
+        self._gp_classifier = bool(config.adapter.use_gp)
 
         # adapter-specific optimizer settings (ref: _TmpOptim shim,
         # trainers/clip_adapter.py:152-167)
@@ -88,6 +91,19 @@ class Trainer(BaseTrainer):
 
         self._logits_fn = jax.jit(logits_fn)
 
+        def gp_logits_fn(params, feats, clip_weights):
+            # GP path: the classifier is the UNnormalized mean over
+            # normalized MC prototype samples — logits are linear in the
+            # prototypes, so scale·f@mean(p̂ₛ) equals the reference's
+            # mean-over-samples logits (ref: clip_adapter.py:85-97), and the
+            # class-dependent ‖mean‖<1 shrinkage (GP uncertainty) must NOT
+            # be renormalized away
+            blended = apply_adapter(params, feats)
+            f = common.l2_normalize(blended)
+            return scale * f @ clip_weights
+
+        self._gp_logits_fn = jax.jit(gp_logits_fn)
+
         @jax.jit
         def encode(clip_params, images_u8):
             return clip_model.encode_image(clip_params, arch, preprocess(images_u8))
@@ -95,20 +111,31 @@ class Trainer(BaseTrainer):
         self._clip_params = clip_params
         self._encode = lambda images: encode(self._clip_params, images)
 
-        def train_step(params, opt_state, feats, labels, clip_weights):
-            def loss_fn(params):
-                logits = logits_fn(params, feats, clip_weights)
-                return common.cross_entropy(logits, labels), logits
+        def make_train_step(lg):
+            def train_step(params, opt_state, feats, labels, clip_weights):
+                def loss_fn(params):
+                    logits = lg(params, feats, clip_weights)
+                    return common.cross_entropy(logits, labels), logits
 
-            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            updates, opt_state = self.opt.update(grads, opt_state, params)
-            params = jax.tree.map(lambda p, u: p + u, params, updates)
-            return params, opt_state, loss, logits
+                (loss, logits), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params)
+                updates, opt_state = self.opt.update(grads, opt_state, params)
+                params = jax.tree.map(lambda p, u: p + u, params, updates)
+                return params, opt_state, loss, logits
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+            return jax.jit(train_step, donate_argnums=(0, 1))
+
+        self._train_step = make_train_step(logits_fn)
+        # GP classifier trains through the no-renorm logits (the adapter's CE
+        # gradient must see the same per-class shrinkage the reference's
+        # MC-mean logits carry)
+        self._gp_train_step = make_train_step(gp_logits_fn)
 
     # ------------------------------------------------------------------
     def predict_logits(self, features):
+        if getattr(self, "_gp_classifier", False):
+            return self._gp_logits_fn(self.params, features, self.clip_weights)
         return self._logits_fn(self.params, features, self.clip_weights)
 
     def eval_logits_labels(self, split: str = "test"):
@@ -141,7 +168,9 @@ class Trainer(BaseTrainer):
 
         if bool(self.config.adapter.use_gp):
             tr_labels, tr_feats = self.encode_images_batched(self.train_loader_x)
-            _, mean_protos = pre_stages.train_gp_stage(
+            from clip_gp_tpu.gp import svgp
+
+            self.gp_bundle, _ = pre_stages.train_gp_stage(
                 self.config,
                 self.text_embeddings,
                 common.l2_normalize(jnp.asarray(tr_feats)),
@@ -149,7 +178,15 @@ class Trainer(BaseTrainer):
                 self.keys,
                 warm_start_scale=self.logit_scale,
             )
-            self.clip_weights = mean_protos.T
+            # classifier = mean over S_eval NORMALIZED samples, kept
+            # unnormalized: identical logits to the reference's per-forward
+            # MC mean (linear) incl. its per-class uncertainty shrinkage
+            static, gp_params, buffers = self.gp_bundle
+            s_eval = max(1, int(self.config.adapter.gp_num_mc_samples_eval or 1))
+            protos, _ = svgp.sample_prototypes(
+                static, gp_params, buffers, self.keys.next(), s_eval
+            )
+            self.clip_weights = common.l2_normalize(protos).mean(axis=0).T
             print("[CLIP-Adapter] Using trained GP-based template weighter for prototypes.")
         elif bool(self.config.adapter.clip_adapter_use_template_weight_training):
             tr_labels, tr_feats = self.encode_images_batched(self.train_loader_x)
@@ -158,6 +195,7 @@ class Trainer(BaseTrainer):
                 self.text_embeddings,
                 common.l2_normalize(jnp.asarray(tr_feats)),
                 tr_labels,
+                n_batches=max(1, len(self.train_loader_x)),
             )
             self.clip_weights = protos.T
 
@@ -181,7 +219,12 @@ class Trainer(BaseTrainer):
             imgs = common.pad_batch(imgs, bs)
             feats = self._encode(jnp.asarray(imgs))[:n]
             labels = jnp.asarray(batch["label"].astype(np.int32))
-            self.params, self.opt_state, loss, logits = self._train_step(
+            step = (
+                self._gp_train_step
+                if getattr(self, "_gp_classifier", False)
+                else self._train_step
+            )
+            self.params, self.opt_state, loss, logits = step(
                 self.params, self.opt_state, feats, labels, self.clip_weights
             )
             losses.update(loss)  # device array: no per-step host sync

@@ -62,12 +62,15 @@ class Trainer(BaseTrainer):
             bound = 1 / np.sqrt(fan_in)
             return jax.random.uniform(key, shape, minval=-bound, maxval=bound)
 
+        # torch nn.Linear draws BOTH weight and bias from U(±1/sqrt(fan_in))
+        # (ref: adapter_cocoop.py:36-40 uses default Linear init)
+        k1b, k2b = jax.random.split(self.keys.next())
         self.params: Dict = {
             "ctx": ctx_vectors,
             "meta_fc1": {"w": lin_init(k1, vis_dim, (vis_dim, hidden)),
-                         "b": jnp.zeros(hidden)},
+                         "b": lin_init(k1b, vis_dim, (hidden,))},
             "meta_fc2": {"w": lin_init(k2, hidden, (hidden, ctx_dim)),
-                         "b": jnp.zeros(ctx_dim)},
+                         "b": lin_init(k2b, hidden, (ctx_dim,))},
         }
         self.num_classes_k = len(classnames)
         self.opt = EpochOptimizer(config.optim)

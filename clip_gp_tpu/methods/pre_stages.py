@@ -29,7 +29,6 @@ import optax
 
 from clip_gp_tpu.gp import svgp
 from clip_gp_tpu.methods import common
-from clip_gp_tpu.ops.metrics import compute_accuracy
 
 
 def train_gp_stage(
@@ -84,20 +83,24 @@ def train_gp_stage(
             )(params, key)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state), (loss, ce, kl, logits)
+            # scalar train acc per epoch: stacking the [N,K] logits as scan
+            # outputs would allocate epochs*N*K floats in one buffer
+            # (19 GB at ImageNet scale) just for two diagnostic prints
+            acc = 100.0 * (jnp.argmax(logits, -1) == labels).mean()
+            return (params, opt_state), (loss, ce, kl, acc)
 
         return jax.lax.scan(epoch_step, (params, opt_state), keys)
 
     keys = key_seq.next(max(epochs, 1) + 1)[: max(epochs, 1)]
-    (params, opt_state), (losses, ces, kls, logits_hist) = fit(
+    (params, opt_state), (losses, ces, kls, accs) = fit(
         params, opt_state, keys, feats, labels, buffers
     )
     for ep in (0, epochs - 1):
         if 0 <= ep < epochs:
-            acc = compute_accuracy(np.asarray(logits_hist[ep]), train_labels)[0]
             print(
                 f"[GP] epoch {ep + 1}/{epochs} loss={float(losses[ep]):.4f} "
-                f"CE={float(ces[ep]):.4f} KL={float(kls[ep]):.4f} acc={acc:.2f}"
+                f"CE={float(ces[ep]):.4f} KL={float(kls[ep]):.4f} "
+                f"acc={float(accs[ep]):.2f}"
             )
 
     s_eval = max(1, int(config.adapter.gp_num_mc_samples_eval or 1))
@@ -114,8 +117,15 @@ def train_template_weight_stage(
     train_features: jnp.ndarray,
     train_labels: np.ndarray,
     l2_to_uniform_lambda: float = 0.0,
+    n_batches: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Learn [K,M] template-weight logits; returns (weights, prototypes [K,D])."""
+    """Learn [K,M] template-weight logits; returns (weights, prototypes [K,D]).
+
+    ``n_batches`` sets the reference's cosine horizon: CosineAnnealingLR is
+    built over ``epochs * len(train_loader)`` steps but stepped once per
+    EPOCH (ref: taskres.py:327-353, clip_adapter.py:309-323,
+    tip_adapter.py:180-206), so the LR stays near-constant — decaying fully
+    over ``epochs`` would freeze the logits in late epochs."""
     k, m = int(text_embeddings.shape[0]), int(text_embeddings.shape[1])
     tw_logits = jnp.zeros((k, m))
     epochs = int(config.optim.max_epoch)
@@ -125,7 +135,9 @@ def train_template_weight_stage(
     labels = jnp.asarray(np.asarray(train_labels).astype(np.int32))
     e = text_embeddings
 
-    sched = optax.cosine_decay_schedule(lr, max(epochs, 1))
+    sched = optax.cosine_decay_schedule(
+        lr, max(1, epochs * max(1, int(n_batches)))
+    )
     tx = optax.adamw(sched, weight_decay=wd)
     opt_state = tx.init(tw_logits)
 
@@ -148,20 +160,25 @@ def train_template_weight_stage(
                 tw_logits
             )
             updates, opt_state = tx.update(grads, opt_state, tw_logits)
+            # scalar acc per epoch — stacking [N,K] logits per epoch would
+            # allocate epochs*N*K floats for one diagnostic print
+            acc = 100.0 * (jnp.argmax(logits, -1) == labels).mean()
             return (
                 (optax.apply_updates(tw_logits, updates), opt_state),
-                (loss, logits),
+                (loss, acc),
             )
 
         return jax.lax.scan(
             epoch_step, (tw_logits, opt_state), None, length=max(epochs, 1)
         )
 
-    (tw_logits, opt_state), (losses, logits_hist) = fit(
+    (tw_logits, opt_state), (losses, accs) = fit(
         tw_logits, opt_state, feats, labels, e
     )
-    acc = compute_accuracy(np.asarray(logits_hist[-1]), train_labels)[0]
-    print(f"[TW] epoch {epochs}/{epochs} loss={float(losses[-1]):.4f} acc={acc:.2f}")
+    print(
+        f"[TW] epoch {epochs}/{epochs} loss={float(losses[-1]):.4f} "
+        f"acc={float(accs[-1]):.2f}"
+    )
 
     weights = jax.nn.softmax(tw_logits, axis=-1)
     protos = common.l2_normalize(jnp.einsum("km,kmd->kd", weights, e))

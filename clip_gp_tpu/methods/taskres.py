@@ -80,6 +80,7 @@ class Trainer(BaseTrainer):
             text_s = common.l2_normalize(protos) + residuals[None]
             return common.cosine_logits(feats, text_s, scale)
 
+        self._gp_logits_raw = gp_logits_fn
         self._gp_logits_fn = jax.jit(gp_logits_fn)
 
         def train_step(params, opt_state, feats, labels, base):
@@ -97,6 +98,38 @@ class Trainer(BaseTrainer):
             )
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    def _build_gp_train_step(self):
+        """Residuals train THROUGH per-step MC prototype samples like the
+        reference (normalize(p̂ₛ + α·residual) is nonlinear in the samples,
+        so the fixed-mean shortcut optimizes a different objective;
+        ref: taskres.py:96-116 runs this path with S_train in training
+        mode). gp params/buffers are explicit jit args (CLAUDE.md)."""
+        static, _, _ = self.gp_bundle
+        s_tr = max(1, int(self.config.adapter.gp_num_mc_samples_train or 1))
+        gp_logits = self._gp_logits_raw
+
+        def train_step(params, opt_state, feats, labels, gp_params,
+                       buffers, key):
+            protos, _ = svgp.sample_prototypes(
+                static, gp_params, buffers, key, s_tr
+            )
+            def loss_fn(params):
+                logits = gp_logits(params, feats, protos)
+                return common.cross_entropy(logits, labels), logits
+
+            (loss, logits), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, opt_state = self.opt.update(grads, opt_state, params)
+            return (
+                jax.tree.map(lambda p, u: p + u, params, updates),
+                opt_state,
+                loss,
+                logits,
+            )
+
+        return jax.jit(train_step, donate_argnums=(0, 1))
 
     # ------------------------------------------------------------------
     def predict_logits(self, features):
@@ -160,6 +193,7 @@ class Trainer(BaseTrainer):
                 common.l2_normalize(jnp.asarray(tr_feats)),
                 tr_labels,
                 l2_to_uniform_lambda=float(config.adapter.template_tw_l2_lambda),
+                n_batches=max(1, len(self.train_loader_x)),
             )
             self.base_text_features = protos
 
@@ -177,19 +211,31 @@ class Trainer(BaseTrainer):
         self.num_batches = len(loader)
         verbose = self.epoch == 0 or (self.epoch + 1) % 10 == 0
         bs = loader.batch_size
+        gp_path = self.gp_bundle is not None and bool(self.config.adapter.use_gp)
+        if gp_path and not hasattr(self, "_gp_train_step"):
+            self._gp_train_step = self._build_gp_train_step()
         for self.batch_idx, batch in enumerate(loader):
             imgs = batch["img"]
             n = imgs.shape[0]
             imgs = common.pad_batch(imgs, bs)
             feats = self._encode(jnp.asarray(imgs))[:n]
             labels = jnp.asarray(batch["label"].astype(np.int32))
-            self.params, self.opt_state, loss, logits = self._train_step(
-                self.params,
-                self.opt_state,
-                feats,
-                labels,
-                self.base_text_features,
-            )
+            if gp_path:
+                _, gp_params, buffers = self.gp_bundle
+                self.params, self.opt_state, loss, logits = (
+                    self._gp_train_step(
+                        self.params, self.opt_state, feats, labels,
+                        gp_params, buffers, self.keys.next(),
+                    )
+                )
+            else:
+                self.params, self.opt_state, loss, logits = self._train_step(
+                    self.params,
+                    self.opt_state,
+                    feats,
+                    labels,
+                    self.base_text_features,
+                )
             losses.update(loss)  # device array: no per-step host sync
             if verbose:
                 acc_train = compute_accuracy(np.asarray(logits), batch["label"])[0]

@@ -122,10 +122,13 @@ class Trainer(BaseTrainer):
         tr_feats = tr_labels = None
         if use_gp or use_tw:
             tr_feats, tr_labels = self._extract_norm(self.train_loader_x)
+            # Tip (unlike clip_adapter/taskres) L2-normalizes each template
+            # embedding BEFORE the pre-stage (ref: tip_adapter.py:98-103)
+            norm_embeddings = common.l2_normalize(self.text_embeddings)
             if use_gp:
                 self.gp_bundle, mean_protos = pre_stages.train_gp_stage(
                     config,
-                    self.text_embeddings,
+                    norm_embeddings,
                     jnp.asarray(tr_feats),
                     tr_labels,
                     self.keys,
@@ -133,7 +136,8 @@ class Trainer(BaseTrainer):
                 print("[Tip-Adapter] Using trained GP-based template weighter for prototypes.")
             else:
                 _, protos = pre_stages.train_template_weight_stage(
-                    config, self.text_embeddings, jnp.asarray(tr_feats), tr_labels
+                    config, norm_embeddings, jnp.asarray(tr_feats), tr_labels,
+                    n_batches=max(1, len(self.train_loader_x)),
                 )
                 self.clip_weights = protos.T
 
@@ -205,13 +209,17 @@ class Trainer(BaseTrainer):
         # not consume the cache_keys buffer itself
         adapter_w = jnp.array(self.cache_keys)
         lr = float(config.adapter.tip_adapter_lr)
-        eps = float(config.adapter.tip_adapter_eps) or 1e-8
+        # eps passes through verbatim, incl. an explicit 0.0
+        # (ref: tip_adapter.py:232-233)
+        eps = float(config.adapter.tip_adapter_eps)
         epochs = int(config.adapter.tip_adapter_epochs)
         beta = float(config.adapter.tip_adapter_init_beta)
         alpha = float(config.adapter.tip_adapter_init_alpha)
         n_batches = max(1, len(self.train_loader_x))
         sched = optax.cosine_decay_schedule(lr, max(1, epochs * n_batches))
-        tx = optax.adamw(sched, eps=eps)
+        # torch.optim.AdamW's DEFAULT weight_decay is 1e-2 (the reference
+        # passes none, ref: tip_adapter.py:233); optax.adamw defaults 1e-4
+        tx = optax.adamw(sched, eps=eps, weight_decay=1e-2)
         opt_state = tx.init(adapter_w)
         # cache_vals is [N,K] (large at ImageNet scale) — explicit jit
         # argument, never a closure leaf (HLO-constant blowup; CLAUDE.md)

@@ -74,11 +74,17 @@ def _stack(trees):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
 
 
-def vmapped_gp_prestage(runner, feats_train, labels_train):
+def vmapped_gp_prestage(runner, feats_train, labels_train,
+                        text_embeddings=None,
+                        mean_mode: str = "norm_of_raw_mean"):
     """Per-trial standalone GP fits as ONE vmapped program — the vmap-axis
     analog of ``pre_stages.train_gp_stage`` (CE of mean-over-S logits at
     scale 100 + β·KL, AdamW(gp_lr) + cosine over optim.max_epoch, per-trial
     template-weight warm start).
+
+    ``text_embeddings`` overrides the runner's (Tip normalizes per template
+    before the stage, ref: tip_adapter.py:98-103; clip_adapter/taskres use
+    raw embeddings).
 
     Returns (static, per-trial gp params [T,...], mean prototypes [T,K,D]
     L2-normalized). Buffers land in ``runner.shared["gp_buffers"]`` (text
@@ -86,13 +92,15 @@ def vmapped_gp_prestage(runner, feats_train, labels_train):
     import optax
 
     config = runner.config
-    static, params0, buffers = svgp.create_gp(runner.text_embeddings, config)
+    e = (text_embeddings if text_embeddings is not None
+         else runner.text_embeddings)
+    static, params0, buffers = svgp.create_gp(e, config)
     runner.shared["gp_buffers"] = buffers
     t_trials = runner.t_trials
     feats_n = common.l2_normalize(feats_train)  # [T,N,D]
     tw = jnp.stack([
         common.get_template_weights(
-            config, runner.text_embeddings, feats_n[t], labels_train[t],
+            config, e, feats_n[t], labels_train[t],
             runner.logit_scale,
         )
         for t in range(t_trials)
@@ -149,6 +157,14 @@ def vmapped_gp_prestage(runner, feats_train, labels_train):
 
     def protos_one(p, key, buffers):
         protos, _ = svgp.sample_prototypes(static, p, buffers, key, s_eval)
+        if mean_mode == "mean_of_norm":
+            # clip_adapter convention: UNnormalized mean over normalized
+            # samples — identical logits to the reference's per-forward MC
+            # mean incl. per-class uncertainty shrinkage
+            # (ref: clip_adapter.py:85-97)
+            return common.l2_normalize(protos).mean(axis=0)
+        # tip/taskres convention: normalize(mean(raw samples))
+        # (ref: tip_adapter.py:151-157, taskres.py:284-290)
         return common.l2_normalize(protos.mean(axis=0))
 
     keys2 = jnp.stack([
@@ -161,9 +177,11 @@ def vmapped_gp_prestage(runner, feats_train, labels_train):
 
 
 def vmapped_tw_prestage(runner, feats_train, labels_train,
-                        l2_to_uniform_lambda: float = 0.0):
+                        l2_to_uniform_lambda: float = 0.0,
+                        text_embeddings=None):
     """Per-trial template-weight-logits fits as one vmapped program
     (``pre_stages.train_template_weight_stage`` analog).
+    ``text_embeddings`` overrides the runner's (Tip pre-normalizes).
     Returns L2-normalized prototypes [T,K,D]."""
     import optax
 
@@ -174,7 +192,13 @@ def vmapped_tw_prestage(runner, feats_train, labels_train,
     epochs = max(1, int(config.optim.max_epoch))
     lr = float(config.optim.lr)
     wd = float(config.optim.weight_decay)
-    sched = optax.cosine_decay_schedule(lr, epochs)
+    # reference horizon: cosine over epochs*len(train_loader), stepped once
+    # per EPOCH -> near-constant LR (ref: taskres.py:327-353 et al.);
+    # n per trial = few-shot set size, loader len = drop-last batches
+    n = int(feats_train.shape[1])
+    bs = max(1, int(config.dataloader.batch_size_train))
+    n_batches = max(1, n // bs) if n >= bs else 1
+    sched = optax.cosine_decay_schedule(lr, max(1, epochs * n_batches))
     tx = optax.adamw(sched, weight_decay=wd)
     tw_logits = jnp.zeros((t_trials, k, m))
     opt_state = tx.init(tw_logits)
@@ -207,7 +231,8 @@ def vmapped_tw_prestage(runner, feats_train, labels_train,
         return protos
 
     return fit(tw_logits, opt_state, feats_n, labels_train,
-               runner.text_embeddings)
+               text_embeddings if text_embeddings is not None
+               else runner.text_embeddings)
 
 
 class _SchedView:
@@ -526,6 +551,12 @@ class ClipAdapterSpec(MethodSpec):
         adapted = jax.nn.relu(jax.nn.relu(feats @ p["fc1"]) @ p["fc2"])
         blended = ratio * adapted + (1.0 - ratio) * feats
         f = common.l2_normalize(blended)
+        if self.use_gp:
+            # GP classifier = UNnormalized mean of normalized MC samples:
+            # renormalizing would discard the per-class uncertainty
+            # shrinkage the reference's mean-over-samples logits carry
+            # (ref: clip_adapter.py:85-97)
+            return self.r.logit_scale * f @ clip_w
         w = clip_w / jnp.linalg.norm(clip_w, axis=0, keepdims=True)
         return self.r.logit_scale * f @ w
 
@@ -543,7 +574,8 @@ class ClipAdapterSpec(MethodSpec):
         t = self.r.t_trials
         if self.use_gp:
             _, _, protos = vmapped_gp_prestage(
-                self.r, feats_train, labels_train
+                self.r, feats_train, labels_train,
+                mean_mode="mean_of_norm",
             )
             clip_w = jnp.swapaxes(protos, 1, 2)  # [T,D,K]
         elif self.use_tw:
@@ -664,7 +696,22 @@ class TaskResSpec(MethodSpec):
         }
 
     def loss(self, p, c, feats, labels, key, hps, shared):
-        text = c["base_text"] + hps["alpha"] * p["residuals"]
+        if self.use_gp:
+            # residuals train THROUGH per-step MC prototype samples
+            # (normalize(p̂ₛ + α·res) is nonlinear in the samples, so the
+            # fixed-mean shortcut optimizes a different objective;
+            # ref: taskres.py:96-116 with S_train in training mode)
+            s_tr = max(
+                1, int(self.r.config.adapter.gp_num_mc_samples_train or 1)
+            )
+            protos, _ = svgp.sample_prototypes(
+                self.gp_static, c["gp"], shared["gp_buffers"], key, s_tr
+            )
+            text = common.l2_normalize(protos) + (
+                hps["alpha"] * p["residuals"]
+            )[None]
+        else:
+            text = c["base_text"] + hps["alpha"] * p["residuals"]
         logits = common.cosine_logits(feats, text, self.r.logit_scale)
         return common.cross_entropy(logits, labels)
 
@@ -763,17 +810,22 @@ class TipAdapterFSpec(MethodSpec):
     def trial_consts(self, feats_train, labels_train):
         t = self.r.t_trials
         cache_vals = jax.nn.one_hot(labels_train, self.r.k)  # [T,N,K]
+        # Tip normalizes each template embedding before its pre-stages
+        # (ref: tip_adapter.py:98-103; clip_adapter/taskres use raw E)
+        norm_e = common.l2_normalize(self.r.text_embeddings)
         if self.use_gp:
             # MC-mean GP prototypes replace the zero-shot classifier; the
             # mean over samples of per-sample logits is linear, so mean
             # prototypes give identical clip logits (ref: tip_adapter.py
             # _clip_logits) at 1/S the eval FLOPs
             _, _, protos = vmapped_gp_prestage(
-                self.r, feats_train, labels_train
+                self.r, feats_train, labels_train, text_embeddings=norm_e
             )
             clip_w = jnp.swapaxes(protos, 1, 2)  # [T,D,K]
         elif self.use_tw:
-            protos = vmapped_tw_prestage(self.r, feats_train, labels_train)
+            protos = vmapped_tw_prestage(
+                self.r, feats_train, labels_train, text_embeddings=norm_e
+            )
             clip_w = jnp.swapaxes(protos, 1, 2)
         else:
             clip_w = jnp.broadcast_to(

@@ -21,7 +21,10 @@ def save_checkpoint(
     path: str,
     epoch: Optional[int] = None,
 ) -> None:
-    """Save a pytree (+ optional epoch tag) as compressed npz."""
+    """Save a pytree (+ optional epoch tag) as compressed npz. Any ``path``
+    round-trips through :func:`load_checkpoint` — np.savez appends ``.npz``
+    to suffix-less names, so both sides normalize."""
+    path = _normalize(path)
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     extra = {}
     if epoch is not None:
@@ -29,7 +32,12 @@ def save_checkpoint(
     np.savez_compressed(path, **_flatten(state), **extra)
 
 
+def _normalize(path: str) -> str:
+    return path if str(path).endswith(".npz") else str(path) + ".npz"
+
+
 def load_checkpoint(path: str) -> Tuple[Dict[str, Any], Optional[int]]:
+    path = _normalize(path)
     with np.load(path, allow_pickle=False) as data:
         epoch = int(data["__epoch__"]) if "__epoch__" in data.files else None
         flat = {k: data[k] for k in data.files if k != "__epoch__"}
@@ -64,10 +72,12 @@ def resume_from_checkpoint(ckpt_dir: str, prefix: str = "model.ckpt-"):
     d = Path(ckpt_dir)
     if not d.is_dir():
         return None, 0
-    cands = sorted(
-        d.glob(f"{prefix}*.npz"),
-        key=lambda p: int(re.search(r"(\d+)", p.stem).group(1)),
-    )
+
+    def _num(p: Path) -> int:
+        m = re.search(r"(\d+)", p.stem)
+        return int(m.group(1)) if m else -1  # digit-less names sort first
+
+    cands = sorted(d.glob(f"{prefix}*.npz"), key=_num)
     if not cands:
         return None, 0
     state, epoch = load_checkpoint(str(cands[-1]))

@@ -106,6 +106,28 @@ def test_subsample_classes():
     (new,) = DatasetBase.subsample_classes(items, subsample="new")
     assert {d.label for d in new} == {0, 1}  # relabeled from classes 3,4
     assert sorted({d.classname for d in new}) == ["c3", "c4"]
+    # a typo must not silently select the "new" split (reference asserts,
+    # ref: datasets/oxford_pets.py:154)
+    with pytest.raises(AssertionError):
+        DatasetBase.subsample_classes(items, subsample="Base")
+
+
+def test_load_fewshot_accepts_train_only_pickle(tmp_path):
+    """Reference ImageNet caches store {'train'} ONLY
+    (ref: datasets/imagenet.py:36-45); loading one must return the train
+    split and must NOT delete the user's file."""
+    import pickle
+
+    ds = DatasetBase.__new__(DatasetBase)  # no __init__ needed for the mixin
+    train = [Datum(impath="a.jpg", label=0, classname="c0")]
+    path = tmp_path / "shot_16-seed_1.pkl"
+    with path.open("wb") as f:
+        pickle.dump({"train": train}, f)
+    loaded = ds.load_fewshot(str(tmp_path), 16, 1)
+    assert loaded is not None
+    assert [d.impath for d in loaded[0]] == ["a.jpg"]
+    assert loaded[1] == []
+    assert path.exists(), "reference-format cache must not be deleted"
 
 
 def test_templates():
