@@ -12,10 +12,12 @@ from typing import Callable, Dict
 
 
 class Registry:
+    # alias resolution lives in ONE place: core.config.TRAINER_ALIASES,
+    # applied by build_trainer below (it also forces the Tip-Adapter-F
+    # trainable flag) — the registry itself stays a plain name->factory map
     def __init__(self, kind: str):
         self.kind = kind
         self._entries: Dict[str, Callable] = {}
-        self._aliases: Dict[str, str] = {}
 
     def register(self, name: str):
         def deco(obj):
@@ -26,11 +28,7 @@ class Registry:
 
         return deco
 
-    def alias(self, alias: str, target: str) -> None:
-        self._aliases[alias] = target
-
     def get(self, name: str):
-        name = self._aliases.get(name, name)
         if name not in self._entries:
             known = sorted(self._entries)
             raise KeyError(f"Unknown {self.kind} '{name}'. Registered: {known}")
@@ -40,7 +38,7 @@ class Registry:
         return sorted(self._entries)
 
     def __contains__(self, name: str) -> bool:
-        return self._aliases.get(name, name) in self._entries
+        return name in self._entries
 
 
 TRAINER_REGISTRY = Registry("trainer")

@@ -91,9 +91,22 @@ void resize_bicubic_box(const uint8_t* src, int sh, int sw, float box_x,
   const Taps tx = build_taps(sw, dw, scale_x, box_x);
   const Taps ty = build_taps(sh, dh, scale_y, box_y);
 
-  // horizontal pass into float intermediate [sh, dw, 3]
-  std::vector<float> tmp(static_cast<size_t>(sh) * dw * 3);
-  for (int y = 0; y < sh; ++y) {
+  // the vertical pass only reads rows inside the crop box's filter support
+  // — restrict the horizontal pass to that range (a small RandomResizedCrop
+  // of a large photo would otherwise resample every source row, like 10x
+  // the needed work; PIL's ImagingResample restricts both passes too)
+  int row_lo = sh, row_hi = 0;
+  for (int oy = 0; oy < dh; ++oy) {
+    row_lo = std::min(row_lo, ty.bounds[oy]);
+    row_hi = std::max(row_hi, ty.bounds[oy] + ty.counts[oy]);
+  }
+  row_lo = std::max(row_lo, 0);
+  row_hi = std::min(row_hi, sh);
+  const int nrows = std::max(row_hi - row_lo, 0);
+
+  // horizontal pass into float intermediate [nrows, dw, 3]
+  std::vector<float> tmp(static_cast<size_t>(nrows) * dw * 3);
+  for (int y = row_lo; y < row_hi; ++y) {
     const uint8_t* row = src + static_cast<size_t>(y) * sw * 3;
     for (int ox = 0; ox < dw; ++ox) {
       const float* w = &tx.weights[static_cast<size_t>(ox) * tx.max_taps];
@@ -105,7 +118,7 @@ void resize_bicubic_box(const uint8_t* src, int sh, int sw, float box_x,
         acc[1] += w[k] * px[1];
         acc[2] += w[k] * px[2];
       }
-      float* out = &tmp[(static_cast<size_t>(y) * dw + ox) * 3];
+      float* out = &tmp[(static_cast<size_t>(y - row_lo) * dw + ox) * 3];
       out[0] = acc[0];
       out[1] = acc[1];
       out[2] = acc[2];
@@ -114,7 +127,7 @@ void resize_bicubic_box(const uint8_t* src, int sh, int sw, float box_x,
   // vertical pass
   for (int oy = 0; oy < dh; ++oy) {
     const float* w = &ty.weights[static_cast<size_t>(oy) * ty.max_taps];
-    const int y0 = ty.bounds[oy];
+    const int y0 = ty.bounds[oy] - row_lo;
     for (int ox = 0; ox < dw; ++ox) {
       float acc[3] = {0.0f, 0.0f, 0.0f};
       for (int k = 0; k < ty.counts[oy]; ++k) {
@@ -145,10 +158,16 @@ int decode_pixels(const uint8_t* data, long size, float region_short,
                   int* out_sh, float* fx, float* fy) {
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
+  // declared BEFORE setjmp: a longjmp from inside jpeg_read_scanlines must
+  // not skip a destructor of an object constructed after the setjmp (UB +
+  // heap leak per failed decode) — the error branch clears it explicitly
+  std::vector<uint8_t> rowbuf;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
   if (setjmp(jerr.setjmp_buffer)) {
     jpeg_destroy_decompress(&cinfo);
+    rowbuf.clear();
+    rowbuf.shrink_to_fit();
     return 1;
   }
   jpeg_create_decompress(&cinfo);
@@ -162,8 +181,14 @@ int decode_pixels(const uint8_t* data, long size, float region_short,
   const unsigned orig_h = cinfo.image_height;
   cinfo.scale_num = 1;
   cinfo.scale_denom = 1;
+  // region_short <= 0 is a sentinel for "short side of the full image"
+  // (saves decode_resize_crop a second full header parse just for dims)
+  const float rshort =
+      region_short > 0.0f
+          ? region_short
+          : static_cast<float>(std::min(orig_w, orig_h));
   for (int denom = 8; denom >= 2; denom /= 2) {
-    if (region_short / denom >= 2.0f * target) {
+    if (rshort / denom >= 2.0f * target) {
       cinfo.scale_denom = denom;
       break;
     }
@@ -179,7 +204,7 @@ int decode_pixels(const uint8_t* data, long size, float region_short,
     return 3;
   }
   pixels->resize(static_cast<size_t>(sw) * sh * 3);
-  std::vector<uint8_t> rowbuf(static_cast<size_t>(sw) * channels);
+  rowbuf.resize(static_cast<size_t>(sw) * channels);
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* rowptr = rowbuf.data();
     jpeg_read_scanlines(&cinfo, &rowptr, 1);
@@ -266,31 +291,42 @@ int decode_resize_crop(const uint8_t* data, long size, int target,
   int sw, sh;
   float fx, fy;
   {
-    // peek dims for the DCT-scale decision (short side of the full image)
-    int ow, oh;
-    if (jpeg_dims(data, size, &ow, &oh) != 0) return 2;
+    // region_short sentinel <= 0: decode_pixels uses the full image's short
+    // side for the DCT-scale decision (no second header parse for dims)
     const int rc = decode_pixels(
-        data, size, static_cast<float>(std::min(ow, oh)), target,
+        data, size, /*region_short=*/0.0f, target,
         &pixels_vec, &sw, &sh, &fx, &fy);
     if (rc != 0) return rc;
   }
   std::vector<uint8_t>& pixels = pixels_vec;
 
-  // shortest-side resize
+  // shortest-side resize. Rounding parity: the PIL path uses Python 3's
+  // round() = round-HALF-TO-EVEN (transforms.py resize_shortest /
+  // center_crop), so exact-.5 cases must not use lround (half-away-from-
+  // zero) or the crop window shifts by 1px vs the default path.
+  const auto round_half_even = [](double v) -> int {
+    const double fl = std::floor(v);
+    const double diff = v - fl;
+    if (diff > 0.5) return static_cast<int>(fl) + 1;
+    if (diff < 0.5) return static_cast<int>(fl);
+    const int lo = static_cast<int>(fl);
+    return (lo % 2 == 0) ? lo : lo + 1;
+  };
   int rw, rh;
   if (sw <= sh) {
     rw = target;
-    rh = static_cast<int>(std::lround(static_cast<double>(target) * sh / sw));
+    rh = round_half_even(static_cast<double>(target) * sh / sw);
   } else {
     rh = target;
-    rw = static_cast<int>(std::lround(static_cast<double>(target) * sw / sh));
+    rw = round_half_even(static_cast<double>(target) * sw / sh);
   }
   std::vector<uint8_t> resized(static_cast<size_t>(rw) * rh * 3);
   resize_bicubic(pixels.data(), sh, sw, resized.data(), rh, rw);
 
-  // center crop target×target (round-half like PIL's int(round(x/2)))
-  const int x0 = static_cast<int>(std::lround((rw - target) / 2.0));
-  const int y0 = static_cast<int>(std::lround((rh - target) / 2.0));
+  // center crop target×target (Python-3 round-half-to-even like the PIL
+  // path's int(round((w - tw) / 2.0)))
+  const int x0 = round_half_even((rw - target) / 2.0);
+  const int y0 = round_half_even((rh - target) / 2.0);
   for (int y = 0; y < target; ++y) {
     std::memcpy(out + static_cast<size_t>(y) * target * 3,
                 &resized[(static_cast<size_t>(y0 + y) * rw + x0) * 3],
@@ -301,18 +337,4 @@ int decode_resize_crop(const uint8_t* data, long size, int target,
 
 // Batch variant: decode `n` JPEGs (concatenated buffer + offsets) into a
 // contiguous [n, target, target, 3] output. Returns number of failures.
-int decode_resize_crop_batch(const uint8_t* data, const long* offsets,
-                             const long* sizes, int n, int target,
-                             uint8_t* out) {
-  int failures = 0;
-  const size_t stride = static_cast<size_t>(target) * target * 3;
-  for (int i = 0; i < n; ++i) {
-    if (decode_resize_crop(data + offsets[i], sizes[i], target,
-                           out + stride * i) != 0) {
-      ++failures;
-    }
-  }
-  return failures;
-}
-
 }  // extern "C"

@@ -38,7 +38,10 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib_path = cache_dir / f"libfastdecode-{tag}.so"
     if not lib_path.exists():
         cache_dir.mkdir(parents=True, exist_ok=True)
-        tmp = lib_path.with_suffix(".so.tmp")
+        # per-process tmp name: the sweep's subprocess backend can cold-build
+        # from N children at once, and a shared tmp would let one child's
+        # linker interleave into another's output before the atomic rename
+        tmp = lib_path.with_suffix(f".so.tmp.{os.getpid()}")
         cmd = [
             "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
             str(_SRC), "-ljpeg", "-o", str(tmp),

@@ -16,12 +16,16 @@ from __future__ import annotations
 
 import contextlib
 import os
+import threading
 import time
 from collections import defaultdict
 from typing import Dict, Iterator
 
 _PHASE_TOTALS: Dict[str, float] = defaultdict(float)
 _PHASE_COUNTS: Dict[str, int] = defaultdict(int)
+# the sweep's group-parallel workers time same-named phases concurrently;
+# an unguarded += would silently drop additions
+_PHASE_LOCK = threading.Lock()
 
 
 @contextlib.contextmanager
@@ -31,8 +35,9 @@ def phase_timer(name: str, verbose: bool = False) -> Iterator[None]:
         yield
     finally:
         dt = time.perf_counter() - start
-        _PHASE_TOTALS[name] += dt
-        _PHASE_COUNTS[name] += 1
+        with _PHASE_LOCK:
+            _PHASE_TOTALS[name] += dt
+            _PHASE_COUNTS[name] += 1
         if verbose:
             print(f"[profile] {name}: {dt:.3f}s")
 

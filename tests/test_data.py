@@ -112,6 +112,26 @@ def test_subsample_classes():
         DatasetBase.subsample_classes(items, subsample="Base")
 
 
+def test_random_state_snapshot_roundtrip():
+    """get/set_random_state mirror the reference's snapshot API
+    (ref: utils/reproducibility.py:42-59): restoring a snapshot must replay
+    the exact same python AND numpy draws."""
+    import random
+
+    from clip_gp_tpu.core.seeding import (
+        get_random_state,
+        set_random_seed,
+        set_random_state,
+    )
+
+    set_random_seed(7)
+    snap = get_random_state()
+    a = (random.random(), np.random.rand(3).tolist())
+    set_random_state(snap)
+    b = (random.random(), np.random.rand(3).tolist())
+    assert a == b
+
+
 def test_load_fewshot_accepts_train_only_pickle(tmp_path):
     """Reference ImageNet caches store {'train'} ONLY
     (ref: datasets/imagenet.py:36-45); loading one must return the train

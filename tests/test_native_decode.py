@@ -60,6 +60,25 @@ def test_invalid_data_returns_none():
     assert decode_resize_crop(b"not a jpeg", 224) is None
 
 
+def test_half_case_rounding_matches_python_round():
+    """449x448 @ 224: the resized long side is exactly 224.5 — Python 3's
+    round() (banker's) gives 224 while lround gives 225 and a 1px crop
+    shift. High-contrast stripes make a shift show up as a huge diff."""
+    w, h, target = 449, 448, 224
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[:, ::2] = 255  # vertical 1px stripes
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=95)
+    jpeg = buf.getvalue()
+    ours = decode_resize_crop(jpeg, target)
+    assert ours is not None
+    ref = _pil_reference(jpeg, target)
+    diff = np.abs(ours.astype(np.int16) - ref.astype(np.int16))
+    assert float(diff.mean()) < 30.0, (
+        f"mean abs diff {diff.mean():.2f} — crop-window rounding diverged"
+    )
+
+
 def test_throughput_not_slower_than_pil():
     import time
 
