@@ -87,11 +87,18 @@ def build_lr_schedule(config, warmup: bool = False) -> Callable[[int], float]:
     warmup_factor = float(getattr(config, "warmup_cons_lr", 1e-5)) / base_lr
 
     def with_warmup(e):
+        # reference WarmupWrapper semantics (ref: utils/optimization.py:
+        # 283-341, stepped AFTER each epoch): epoch 0 runs at BASE lr
+        # (before any step), epochs 1..warmup_epochs-1 at the warmup factor,
+        # and the inner scheduler only starts advancing once warmup ends —
+        # post-warmup epoch e runs at sched(e - warmup_epochs + 1)
+        if e == 0:
+            return base_lr
         if e < warmup_epochs:
             if warmup_type == "constant":
                 return base_lr * warmup_factor
             return base_lr * (warmup_factor + (1 - warmup_factor) * e / warmup_epochs)
-        return sched(e)
+        return sched(e - warmup_epochs + 1)
 
     return with_warmup
 

@@ -46,10 +46,16 @@ def test_step_multistep_exponential_linear_constant():
 
 
 def test_warmup():
+    """Reference WarmupWrapper semantics (ref: utils/optimization.py:283-341,
+    stepped after each epoch): epoch 0 runs at BASE lr, epochs
+    1..warmup_epochs-1 at the warmup lr, and the inner scheduler's counter
+    only starts advancing once warmup ends."""
     s = build_lr_schedule(_cfg(warmup_epoch=2), warmup=True)
-    assert s(0) == pytest.approx(1e-5)
+    assert s(0) == pytest.approx(0.01)  # pre-step epoch 0 = base lr
     assert s(1) == pytest.approx(1e-5)
-    assert s(2) == pytest.approx(0.01 * (1 + np.cos(np.pi * 2 / 10)) / 2)
+    # first post-warmup epoch = inner cosine stepped ONCE
+    assert s(2) == pytest.approx(0.01 * (1 + np.cos(np.pi * 1 / 10)) / 2)
+    assert s(3) == pytest.approx(0.01 * (1 + np.cos(np.pi * 2 / 10)) / 2)
 
 
 @pytest.mark.parametrize("name", ["sgd", "adam", "adamw", "muon"])
