@@ -26,6 +26,8 @@ of GPU the reference targets with its per-GPU trial scheduler).
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -93,7 +95,60 @@ def measure(batch: int) -> float:
     return batch * TIMED_ITERS / best
 
 
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp;"
+    "x = jnp.ones((256, 256), jnp.bfloat16);"
+    "print('BENCH_PROBE_OK', float((x @ x).sum()))"
+)
+
+
+def wait_for_backend() -> None:
+    """Block until the device backend answers a tiny compute, bounded.
+
+    The tunneled TPU backend can wedge for stretches of minutes (queued
+    remote calls drain slowly); a bench launched into that state would hang
+    mid-measure with no artifact.  Probe with a fresh subprocess (so a hung
+    probe can be killed) and retry until the backend answers or the budget
+    (BENCH_BACKEND_WAIT_S, default 900 s) runs out.  Status goes to stderr;
+    stdout stays reserved for the one JSON result line.
+    """
+    budget = float(os.environ.get("BENCH_BACKEND_WAIT_S", "900"))
+    deadline = time.monotonic() + budget
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                capture_output=True,
+                timeout=90,
+                text=True,
+            )
+            if "BENCH_PROBE_OK" in out.stdout:
+                if attempt > 1:
+                    print(f"[bench] backend recovered (probe {attempt})",
+                          file=sys.stderr)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            print(
+                "[bench] backend probe never succeeded within "
+                f"{budget:.0f}s; proceeding anyway (measure may hang)",
+                file=sys.stderr,
+            )
+            return
+        print(
+            f"[bench] backend not answering (probe {attempt}); retrying, "
+            f"{remaining:.0f}s left in budget",
+            file=sys.stderr,
+        )
+        time.sleep(min(45, max(1, remaining)))
+
+
 def main():
+    wait_for_backend()
     by_batch = {str(b): round(measure(b), 1) for b in BATCHES}
     best_batch = max(by_batch, key=by_batch.get)
     imgs_per_sec = by_batch[best_batch]
