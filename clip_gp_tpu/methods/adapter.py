@@ -266,6 +266,54 @@ class Trainer(BaseTrainer):
     def load_trainable_state(self, state):
         self.params = jax.tree.map(jnp.asarray, state)
 
+    def extra_checkpoint_state(self):
+        # GP buffers (PCA basis + reduced templates + prior mean) are derived
+        # from the TRAINING dataset's text; a class-subset reload must reuse
+        # them row-selected — rebuilding from the eval dataset would change
+        # the PCA basis under the trained params
+        if self.mode == "gp":
+            return {"gp_buffers": self.gp_buffers}
+        return {}
+
+    # per-class GP param leaves (leading dim K); tmp_bias [1,M] and A [d,d]
+    # are class-agnostic
+    _GP_PER_CLASS = (
+        "inducing_token", "variational_mean", "chol_variational_covar",
+        "cls_bias", "raw_lengthscale", "raw_outputscale", "raw_variance",
+    )
+    _GP_BUF_PER_CLASS = ("templates", "templates_red", "inducing_frozen", "f0")
+
+    def remap_trainable_state(self, state, extra, idx):
+        take = lambda a: jnp.asarray(np.asarray(a)[idx])  # noqa: E731
+        out = dict(state)
+        if "template_logits" in out and np.asarray(out["template_logits"]).shape[0] > 1:
+            out["template_logits"] = take(out["template_logits"])
+        if "gp" in out:
+            gp = dict(out["gp"])
+            for name in self._GP_PER_CLASS:
+                if name in gp:
+                    gp[name] = take(gp[name])
+            out["gp"] = gp
+            bufs = extra.get("gp_buffers")
+            if bufs is None:
+                raise ValueError(
+                    "GP checkpoint predates gp_buffers saving; cannot remap "
+                    "across datasets — re-train or evaluate on the full "
+                    "class set"
+                )
+            newb = {k: jnp.asarray(v) for k, v in bufs.items()}
+            for name in self._GP_BUF_PER_CLASS:
+                newb[name] = take(bufs[name])
+            if int(newb["f0"].shape[1]) != self.gp_static.num_templates:
+                raise ValueError(
+                    "checkpoint template count "
+                    f"{int(newb['f0'].shape[1])} != configured "
+                    f"{self.gp_static.num_templates}"
+                )
+            self.gp_buffers = newb
+            self.gp_static = self.gp_static._replace(num_classes=len(idx))
+        return out
+
     # ------------------------------------------------------------------
     def train(self):
         start_time = time.time()

@@ -154,6 +154,13 @@ class Trainer(BaseTrainer):
         self.params = jax.tree.map(jnp.asarray, state["adapter"])
         self.clip_weights = jnp.asarray(state["clip_weights"])
 
+    def remap_trainable_state(self, state, extra, idx):
+        # MLP adapter is class-agnostic; the classifier is [D, K] (class axis 1)
+        return {
+            "adapter": state["adapter"],
+            "clip_weights": jnp.asarray(np.asarray(state["clip_weights"])[:, idx]),
+        }
+
     # ------------------------------------------------------------------
     def train(self):
         start_time = time.time()

@@ -192,6 +192,9 @@ class Trainer(BaseTrainer):
     def load_trainable_state(self, state):
         self.params = jax.tree.map(jnp.asarray, state)
 
+    def remap_trainable_state(self, state, extra, idx):
+        return state  # ctx + meta-net are class-agnostic
+
     # ------------------------------------------------------------------
     def train(self):
         start_time = time.time()

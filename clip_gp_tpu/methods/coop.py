@@ -161,6 +161,12 @@ class Trainer(BaseTrainer):
     def load_trainable_state(self, state):
         self.params = {"ctx": jnp.asarray(state["ctx"])}
 
+    def remap_trainable_state(self, state, extra, idx):
+        ctx = np.asarray(state["ctx"])
+        if ctx.ndim == 3:  # class-specific ctx [K, n_ctx, dim]
+            return {"ctx": jnp.asarray(ctx[idx])}
+        return state  # unified ctx is class-agnostic
+
     # ------------------------------------------------------------------
     def train(self):
         start_time = time.time()

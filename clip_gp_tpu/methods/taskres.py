@@ -155,6 +155,15 @@ class Trainer(BaseTrainer):
         self.params = {"residuals": jnp.asarray(state["residuals"])}
         self.base_text_features = jnp.asarray(state["base_text_features"])
 
+    def remap_trainable_state(self, state, extra, idx):
+        # residuals and base text features are both [K, D]
+        return {
+            "residuals": jnp.asarray(np.asarray(state["residuals"])[idx]),
+            "base_text_features": jnp.asarray(
+                np.asarray(state["base_text_features"])[idx]
+            ),
+        }
+
     # ------------------------------------------------------------------
     def train(self):
         start_time = time.time()

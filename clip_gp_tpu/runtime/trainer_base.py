@@ -408,6 +408,29 @@ class BaseTrainer:
     # ------------------------------------------------------------------
     # checkpoints (torch-free npz of the small trainable pytree)
     # ------------------------------------------------------------------
+    def extra_checkpoint_state(self) -> Dict:
+        """Non-trainable arrays a cross-dataset reload needs (e.g. GP buffers
+        derived from the *training* dataset's templates). Saved under a
+        separate namespace; same-dataset loads ignore it."""
+        return {}
+
+    def remap_trainable_state(self, state: Dict, extra: Dict, idx) -> Dict:
+        """Select the per-class rows ``idx`` (eval-label order → trained-label
+        index) out of a checkpoint trained on a superset of classes.
+
+        Enables OOD evaluation on class subsets (BASELINE config #5:
+        ImageNet-trained adapters evaluated on ImageNet-A/R's 200 classes).
+        The reference's strict ``load_state_dict`` crashes on this shape
+        mismatch (ref: utils/trainer.py:408), so subset eval is a documented
+        capability extension; full-class OOD sets (V2/Sketch) load unchanged.
+        Heads with per-class state override this; class-agnostic heads return
+        ``state`` as-is.
+        """
+        raise ValueError(
+            f"{type(self).__name__}: checkpoint was trained on different "
+            "classes and this trainer has no cross-dataset remap"
+        )
+
     def save_model(
         self, epoch: int, output_dir: str, model_name: Optional[str] = None
     ) -> None:
@@ -417,7 +440,15 @@ class BaseTrainer:
         save_dir = Path(output_dir) / "adapter"
         save_dir.mkdir(parents=True, exist_ok=True)
         name = model_name or f"{CKPT_PREFIX}{epoch + 1}"
-        flat = _flatten({"state": state})
+        tree = {"state": state}
+        extra = self.extra_checkpoint_state()
+        if extra:
+            tree["extra"] = extra
+        flat = _flatten(tree)
+        classnames = getattr(getattr(self.dm, "dataset", None), "classnames", None)
+        if classnames is not None:
+            # label-ordered classnames: the key for cross-dataset row remaps
+            flat["__classnames__"] = np.asarray(list(classnames), dtype=np.str_)
         np.savez_compressed(
             save_dir / f"{name}.npz", __epoch__=np.asarray(epoch + 1), **flat
         )
@@ -445,6 +476,37 @@ class BaseTrainer:
         print(f"Loading checkpoint from {path}")
         with np.load(path, allow_pickle=False) as data:
             epoch_loaded = int(data["__epoch__"])
-            flat = {k: data[k] for k in data.files if k != "__epoch__"}
-        self.load_trainable_state(_unflatten(flat)["state"])
+            saved_classnames = (
+                [str(c) for c in data["__classnames__"]]
+                if "__classnames__" in data.files
+                else None
+            )
+            flat = {
+                k: data[k]
+                for k in data.files
+                if k not in ("__epoch__", "__classnames__")
+            }
+        tree = _unflatten(flat)
+        state = tree["state"]
+        cur = getattr(getattr(self.dm, "dataset", None), "classnames", None)
+        if (
+            saved_classnames is not None
+            and cur is not None
+            and list(cur) != saved_classnames
+        ):
+            pos = {c: i for i, c in enumerate(saved_classnames)}
+            missing = [c for c in cur if c not in pos]
+            if missing:
+                raise ValueError(
+                    "checkpoint was trained on classes that do not cover this "
+                    f"dataset; missing {len(missing)} classnames, e.g. "
+                    f"{missing[:3]}"
+                )
+            idx = np.asarray([pos[c] for c in cur], dtype=np.int64)
+            print(
+                f"Remapping per-class state: {len(saved_classnames)} trained "
+                f"-> {len(cur)} eval classes"
+            )
+            state = self.remap_trainable_state(state, tree.get("extra", {}), idx)
+        self.load_trainable_state(state)
         return epoch_loaded
