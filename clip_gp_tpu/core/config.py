@@ -495,6 +495,28 @@ def config_to_dict(config) -> dict:
     return config
 
 
+def config_from_dict(d: dict, config=None) -> "Config":
+    """Inverse of ``config_to_dict`` — rebuild a Config from a saved
+    config.json (the predict/serving entry reloads a run's exact
+    configuration from its output directory). Unknown keys are ignored so
+    configs written by newer versions still load."""
+    if config is None:
+        config = Config()
+    for f in dataclasses.fields(config):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        cur = getattr(config, f.name)
+        if dataclasses.is_dataclass(cur):
+            if isinstance(v, dict):
+                config_from_dict(v, cur)
+        elif isinstance(cur, tuple) and isinstance(v, list):
+            setattr(config, f.name, tuple(v))
+        else:
+            setattr(config, f.name, v)
+    return config
+
+
 def save_config_to_file(config: Config, filepath: str) -> None:
     with open(filepath, "w") as f:
         json.dump(config_to_dict(config), f, indent=2)

@@ -50,6 +50,31 @@ from clip_gp_tpu.ops.metrics import (
 CKPT_PREFIX = "model.ckpt-"
 
 
+def resolve_checkpoint_path(model_dir: str, epoch: Optional[int] = None):
+    """<out>/adapter checkpoint discovery: explicit epoch, else model-best,
+    else highest-numbered (ref: utils/trainer.py:376-399). None if absent."""
+    adapter_dir = Path(model_dir) / "adapter"
+    if epoch is not None:
+        path = adapter_dir / f"{CKPT_PREFIX}{epoch}.npz"
+        return path if path.exists() else None
+    best = adapter_dir / "model-best.npz"
+    if best.exists():
+        return best
+    cands = sorted(
+        adapter_dir.glob(f"{CKPT_PREFIX}*.npz"),
+        key=lambda p: int(re.search(r"(\d+)", p.stem).group(1)),
+    )
+    return cands[-1] if cands else None
+
+
+def read_checkpoint_classnames(path) -> Optional[list]:
+    """Label-ordered classnames stored in a checkpoint, if present."""
+    with np.load(path, allow_pickle=False) as data:
+        if "__classnames__" in data.files:
+            return [str(c) for c in data["__classnames__"]]
+    return None
+
+
 def infer_method_name(config) -> str:
     """Method tag for metrics.json (ref: utils/trainer.py:604-619)."""
     tname = getattr(config, "trainer_name", "")
@@ -455,23 +480,9 @@ class BaseTrainer:
         print(f"Checkpoint saved to {save_dir / name}.npz")
 
     def load_model(self, model_dir: str, epoch: Optional[int] = None) -> int:
-        adapter_dir = Path(model_dir) / "adapter"
-        if epoch is not None:
-            path = adapter_dir / f"{CKPT_PREFIX}{epoch}.npz"
-        else:
-            best = adapter_dir / "model-best.npz"
-            if best.exists():
-                path = best
-            else:
-                cands = sorted(
-                    adapter_dir.glob(f"{CKPT_PREFIX}*.npz"),
-                    key=lambda p: int(re.search(r"(\d+)", p.stem).group(1)),
-                )
-                if not cands:
-                    return 0
-                path = cands[-1]
-        if not path.exists():
-            print(f"No checkpoint found at {path}")
+        path = resolve_checkpoint_path(model_dir, epoch)
+        if path is None:
+            print(f"No checkpoint found under {Path(model_dir) / 'adapter'}")
             return 0
         print(f"Loading checkpoint from {path}")
         with np.load(path, allow_pickle=False) as data:
