@@ -95,9 +95,13 @@ def measure(batch: int) -> float:
     return batch * TIMED_ITERS / best
 
 
+# the fill value varies per attempt: a byte-identical (executable, args)
+# program could be answered from the backend's remote cache and report
+# recovery while execution is still wedged (see the measurement-protocol
+# note above)
 _PROBE_SRC = (
-    "import jax, jax.numpy as jnp;"
-    "x = jnp.ones((256, 256), jnp.bfloat16);"
+    "import sys, jax, jax.numpy as jnp;"
+    "x = jnp.full((256, 256), int(sys.argv[1]), jnp.bfloat16);"
     "print('BENCH_PROBE_OK', float((x @ x).sum()))"
 )
 
@@ -115,11 +119,12 @@ def wait_for_backend() -> None:
     budget = float(os.environ.get("BENCH_BACKEND_WAIT_S", "900"))
     deadline = time.monotonic() + budget
     attempt = 0
+    fast_failures = 0
     while True:
         attempt += 1
         try:
             out = subprocess.run(
-                [sys.executable, "-c", _PROBE_SRC],
+                [sys.executable, "-c", _PROBE_SRC, str(attempt)],
                 capture_output=True,
                 timeout=90,
                 text=True,
@@ -128,6 +133,21 @@ def wait_for_backend() -> None:
                 if attempt > 1:
                     print(f"[bench] backend recovered (probe {attempt})",
                           file=sys.stderr)
+                return
+            # non-timeout failure: the backend answered with an error, not a
+            # wedge — waiting out the budget would just delay the same crash
+            fast_failures += 1
+            print(
+                f"[bench] probe failed (rc={out.returncode}): "
+                f"{out.stderr.strip()[-500:]}",
+                file=sys.stderr,
+            )
+            if fast_failures >= 3:
+                print(
+                    "[bench] 3 non-timeout probe failures; proceeding so the "
+                    "real error surfaces in measure()",
+                    file=sys.stderr,
+                )
                 return
         except subprocess.TimeoutExpired:
             pass

@@ -505,13 +505,28 @@ class BaseTrainer:
             and cur is not None
             and list(cur) != saved_classnames
         ):
-            pos = {c: i for i, c in enumerate(saved_classnames)}
+            pos = {}
+            dups = set()
+            for i, c in enumerate(saved_classnames):
+                if c in pos:
+                    dups.add(c)
+                pos[c] = i
             missing = [c for c in cur if c not in pos]
             if missing:
                 raise ValueError(
                     "checkpoint was trained on classes that do not cover this "
                     f"dataset; missing {len(missing)} classnames, e.g. "
                     f"{missing[:3]}"
+                )
+            # name-keyed remap is ambiguous when a needed name repeats in the
+            # trained vocabulary (ImageNet has e.g. two 'crane' classes) —
+            # picking either row would silently degrade that class
+            ambiguous = sorted(dups & set(cur))
+            if ambiguous:
+                raise ValueError(
+                    "cannot remap per-class state: classnames "
+                    f"{ambiguous[:3]} appear more than once in the trained "
+                    "vocabulary; evaluate on the full class set instead"
                 )
             idx = np.asarray([pos[c] for c in cur], dtype=np.int64)
             print(

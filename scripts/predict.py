@@ -82,8 +82,14 @@ def main(argv=None):
                     help="registered dataset split from the run's config")
     ap.add_argument("--output", default=None,
                     help="output JSON path (default <model-dir>/predictions.json)")
-    ap.add_argument("--topk", type=int, default=5)
-    ap.add_argument("--batch-size", type=int, default=None)
+    def _positive_int(v):
+        iv = int(v)
+        if iv < 1:
+            raise argparse.ArgumentTypeError("must be >= 1")
+        return iv
+
+    ap.add_argument("--topk", type=_positive_int, default=5)
+    ap.add_argument("--batch-size", type=_positive_int, default=None)
     ap.add_argument("--load-epoch", type=int, default=None)
     args = ap.parse_args(argv)
     if (args.images is None) == (args.split is None):
@@ -117,6 +123,7 @@ def main(argv=None):
         config = config_from_dict(json.load(f))
     if args.batch_size:
         config.dataloader.batch_size_test = args.batch_size
+        config.dataloader.batch_size_train = args.batch_size  # --split train
 
     ckpt = resolve_checkpoint_path(str(model_dir), args.load_epoch)
     if ckpt is None:
@@ -143,28 +150,34 @@ def main(argv=None):
         labels = None
     else:
         dm = build_data_manager(config)
-        loader = {
-            "test": dm.test_loader,
-            "val": dm.val_loader,
-            "train": dm.train_loader_x,
+        source = {
+            "test": dm.dataset.test,
+            "val": dm.dataset.val,
+            "train": dm.dataset.train_x,
         }[args.split]
-        if loader is None:
+        if not source:
             raise SystemExit(f"run has no {args.split} split")
-        if args.split == "train":
-            loader = dm.eval_train_loader()
-        paths = [Path(d.impath) for d in loader.data_source]
-        labels = np.asarray([d.label for d in loader.data_source])
+        paths = [Path(d.impath) for d in source]
+        labels = np.asarray([d.label for d in source])
         classnames = dm.dataset.classnames
+        loader = None
 
     trainer = build_trainer(config, dm)
     trainer.build_model()
     if trainer.load_model(str(model_dir), epoch=args.load_epoch) == 0:
         raise SystemExit("checkpoint reload failed")
 
-    _, feats = trainer.encode_images_batched(loader)
-    logits = np.asarray(trainer.predict_logits(jnp.asarray(feats)))
+    if loader is not None:
+        _, feats = trainer.encode_images_batched(loader)
+        logits = np.asarray(trainer.predict_logits(jnp.asarray(feats)))
+    else:
+        # extract_features handles the split loaders AND the val/test
+        # feature cache (a previously-encoded split is not re-run)
+        _, logits, _ = trainer.extract_features(args.split)
+        logits = np.asarray(logits)
     z = logits - logits.max(axis=1, keepdims=True)
-    probs = np.exp(z) / np.exp(z).sum(axis=1, keepdims=True)
+    e = np.exp(z)
+    probs = e / e.sum(axis=1, keepdims=True)
     k = min(args.topk, probs.shape[1])
     top_idx = np.argsort(-probs, axis=1)[:, :k]
 

@@ -226,6 +226,34 @@ def test_missing_classes_raise(tmp_path):
         trainer.load_model(cfg.output_dir)
 
 
+def test_duplicate_trained_classnames_raise(tmp_path):
+    # ImageNet-style duplicate names ('crane' twice) make a name-keyed remap
+    # ambiguous — the load must refuse rather than pick a row silently
+    cfg = make_config(tmp_path, "Adapter", "full", train_template_weights=True)
+    _train_and_save(cfg)
+    from clip_gp_tpu.runtime.trainer_base import resolve_checkpoint_path
+
+    path = resolve_checkpoint_path(cfg.output_dir)
+    with np.load(path, allow_pickle=False) as data:
+        arrays = {k: data[k] for k in data.files}
+    arrays["__classnames__"] = np.asarray(
+        ["blue stripe", "green square", "blue stripe", "yellow dot"],
+        dtype=np.str_,
+    )
+    np.savez_compressed(path, **arrays)
+
+    ecfg = make_config(
+        tmp_path, "Adapter", "sub", subsample="base",
+        train_template_weights=True,
+    )
+    set_random_seed(ecfg.seed)
+    dm = build_data_manager(ecfg)
+    trainer = build_trainer(ecfg, dm)
+    trainer.build_model()
+    with pytest.raises(ValueError, match="more than once"):
+        trainer.load_model(cfg.output_dir)
+
+
 def test_same_dataset_reload_unchanged(tmp_path):
     # the remap must NOT trigger on a normal same-dataset reload
     cfg = make_config(tmp_path, "Adapter", "full", train_template_weights=True)

@@ -30,6 +30,8 @@ def _random_weights_env(monkeypatch):
 
 @pytest.fixture(scope="module")
 def trained_run(tmp_path_factory):
+    mp = pytest.MonkeyPatch()
+    mp.setenv("CLIP_GP_TPU_ALLOW_RANDOM_WEIGHTS", "1")
     tmp_path = tmp_path_factory.mktemp("predict")
     c = Config()
     c.trainer_name = "Adapter"
@@ -48,16 +50,14 @@ def trained_run(tmp_path_factory):
     c.output_dir = str(tmp_path / "run")
     c.seed = 1
 
-    import os
-
-    os.environ["CLIP_GP_TPU_ALLOW_RANDOM_WEIGHTS"] = "1"
     set_random_seed(c.seed)
     dm = build_data_manager(c)
     trainer = build_trainer(c, dm)
     trainer.train()
     trainer.save_model(c.optim.max_epoch - 1, c.output_dir)
     save_config_to_file(c, str(Path(c.output_dir) / "config.json"))
-    return c, tmp_path
+    yield c, tmp_path
+    mp.undo()
 
 
 def test_predict_folder(trained_run):
