@@ -363,6 +363,9 @@ def read_imagenet_classnames(text_file: str) -> "OrderedDict[str, str]":
 
 
 def _scan_folder_dataset(image_dir, classnames, ignored=()):
+    """Returns (items, folders): folders are the label-ordered wnids — the
+    unique per-class keys cross-dataset checkpoint remapping prefers over
+    classnames (ImageNet classnames repeat, e.g. 'crane' twice)."""
     folders = [f for f in listdir_nohidden(image_dir) if f not in ignored]
     items = []
     for label, folder in enumerate(folders):
@@ -375,7 +378,7 @@ def _scan_folder_dataset(image_dir, classnames, ignored=()):
                     classname=cname,
                 )
             )
-    return items
+    return items, folders
 
 
 @DATASET_REGISTRY.register("ImageNet")
@@ -390,9 +393,9 @@ class ImageNet(DatasetBase):
         classnames = read_imagenet_classnames(
             os.path.join(self.root, "classnames.txt")
         )
-        train = self._read_split_dir(classnames, "train")
+        train, keys = self._read_split_dir(classnames, "train")
         # standard practice: evaluate on the val set, reused as both val+test
-        test = self._read_split_dir(classnames, "val")
+        test, _ = self._read_split_dir(classnames, "val")
 
         num_shots = config.dataset.num_shots
         if num_shots >= 1:
@@ -406,8 +409,15 @@ class ImageNet(DatasetBase):
                 )
 
         subsample = getattr(config.dataset, "subsample_classes", "all")
+        if subsample != "all" and keys is not None:
+            # mirror subsample_classes' base/new label selection on the keys
+            labels = sorted({item.label for item in train})
+            m = (len(labels) + 1) // 2
+            selected = labels[:m] if subsample == "base" else labels[m:]
+            keys = [keys[y] for y in selected]
         train, test = self.subsample_classes(train, test, subsample=subsample)
         super().__init__(train_x=train, val=test, test=test)
+        self.class_keys = keys  # label-ordered wnids (unique remap keys)
 
     def _read_split_dir(self, classnames, split):
         split_dir = os.path.join(self.root, "images", split)
@@ -423,7 +433,7 @@ class ImageNet(DatasetBase):
                         classname=cname,
                     )
                 )
-        return items
+        return items, folders
 
 
 class _ImageNetVariant(DatasetBase):
@@ -439,8 +449,9 @@ class _ImageNetVariant(DatasetBase):
         classnames = read_imagenet_classnames(
             os.path.join(self.root, "classnames.txt")
         )
-        data = self._read(classnames)
+        data, keys = self._read(classnames)
         super().__init__(train_x=data, test=data)
+        self.class_keys = keys  # label-ordered wnids (unique remap keys)
 
     def _read(self, classnames):
         return _scan_folder_dataset(
@@ -469,7 +480,7 @@ class ImageNetV2(_ImageNetVariant):
                         classname=cname,
                     )
                 )
-        return items
+        return items, folders
 
 
 @DATASET_REGISTRY.register("ImageNetA")

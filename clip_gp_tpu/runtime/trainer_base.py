@@ -470,10 +470,16 @@ class BaseTrainer:
         if extra:
             tree["extra"] = extra
         flat = _flatten(tree)
-        classnames = getattr(getattr(self.dm, "dataset", None), "classnames", None)
+        dataset = getattr(self.dm, "dataset", None)
+        classnames = getattr(dataset, "classnames", None)
         if classnames is not None:
             # label-ordered classnames: the key for cross-dataset row remaps
             flat["__classnames__"] = np.asarray(list(classnames), dtype=np.str_)
+        class_keys = getattr(dataset, "class_keys", None)
+        if class_keys is not None:
+            # unique per-class keys (ImageNet wnids) — preferred over
+            # classnames for remapping, which repeat ('crane' twice)
+            flat["__class_keys__"] = np.asarray(list(class_keys), dtype=np.str_)
         np.savez_compressed(
             save_dir / f"{name}.npz", __epoch__=np.asarray(epoch + 1), **flat
         )
@@ -485,54 +491,76 @@ class BaseTrainer:
             print(f"No checkpoint found under {Path(model_dir) / 'adapter'}")
             return 0
         print(f"Loading checkpoint from {path}")
+
+        def _str_list(data, name):
+            return (
+                [str(c) for c in data[name]] if name in data.files else None
+            )
+
         with np.load(path, allow_pickle=False) as data:
             epoch_loaded = int(data["__epoch__"])
-            saved_classnames = (
-                [str(c) for c in data["__classnames__"]]
-                if "__classnames__" in data.files
-                else None
-            )
+            saved_classnames = _str_list(data, "__classnames__")
+            saved_keys = _str_list(data, "__class_keys__")
             flat = {
                 k: data[k]
                 for k in data.files
-                if k not in ("__epoch__", "__classnames__")
+                if k not in ("__epoch__", "__classnames__", "__class_keys__")
             }
         tree = _unflatten(flat)
         state = tree["state"]
-        cur = getattr(getattr(self.dm, "dataset", None), "classnames", None)
-        if (
+        dataset = getattr(self.dm, "dataset", None)
+        cur = getattr(dataset, "classnames", None)
+        cur_keys = getattr(dataset, "class_keys", None)
+        idx = None
+        if saved_keys is not None and cur_keys is not None:
+            # unique per-class keys (ImageNet wnids) — exact even where
+            # classnames repeat ('crane' twice in the 1000-class vocabulary)
+            if list(cur_keys) != saved_keys:
+                idx = self._remap_index(
+                    saved_keys, list(cur_keys), kind="class keys"
+                )
+        elif (
             saved_classnames is not None
             and cur is not None
             and list(cur) != saved_classnames
         ):
-            pos = {}
-            dups = set()
-            for i, c in enumerate(saved_classnames):
-                if c in pos:
-                    dups.add(c)
-                pos[c] = i
-            missing = [c for c in cur if c not in pos]
-            if missing:
-                raise ValueError(
-                    "checkpoint was trained on classes that do not cover this "
-                    f"dataset; missing {len(missing)} classnames, e.g. "
-                    f"{missing[:3]}"
-                )
-            # name-keyed remap is ambiguous when a needed name repeats in the
-            # trained vocabulary (ImageNet has e.g. two 'crane' classes) —
-            # picking either row would silently degrade that class
-            ambiguous = sorted(dups & set(cur))
-            if ambiguous:
-                raise ValueError(
-                    "cannot remap per-class state: classnames "
-                    f"{ambiguous[:3]} appear more than once in the trained "
-                    "vocabulary; evaluate on the full class set instead"
-                )
-            idx = np.asarray([pos[c] for c in cur], dtype=np.int64)
+            idx = self._remap_index(
+                saved_classnames, list(cur), kind="classnames",
+                forbid_duplicates=True,
+            )
+        if idx is not None:
             print(
-                f"Remapping per-class state: {len(saved_classnames)} trained "
-                f"-> {len(cur)} eval classes"
+                f"Remapping per-class state: {len(saved_classnames or saved_keys)}"
+                f" trained -> {len(idx)} eval classes"
             )
             state = self.remap_trainable_state(state, tree.get("extra", {}), idx)
         self.load_trainable_state(state)
         return epoch_loaded
+
+    @staticmethod
+    def _remap_index(saved, cur, kind, forbid_duplicates=False):
+        """eval-label-ordered indices into the trained class axis."""
+        pos = {}
+        dups = set()
+        for i, c in enumerate(saved):
+            if c in pos:
+                dups.add(c)
+            pos[c] = i
+        missing = [c for c in cur if c not in pos]
+        if missing:
+            raise ValueError(
+                f"checkpoint was trained on {kind} that do not cover this "
+                f"dataset; missing {len(missing)}, e.g. {missing[:3]}"
+            )
+        if forbid_duplicates:
+            # name-keyed remap is ambiguous when a needed name repeats in
+            # the trained vocabulary — picking either row would silently
+            # degrade that class (wnid keys don't have this problem)
+            ambiguous = sorted(dups & set(cur))
+            if ambiguous:
+                raise ValueError(
+                    f"cannot remap per-class state: {kind} {ambiguous[:3]} "
+                    "appear more than once in the trained vocabulary; "
+                    "evaluate on the full class set instead"
+                )
+        return np.asarray([pos[c] for c in cur], dtype=np.int64)

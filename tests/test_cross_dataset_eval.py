@@ -254,6 +254,42 @@ def test_duplicate_trained_classnames_raise(tmp_path):
         trainer.load_model(cfg.output_dir)
 
 
+def test_class_keys_remap_beats_duplicate_names(tmp_path):
+    """When both sides carry unique class keys (ImageNet wnids), the remap
+    uses them and duplicate classnames are harmless."""
+    cfg = make_config(tmp_path, "Adapter", "full", train_template_weights=True)
+    full = _train_and_save(cfg)
+    from clip_gp_tpu.runtime.trainer_base import resolve_checkpoint_path
+
+    path = resolve_checkpoint_path(cfg.output_dir)
+    with np.load(path, allow_pickle=False) as data:
+        arrays = {k: data[k] for k in data.files}
+    # names ambiguous (first name duplicated), keys unique
+    arrays["__classnames__"] = np.asarray(
+        ["blue stripe", "green square", "blue stripe", "yellow dot"],
+        dtype=np.str_,
+    )
+    arrays["__class_keys__"] = np.asarray(
+        ["k0", "k1", "k2", "k3"], dtype=np.str_
+    )
+    np.savez_compressed(path, **arrays)
+
+    ecfg = make_config(
+        tmp_path, "Adapter", "sub", subsample="base",
+        train_template_weights=True,
+    )
+    set_random_seed(ecfg.seed)
+    dm = build_data_manager(ecfg)
+    dm.dataset.class_keys = ["k0", "k1"]  # base = labels 0,1 of the full set
+    trainer = build_trainer(ecfg, dm)
+    trainer.build_model()
+    assert trainer.load_model(cfg.output_dir) > 0
+    np.testing.assert_array_equal(
+        np.asarray(trainer.params["template_logits"]),
+        np.asarray(full.params["template_logits"])[[0, 1]],
+    )
+
+
 def test_same_dataset_reload_unchanged(tmp_path):
     # the remap must NOT trigger on a normal same-dataset reload
     cfg = make_config(tmp_path, "Adapter", "full", train_template_weights=True)

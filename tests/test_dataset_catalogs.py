@@ -366,3 +366,35 @@ def test_split_json_round_trip(tmp_path, name):
     ds2 = build_dataset(_config(tmp_path, name, shots=-1, seed=99))
     assert [i.impath for i in ds2.test] == [i.impath for i in ds.test]
     assert [i.impath for i in ds2.train_x] == [i.impath for i in ds.train_x]
+
+
+@pytest.mark.parametrize(
+    "name", ["ImageNet", "ImageNetA", "ImageNetR", "ImageNetSketch"]
+)
+def test_imagenet_family_class_keys(tmp_path, name):
+    """Label-ordered wnid keys (the exact cross-dataset remap identity —
+    ImageNet classnames repeat, e.g. 'crane' twice)."""
+    BUILDERS[name](tmp_path)
+    set_random_seed(1)
+    ds = build_dataset(_config(tmp_path, name))
+    assert ds.class_keys == ["n01440764", "n01443537"]
+    # keys align with the label order used for classnames
+    assert ds.classnames == ["tench", "goldfish"]
+
+
+def test_imagenet_class_keys_subsampled(tmp_path):
+    BUILDERS["ImageNet"](tmp_path)
+    set_random_seed(1)
+    base = build_dataset(_config(tmp_path, "ImageNet", subsample="base"))
+    assert base.class_keys == ["n01440764"]
+    set_random_seed(1)
+    new = build_dataset(_config(tmp_path, "ImageNet", subsample="new"))
+    assert new.class_keys == ["n01443537"]
+
+
+def test_imagenetv2_class_keys(tmp_path):
+    BUILDERS["ImageNetV2"](tmp_path)
+    set_random_seed(1)
+    ds = build_dataset(_config(tmp_path, "ImageNetV2"))
+    assert len(ds.class_keys) == 1000
+    assert ds.class_keys[0] == "n00000000"
