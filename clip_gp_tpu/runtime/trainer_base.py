@@ -465,11 +465,16 @@ class BaseTrainer:
         save_dir = Path(output_dir) / "adapter"
         save_dir.mkdir(parents=True, exist_ok=True)
         name = model_name or f"{CKPT_PREFIX}{epoch + 1}"
-        tree = {"state": state}
         extra = self.extra_checkpoint_state()
-        if extra:
-            tree["extra"] = extra
-        flat = _flatten(tree)
+        if extra and not getattr(self, "_extra_saved", False):
+            # constant within a run (e.g. GP buffers, ~tens of MB at ImageNet
+            # scale) — written once beside the per-epoch checkpoints instead
+            # of duplicated into each
+            np.savez_compressed(
+                save_dir / "extra_state.npz", **_flatten({"extra": extra})
+            )
+            self._extra_saved = True
+        flat = _flatten({"state": state})
         dataset = getattr(self.dm, "dataset", None)
         classnames = getattr(dataset, "classnames", None)
         if classnames is not None:
@@ -533,7 +538,15 @@ class BaseTrainer:
                 f"Remapping per-class state: {len(saved_classnames or saved_keys)}"
                 f" trained -> {len(idx)} eval classes"
             )
-            state = self.remap_trainable_state(state, tree.get("extra", {}), idx)
+            extra = tree.get("extra", {})
+            if not extra:
+                extra_path = path.parent / "extra_state.npz"
+                if extra_path.exists():
+                    with np.load(extra_path, allow_pickle=False) as d:
+                        extra = _unflatten({k: d[k] for k in d.files}).get(
+                            "extra", {}
+                        )
+            state = self.remap_trainable_state(state, extra, idx)
         self.load_trainable_state(state)
         return epoch_loaded
 
