@@ -22,7 +22,7 @@ sys.path.insert(0, str(REPO))
 os.environ.setdefault("CLIP_GP_TPU_ALLOW_RANDOM_WEIGHTS", "1")
 os.environ.setdefault("CLIP_GP_TPU_NATIVE_DECODE", "1")
 
-import jax
+
 
 from clip_gp_tpu.runtime import compile_cache
 

@@ -7,7 +7,6 @@ encode_image/encode_text to agree to float32 tolerance. Uses tiny tower
 configs so it runs on the single-core CPU test environment.
 """
 
-import sys
 from pathlib import Path
 
 import jax

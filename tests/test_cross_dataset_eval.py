@@ -290,6 +290,27 @@ def test_class_keys_remap_beats_duplicate_names(tmp_path):
     )
 
 
+def test_gp_subset_without_extra_state_raises(tmp_path):
+    """A GP checkpoint whose sibling extra_state.npz was lost cannot be
+    remapped (the PCA basis lives there) — must fail with guidance, not
+    garbage prototypes."""
+    cfg = make_config(tmp_path, "Adapter", "full", use_gp=True, gp_pca_dim=8)
+    _train_and_save(cfg)
+    import os
+
+    os.remove(os.path.join(cfg.output_dir, "adapter", "extra_state.npz"))
+
+    ecfg = make_config(
+        tmp_path, "Adapter", "sub", subsample="base", use_gp=True, gp_pca_dim=8
+    )
+    set_random_seed(ecfg.seed)
+    dm = build_data_manager(ecfg)
+    trainer = build_trainer(ecfg, dm)
+    trainer.build_model()
+    with pytest.raises(ValueError, match="gp_buffers"):
+        trainer.load_model(cfg.output_dir)
+
+
 def test_same_dataset_reload_unchanged(tmp_path):
     # the remap must NOT trigger on a normal same-dataset reload
     cfg = make_config(tmp_path, "Adapter", "full", train_template_weights=True)

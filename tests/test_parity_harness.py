@@ -4,7 +4,6 @@ logic passes/fails correctly. Only the real checkpoint file is missing in
 this environment (zero egress)."""
 
 import json
-from pathlib import Path
 
 import pytest
 
