@@ -18,6 +18,11 @@ import jax.numpy as jnp
 
 def _sparsemax_fwd_core(z: jnp.ndarray) -> jnp.ndarray:
     m = z.shape[-1]
+    # shift by the row max (mathematically a no-op: the projection only sees
+    # differences) — without it, inputs at magnitude ~30+ lose enough fp32
+    # precision in (z - tau) that the output drifts off the simplex by ~1e-5
+    # (hypothesis-found counterexample, tests/test_properties.py)
+    z = z - jax.lax.stop_gradient(jnp.max(z, axis=-1, keepdims=True))
     z_sorted = jnp.sort(z, axis=-1)[..., ::-1]
     z_cumsum = jnp.cumsum(z_sorted, axis=-1)
     ks = jnp.arange(1, m + 1, dtype=z.dtype)
