@@ -215,6 +215,20 @@ class Trainer(BaseTrainer):
         epochs = int(config.adapter.tip_adapter_epochs)
         beta = float(config.adapter.tip_adapter_init_beta)
         alpha = float(config.adapter.tip_adapter_init_alpha)
+        if beta == 0.0 or alpha == 0.0:
+            # reference defect (quirk, COMPONENTS.md): the init values default
+            # to 0.0 and no shipped config overrides them — alpha=0 removes
+            # the cache term from the loss, the adapter gradient is
+            # identically zero, and AdamW with the (also-default) eps=0
+            # produces 0/0 = NaN on the first step, poisoning every
+            # subsequent eval. Train at the search grid's first values
+            # instead; the post-training (beta, alpha) search is unaffected.
+            print(
+                "[Tip-Adapter-F] init beta/alpha of 0 give the adapter no "
+                "gradient (and NaN under eps=0); training at 1.0/1.0"
+            )
+            beta = beta or 1.0
+            alpha = alpha or 1.0
         n_batches = max(1, len(self.train_loader_x))
         sched = optax.cosine_decay_schedule(lr, max(1, epochs * n_batches))
         # torch.optim.AdamW's DEFAULT weight_decay is 1e-2 (the reference
@@ -271,6 +285,10 @@ class Trainer(BaseTrainer):
             tip_test = np.asarray(
                 self._tip_logits(test_feats_j, beta, alpha, adapter_w)
             )
+            # never snapshot a numerically poisoned state: argmax over NaN
+            # rows degenerates to class 0, which can spuriously beat acc 0
+            if not np.isfinite(tip_test).all():
+                continue
             acc_test = compute_accuracy(tip_test, test_labels)[0]
             if acc_test > best_acc:
                 # host snapshot — the live adapter_w buffer is donated into

@@ -99,9 +99,15 @@ def test_tip_adapter(tmp_path):
 
 def test_tip_adapter_f(tmp_path):
     config = make_config(tmp_path, "Tip-Adapter-F")
-    _, payload = _run(config)
+    trainer, payload = _run(config)
     assert payload["method"] == "tipaf"
     assert config.adapter.tip_adapter_trainable is True
+    # regression: the default init beta/alpha of 0.0 used to zero the
+    # adapter gradient, NaN the AdamW update (eps=0), and poison every
+    # downstream metric (the reference defect, COMPONENTS.md quirk list)
+    assert np.isfinite(np.asarray(trainer.adapter_w)).all()
+    assert np.isfinite(payload["metrics"]["aece"])
+    assert np.isfinite(payload["metrics"]["ece"])
 
 
 def test_coop(tmp_path):

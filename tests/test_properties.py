@@ -131,6 +131,60 @@ def test_perfect_predictions(labels):
 
 
 @settings(**COMMON)
+@given(z=arrays(np.float32, (3, 6), elements=FLOATS))
+def test_sparsemax_fixed_point(z):
+    # a point already on the simplex projects to itself
+    p = np.asarray(sparsemax(jnp.asarray(z)))
+    p2 = np.asarray(sparsemax(jnp.asarray(p)))
+    np.testing.assert_allclose(p2, p, atol=1e-5)
+
+
+@settings(**COMMON)
+@given(
+    f=arrays(np.float32, (7, 16),
+             elements=st.floats(-3, 3, allow_nan=False, width=32)),
+    protos=arrays(np.float32, (5, 4, 16),
+                  elements=st.floats(-3, 3, allow_nan=False, width=32)),
+)
+def test_cosine_logits_mc_linearity(f, protos):
+    """The eval-path optimization: averaging normalized prototypes first is
+    identical to averaging per-sample logits (COMPONENTS.md deliberate
+    divergence — this is its correctness certificate)."""
+    from clip_gp_tpu.methods.common import cosine_logits
+
+    # keep vectors away from the normalization singularity at 0
+    f = f + np.sign(f + 0.5) * 0.1
+    protos = protos + np.sign(protos + 0.5) * 0.1
+    fast = np.asarray(cosine_logits(jnp.asarray(f), jnp.asarray(protos), 10.0))
+    slow = np.mean(
+        [
+            np.asarray(cosine_logits(jnp.asarray(f), jnp.asarray(protos[s]), 10.0))
+            for s in range(protos.shape[0])
+        ],
+        axis=0,
+    )
+    np.testing.assert_allclose(fast, slow, atol=5e-4)
+
+
+@settings(**COMMON)
+@given(
+    b=arrays(np.float32, (2, 4, 4),
+             elements=st.floats(-2, 2, allow_nan=False, width=32))
+)
+def test_safe_cholesky_gradients_finite(b):
+    """Gradients through the jitter-escalating Cholesky stay finite even for
+    rank-deficient Grams (the where/NaN-leak trap)."""
+    import jax
+
+    def loss(bm):
+        a = bm @ jnp.swapaxes(bm, -1, -2)
+        return jnp.sum(safe_cholesky(a, 1e-5) ** 2)
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(b)))
+    assert np.isfinite(g).all()
+
+
+@settings(**COMMON)
 @given(data=st.data())
 def test_config_dict_round_trip(data):
     from clip_gp_tpu.core.config import Config, config_from_dict, config_to_dict
