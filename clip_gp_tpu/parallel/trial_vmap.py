@@ -831,17 +831,25 @@ class TipAdapterFSpec(MethodSpec):
             clip_w = jnp.broadcast_to(
                 self._zs_weights[None], (t,) + self._zs_weights.shape
             )
+        # zero init values (the shipped defaults) remove the cache term from
+        # the -F loss and zero the adapter gradient — same quirk fix as the
+        # in-process trainer (methods/tip_adapter.py): train at 1.0 instead.
+        # where() keeps this correct for per-trial grid vectors too.
+        def _nonzero(v):
+            v = jnp.asarray(v, dtype=jnp.float32)
+            return jnp.where(v == 0.0, 1.0, v)
+
         return {
             "cache_vals": cache_vals,
             "clip_w": clip_w,
-            "beta": self.hp(
+            "beta": _nonzero(self.hp(
                 "tip_adapter_init_beta",
                 self.r.config.adapter.tip_adapter_init_beta,
-            ),
-            "alpha": self.hp(
+            )),
+            "alpha": _nonzero(self.hp(
                 "tip_adapter_init_alpha",
                 self.r.config.adapter.tip_adapter_init_alpha,
-            ),
+            )),
         }
 
     def warm_start(self, params, feats_train, labels_train):
