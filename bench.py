@@ -113,10 +113,11 @@ def wait_for_backend() -> None:
     remote calls drain slowly); a bench launched into that state would hang
     mid-measure with no artifact.  Probe with a fresh subprocess (so a hung
     probe can be killed) and retry until the backend answers or the budget
-    (BENCH_BACKEND_WAIT_S, default 900 s) runs out.  Status goes to stderr;
-    stdout stays reserved for the one JSON result line.
+    (BENCH_BACKEND_WAIT_S, default 2700 s — observed wedges last 20-60 min)
+    runs out.  Status goes to stderr; stdout stays reserved for the one JSON
+    result line.
     """
-    budget = float(os.environ.get("BENCH_BACKEND_WAIT_S", "900"))
+    budget = float(os.environ.get("BENCH_BACKEND_WAIT_S", "2700"))
     deadline = time.monotonic() + budget
     attempt = 0
     fast_failures = 0
