@@ -26,8 +26,6 @@ of GPU the reference targets with its per-GPU trial scheduler).
 from __future__ import annotations
 
 import json
-import os
-import subprocess
 import sys
 import time
 from pathlib import Path
@@ -95,77 +93,7 @@ def measure(batch: int) -> float:
     return batch * TIMED_ITERS / best
 
 
-# the fill value varies per attempt: a byte-identical (executable, args)
-# program could be answered from the backend's remote cache and report
-# recovery while execution is still wedged (see the measurement-protocol
-# note above)
-_PROBE_SRC = (
-    "import sys, jax, jax.numpy as jnp;"
-    "x = jnp.full((256, 256), int(sys.argv[1]), jnp.bfloat16);"
-    "print('BENCH_PROBE_OK', float((x @ x).sum()))"
-)
-
-
-def wait_for_backend() -> None:
-    """Block until the device backend answers a tiny compute, bounded.
-
-    The tunneled TPU backend can wedge for stretches of minutes (queued
-    remote calls drain slowly); a bench launched into that state would hang
-    mid-measure with no artifact.  Probe with a fresh subprocess (so a hung
-    probe can be killed) and retry until the backend answers or the budget
-    (BENCH_BACKEND_WAIT_S, default 2700 s — observed wedges last 20-60 min)
-    runs out.  Status goes to stderr; stdout stays reserved for the one JSON
-    result line.
-    """
-    budget = float(os.environ.get("BENCH_BACKEND_WAIT_S", "2700"))
-    deadline = time.monotonic() + budget
-    attempt = 0
-    fast_failures = 0
-    while True:
-        attempt += 1
-        try:
-            out = subprocess.run(
-                [sys.executable, "-c", _PROBE_SRC, str(attempt)],
-                capture_output=True,
-                timeout=90,
-                text=True,
-            )
-            if "BENCH_PROBE_OK" in out.stdout:
-                if attempt > 1:
-                    print(f"[bench] backend recovered (probe {attempt})",
-                          file=sys.stderr)
-                return
-            # non-timeout failure: the backend answered with an error, not a
-            # wedge — waiting out the budget would just delay the same crash
-            fast_failures += 1
-            print(
-                f"[bench] probe failed (rc={out.returncode}): "
-                f"{out.stderr.strip()[-500:]}",
-                file=sys.stderr,
-            )
-            if fast_failures >= 3:
-                print(
-                    "[bench] 3 non-timeout probe failures; proceeding so the "
-                    "real error surfaces in measure()",
-                    file=sys.stderr,
-                )
-                return
-        except subprocess.TimeoutExpired:
-            pass
-        remaining = deadline - time.monotonic()
-        if remaining <= 0:
-            print(
-                "[bench] backend probe never succeeded within "
-                f"{budget:.0f}s; proceeding anyway (measure may hang)",
-                file=sys.stderr,
-            )
-            return
-        print(
-            f"[bench] backend not answering (probe {attempt}); retrying, "
-            f"{remaining:.0f}s left in budget",
-            file=sys.stderr,
-        )
-        time.sleep(min(45, max(1, remaining)))
+from clip_gp_tpu.runtime.backend_guard import wait_for_backend  # noqa: E402
 
 
 def main():

@@ -1,0 +1,78 @@
+"""Bounded wait for a wedged device backend.
+
+The tunneled TPU backend wedges for stretches of 20-60 minutes (observed
+repeatedly); a benchmark or driver compile-check launched into that state
+hangs with no artifact. ``wait_for_backend`` probes with a killable
+subprocess — the probe input varies per attempt so a byte-identical
+(executable, args) program can't be answered from the backend's remote
+execution cache — and retries until the backend answers or the budget
+(``BENCH_BACKEND_WAIT_S``, default 2700 s) runs out. Status goes to stderr;
+stdout stays untouched (bench.py reserves it for the one JSON result line).
+
+No import-time side effects: safe to import from driver contract paths.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+_PROBE_SRC = (
+    "import sys, jax, jax.numpy as jnp;"
+    "x = jnp.full((256, 256), int(sys.argv[1]), jnp.bfloat16);"
+    "print('BENCH_PROBE_OK', float((x @ x).sum()))"
+)
+
+
+def wait_for_backend() -> None:
+    budget = float(os.environ.get("BENCH_BACKEND_WAIT_S", "2700"))
+    deadline = time.monotonic() + budget
+    attempt = 0
+    fast_failures = 0
+    while True:
+        attempt += 1
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC, str(attempt)],
+                capture_output=True,
+                timeout=90,
+                text=True,
+            )
+            if "BENCH_PROBE_OK" in out.stdout:
+                if attempt > 1:
+                    print(f"[bench] backend recovered (probe {attempt})",
+                          file=sys.stderr)
+                return
+            # non-timeout failure: the backend answered with an error, not a
+            # wedge — waiting out the budget would just delay the same crash
+            fast_failures += 1
+            print(
+                f"[bench] probe failed (rc={out.returncode}): "
+                f"{out.stderr.strip()[-500:]}",
+                file=sys.stderr,
+            )
+            if fast_failures >= 3:
+                print(
+                    "[bench] 3 non-timeout probe failures; proceeding so the "
+                    "real error surfaces downstream",
+                    file=sys.stderr,
+                )
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            print(
+                "[bench] backend probe never succeeded within "
+                f"{budget:.0f}s; proceeding anyway (may hang)",
+                file=sys.stderr,
+            )
+            return
+        print(
+            f"[bench] backend not answering (probe {attempt}); retrying, "
+            f"{remaining:.0f}s left in budget",
+            file=sys.stderr,
+        )
+        time.sleep(min(45, max(1, remaining)))
