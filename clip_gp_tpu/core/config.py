@@ -94,6 +94,10 @@ class AdapterConfig:
 class ModelConfig:
     backbone_name: str = "RN50"
     init_weights: str = ""  # path to converted CLIP weights (.npz); "" = auto-discover
+    # opt-in int8 MXU inference for the frozen ViT image tower (serving /
+    # feature extraction only — models/quantized.py; no reference analog).
+    # Parity guarantees (BASELINE.md) are stated for the default bf16 path.
+    int8_inference: bool = False
 
 
 @dataclass
@@ -240,6 +244,8 @@ def merge_config_dict(config: Config, config_dict: dict) -> None:
                 config.model.backbone_name = value["BACKBONE"]["NAME"]
             if "INIT_WEIGHTS" in value:
                 config.model.init_weights = value["INIT_WEIGHTS"]
+            if "INT8_INFERENCE" in value:
+                config.model.int8_inference = bool(value["INT8_INFERENCE"])
             continue
         if lk in _SECTIONS and isinstance(value, dict):
             _merge_section(getattr(config, _SECTIONS[lk]), value)

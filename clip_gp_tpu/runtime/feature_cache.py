@@ -103,6 +103,9 @@ def cache_key(config, split_items, weights_tag: str) -> str:
         norm,
         split_fingerprint(impaths, labels),
     ]
+    # int8-encoded features are NOT interchangeable with bf16 ones
+    if getattr(config.model, "int8_inference", False):
+        parts.append("int8")
     return "_".join(parts)
 
 

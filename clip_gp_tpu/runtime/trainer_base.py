@@ -197,11 +197,36 @@ class BaseTrainer:
         # weights would bake them into the HLO as constants (huge
         # executables / remote-compile payloads on tunneled TPU backends)
         if getattr(self, "_encode_jit", None) is None:
-            @jax.jit
-            def encode(params, images_u8):
-                return clip_model.encode_image(
-                    params, arch, preprocess(images_u8)
+            use_int8 = getattr(self.config.model, "int8_inference", False)
+            if use_int8 and not arch.is_vit:
+                print(
+                    "[WARN] MODEL.INT8_INFERENCE covers the ViT towers only; "
+                    f"falling back to bf16 for {arch.name}"
                 )
+                use_int8 = False
+            if use_int8:
+                from clip_gp_tpu.models import quantized
+
+                # weights quantize once per trainer; the int8 blocks replace
+                # the bf16 tower only here (training math is untouched —
+                # every method trains on the extracted features)
+                self._encode_params = quantized.quantize_visual_jit(
+                    params, arch
+                )
+
+                @jax.jit
+                def encode(qvisual, images_u8):
+                    return quantized.encode_image_q8(
+                        qvisual, arch, preprocess(images_u8)
+                    )
+            else:
+                self._encode_params = params
+
+                @jax.jit
+                def encode(params, images_u8):
+                    return clip_model.encode_image(
+                        params, arch, preprocess(images_u8)
+                    )
 
             self._encode_jit = encode
 
@@ -209,7 +234,8 @@ class BaseTrainer:
 
         with phase_timer("feature_extraction"):
             feats, labels = extract_with(
-                lambda imgs: self._encode_jit(params, imgs), loader
+                lambda imgs: self._encode_jit(self._encode_params, imgs),
+                loader,
             )
         if key is not None:
             feature_cache.memo_put(key, labels, feats)

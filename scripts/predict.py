@@ -91,6 +91,10 @@ def main(argv=None):
     ap.add_argument("--topk", type=_positive_int, default=5)
     ap.add_argument("--batch-size", type=_positive_int, default=None)
     ap.add_argument("--load-epoch", type=int, default=None)
+    ap.add_argument("--int8", action="store_true",
+                    help="serve the frozen ViT image tower with int8 MXU "
+                         "matmuls (models/quantized.py; ~2x encode rate, "
+                         "small feature perturbation)")
     args = ap.parse_args(argv)
     if (args.images is None) == (args.split is None):
         ap.error("exactly one of --images / --split is required")
@@ -124,6 +128,8 @@ def main(argv=None):
     if args.batch_size:
         config.dataloader.batch_size_test = args.batch_size
         config.dataloader.batch_size_train = args.batch_size  # --split train
+    if args.int8:
+        config.model.int8_inference = True
 
     ckpt = resolve_checkpoint_path(str(model_dir), args.load_epoch)
     if ckpt is None:
