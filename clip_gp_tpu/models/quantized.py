@@ -139,18 +139,61 @@ def _q8_attention_block(
     return x
 
 
+def _q8_fused_block(
+    p: Params, x: jnp.ndarray, num_heads: int, interpret: bool = False
+) -> jnp.ndarray:
+    """Same math as :func:`_q8_attention_block` but as two Pallas kernels with
+    the int8 matmuls on the MXU (ops/int8_block.py) — activations quantize
+    in-kernel right after the fp32 LN/GELU and never round-trip HBM."""
+    from clip_gp_tpu.ops.int8_block import q8_ln_attention_block, q8_ln_mlp
+
+    a = p["attn"]
+    x = q8_ln_attention_block(
+        x,
+        p["ln_1"]["scale"],
+        p["ln_1"]["bias"],
+        a["w_qkv"]["q"],
+        a["w_qkv"]["scale"],
+        a["b_qkv"],
+        a["w_out"]["q"],
+        a["w_out"]["scale"],
+        a["b_out"],
+        num_heads,
+        interpret=interpret,
+    )
+    return q8_ln_mlp(
+        x,
+        p["ln_2"]["scale"],
+        p["ln_2"]["bias"],
+        p["mlp"]["c_fc"]["w"]["q"],
+        p["mlp"]["c_fc"]["w"]["scale"],
+        p["mlp"]["c_fc"]["b"],
+        p["mlp"]["c_proj"]["w"]["q"],
+        p["mlp"]["c_proj"]["w"]["scale"],
+        p["mlp"]["c_proj"]["b"],
+        interpret=interpret,
+    )
+
+
 def encode_image_q8(
     qvisual: Params,
     arch: ClipArchitecture,
     images: jnp.ndarray,
     compute_dtype=jnp.bfloat16,
+    use_fused: Optional[bool] = None,
 ) -> jnp.ndarray:
     """ViT image encode with int8 block matmuls.
 
     ``qvisual`` comes from :func:`quantize_visual`. Mirrors
     ``clip_model.vision_transformer`` outside the blocks (the stem conv is
-    <2% of FLOPs and stays bf16).
+    <2% of FLOPs and stays bf16). ``use_fused=None`` follows
+    ``flash_attention.use_flash()``: on TPU the blocks run as int8 Pallas
+    kernels (ops/int8_block.py), elsewhere as the XLA int8 path.
     """
+    from clip_gp_tpu.ops.flash_attention import use_flash
+
+    if use_fused is None:
+        use_fused = use_flash()
     p = qvisual
     x = images.astype(compute_dtype)
     ps = arch.vision_patch_size
@@ -163,8 +206,12 @@ def encode_image_q8(
     x = layer_norm(p["ln_pre"], x)
     num_heads = arch.vision_heads
 
-    def body(x, block_params):
-        return _q8_attention_block(block_params, x, num_heads), None
+    if use_fused:
+        def body(x, block_params):
+            return _q8_fused_block(block_params, x, num_heads), None
+    else:
+        def body(x, block_params):
+            return _q8_attention_block(block_params, x, num_heads), None
 
     x, _ = jax.lax.scan(body, x, p["transformer"]["blocks"])
     x = layer_norm(p["ln_post"], x[:, 0])

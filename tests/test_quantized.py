@@ -96,6 +96,100 @@ def test_quantize_visual_rejects_resnet():
 
 
 # ----------------------------------------------------------------------
+# int8 fused Pallas kernels (ops/int8_block.py, interpret mode on CPU)
+# ----------------------------------------------------------------------
+
+def _rand_block_params(rng, d, hidden):
+    def w(*shape):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32) * 0.05)
+
+    return {
+        "ln_1": {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))},
+        "ln_2": {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))},
+        "attn": {
+            "w_qkv": quantized.quantize_weight(w(d, 3 * d)),
+            "b_qkv": w(3 * d),
+            "w_out": quantized.quantize_weight(w(d, d)),
+            "b_out": w(d),
+        },
+        "mlp": {
+            "c_fc": {"w": quantized.quantize_weight(w(d, hidden)),
+                     "b": w(hidden)},
+            "c_proj": {"w": quantized.quantize_weight(w(hidden, d)),
+                       "b": w(d)},
+        },
+    }
+
+
+def test_q8_fused_block_matches_xla_q8_block():
+    """The Pallas int8 block (interpret mode) must track the XLA int8 block —
+    the only numerical difference is per-head vs merged-head dynamic
+    quantization of the attention output."""
+    rng = np.random.default_rng(7)
+    d, hidden, heads = 64, 128, 4
+    p = _rand_block_params(rng, d, hidden)
+    x = jnp.asarray(rng.normal(size=(2, 9, d)).astype(np.float32))
+
+    ref = np.asarray(quantized._q8_attention_block(p, x, heads))
+    out = np.asarray(quantized._q8_fused_block(p, x, heads, interpret=True))
+    denom = np.abs(ref).mean()
+    assert np.abs(out - ref).mean() / denom < 0.02, (
+        np.abs(out - ref).mean() / denom
+    )
+
+
+def test_q8_fused_mlp_matches_float():
+    from clip_gp_tpu.ops.int8_block import q8_ln_mlp
+
+    rng = np.random.default_rng(8)
+    d, hidden = 64, 256
+    w_fc = rng.normal(size=(d, hidden)).astype(np.float32) * 0.05
+    w_pr = rng.normal(size=(hidden, d)).astype(np.float32) * 0.05
+    b_fc = rng.normal(size=(hidden,)).astype(np.float32) * 0.01
+    b_pr = rng.normal(size=(d,)).astype(np.float32) * 0.01
+    x = jnp.asarray(rng.normal(size=(3, 10, d)).astype(np.float32))
+    qfc = quantized.quantize_weight(jnp.asarray(w_fc))
+    qpr = quantized.quantize_weight(jnp.asarray(w_pr))
+
+    out = np.asarray(q8_ln_mlp(
+        x, jnp.ones((d,)), jnp.zeros((d,)),
+        qfc["q"], qfc["scale"], jnp.asarray(b_fc),
+        qpr["q"], qpr["scale"], jnp.asarray(b_pr), interpret=True,
+    ))
+
+    # float reference of the same block math
+    x32 = np.asarray(x, np.float64)
+    h = (x32 - x32.mean(-1, keepdims=True)) / np.sqrt(
+        x32.var(-1, keepdims=True) + 1e-5
+    )
+    hid = h @ w_fc + b_fc
+    hid = hid / (1 + np.exp(-1.702 * hid))
+    ref = x32 + hid @ w_pr + b_pr
+    denom = np.abs(ref).mean()
+    assert np.abs(out - ref).mean() / denom < 0.02
+
+
+def test_encode_image_q8_fused_matches_unfused():
+    arch = clip_model.ARCHITECTURES["TEST-ViT"]
+    params = init_clip_params(jax.random.key(5), arch)
+    qvisual = quantized.quantize_visual(params, arch)
+    rng = np.random.default_rng(9)
+    images = jnp.asarray(
+        rng.uniform(-1.5, 1.5, size=(2, 32, 32, 3)).astype(np.float32)
+    )
+    plain = np.asarray(
+        quantized.encode_image_q8(qvisual, arch, images, use_fused=False)
+    )
+    fused = np.asarray(
+        quantized.encode_image_q8(qvisual, arch, images, use_fused=True)
+    )
+    cos = (plain * fused).sum(-1) / (
+        np.linalg.norm(plain, axis=-1) * np.linalg.norm(fused, axis=-1)
+    )
+    assert (cos > 0.999).all(), cos
+
+
+# ----------------------------------------------------------------------
 # config knob wiring (MODEL.INT8_INFERENCE)
 # ----------------------------------------------------------------------
 
