@@ -47,9 +47,9 @@ TIMED_ITERS = 20
 WINDOWS = 3  # best-of windows: tunneled-backend RTT varies minute to minute
 
 
-def measure(batch: int) -> float:
+def measure(batch: int, int8: bool = False) -> float:
     from clip_gp_tpu.data.transforms import device_preprocess
-    from clip_gp_tpu.models import clip_model
+    from clip_gp_tpu.models import clip_model, quantized
     from clip_gp_tpu.models.clip_loader import init_clip_params
 
     arch = clip_model.ARCHITECTURES["ViT-B/16"]
@@ -59,13 +59,18 @@ def measure(batch: int) -> float:
     params = jax.jit(init_clip_params, static_argnums=(1,))(
         jax.random.key(0), arch
     )
+    if int8:
+        params = quantized.quantize_visual_jit(params, arch)
 
     @jax.jit
     def step(params, x):
         images = device_preprocess(x)
-        out = clip_model.encode_image(
-            params, arch, images, compute_dtype=jnp.bfloat16
-        )
+        if int8:
+            out = quantized.encode_image_q8(params, arch, images)
+        else:
+            out = clip_model.encode_image(
+                params, arch, images, compute_dtype=jnp.bfloat16
+            )
         # derive the next input from this output: forces every iteration to
         # really execute, in order, uncached
         delta = (jnp.abs(out).sum() > -1.0).astype(jnp.uint8)
@@ -101,6 +106,10 @@ def main():
     by_batch = {str(b): round(measure(b), 1) for b in BATCHES}
     best_batch = max(by_batch, key=by_batch.get)
     imgs_per_sec = by_batch[best_batch]
+    # secondary: the opt-in int8 serving mode (MODEL.INT8_INFERENCE, fused
+    # Pallas int8 kernels) at the winning batch. The HEADLINE stays bf16 —
+    # that is the default path and the one carrying the parity guarantees.
+    int8_imgs_per_sec = round(measure(int(best_batch), int8=True), 1)
     print(
         json.dumps(
             {
@@ -112,6 +121,7 @@ def main():
                 ),
                 "batch": int(best_batch),
                 "by_batch": by_batch,
+                "int8_imgs_per_sec": int8_imgs_per_sec,
                 "baseline_note": (
                     "reference publishes no numbers; denominator is a "
                     "documented ESTIMATE of torch fp32 ViT-B/16 on one V100 "
