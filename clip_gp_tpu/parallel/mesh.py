@@ -55,6 +55,53 @@ def sharded_encode_fn(mesh: Mesh, clip_params, arch, preprocess, axis: str = "da
     return lambda images: encode_jit(params_rep, images)
 
 
+def maybe_sharded_encode(encode_fn, params, axis: str = "data"):
+    """Batch-DP wrapper for a ``(params, images) -> feats`` encode callable
+    over ALL local devices, or ``None`` when sharding does not apply.
+
+    Used by ``BaseTrainer.encode_images_batched`` so a multi-chip host
+    shards frozen-tower extraction (the dominant FLOPs of every run) without
+    any config. Not applicable when:
+
+    - there is one device (the common single-chip case);
+    - the caller pinned ``jax.default_device`` (the group-parallel sweep
+      backend dedicates one whole device per trial-group worker — a
+      global-mesh encode inside a worker would defeat that scheduling);
+    - ``CLIP_GP_TPU_SHARD_EXTRACTION=0`` (escape hatch).
+
+    Feature extraction is per-image independent, so batch sharding cannot
+    change results — there is no cross-device reduction at all; XLA only
+    inserts the gather for the (already-sharded) output when the host reads
+    it. The batch is padded to a device-count multiple and sliced back.
+    """
+    import os
+
+    if os.environ.get("CLIP_GP_TPU_SHARD_EXTRACTION") == "0":
+        return None
+    devices = jax.devices()
+    if len(devices) < 2:
+        return None
+    if jax.config.jax_default_device is not None:
+        return None
+    mesh = make_mesh()
+    ndev = len(devices)
+    rep = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(axis))
+    encode_jit = jax.jit(encode_fn, in_shardings=(rep, shard),
+                         out_shardings=shard)
+    params_rep = jax.device_put(params, rep)
+
+    def call(images):
+        n = images.shape[0]
+        n_pad = -(-n // ndev) * ndev
+        if n_pad != n:
+            pad = [(0, n_pad - n)] + [(0, 0)] * (images.ndim - 1)
+            images = jnp.pad(images, pad)
+        return encode_jit(params_rep, images)[:n]
+
+    return call
+
+
 def sharded_train_step(mesh: Mesh, step_fn, axis: str = "data"):
     """Wrap a (params, opt_state, features, labels, key) step with DP
     shardings: trainable state replicated, batch sharded. XLA derives the

@@ -29,7 +29,36 @@ from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple
 
+import functools
+
 import yaml
+
+
+def _no_extraction_sharding(fn):
+    """Disable the trainer's multi-device batch-sharded feature extraction
+    (parallel/mesh.maybe_sharded_encode) for the duration of a sweep run.
+
+    A sweep's parallelism axis is trials/groups-over-devices, not the batch
+    axis of one trial — a per-trial encode that grabs the whole mesh would
+    fight the group-parallel scheduler. It also keeps the bit-identical
+    guarantee between sequential and group-parallel sweeps (the sharded and
+    single-device extraction executables differ at ULP level, and pinned
+    workers can never shard). Subprocess-backend children inherit the env."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        prev = os.environ.get("CLIP_GP_TPU_SHARD_EXTRACTION")
+        os.environ["CLIP_GP_TPU_SHARD_EXTRACTION"] = "0"
+        try:
+            return fn(*args, **kwargs)
+        finally:
+            if prev is None:
+                os.environ.pop("CLIP_GP_TPU_SHARD_EXTRACTION", None)
+            else:
+                os.environ["CLIP_GP_TPU_SHARD_EXTRACTION"] = prev
+
+    return wrapped
+
 
 DATASET_NAME_MAP = {
     "caltech101": "Caltech101",
@@ -152,6 +181,7 @@ def pending_trials(trials: List[Trial], skip_logged: bool = True) -> List[Trial]
     return out
 
 
+@_no_extraction_sharding
 def run_trials_inprocess(trials: List[Trial]) -> List[Dict[str, Any]]:
     """Sequential in-process execution with persistent jit caches."""
     from clip_gp_tpu.core.logging import reset_tee
@@ -220,6 +250,7 @@ def _vmap_supported(config, group_size: int) -> bool:
     return False
 
 
+@_no_extraction_sharding
 def run_trials_vmapped(
     trials: List[Trial], strict: bool = False,
     group_parallel: Optional[int] = None,
@@ -419,6 +450,7 @@ def run_trials_vmapped(
     return results
 
 
+@_no_extraction_sharding
 def run_trials_subprocess(
     trials: List[Trial],
     devices: List[str],

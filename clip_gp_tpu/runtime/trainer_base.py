@@ -229,14 +229,22 @@ class BaseTrainer:
                     )
 
             self._encode_jit = encode
+            # on a multi-device host, shard the extraction batch over all
+            # local devices (pure DP — per-image math, bit-identical output;
+            # returns None on one chip or inside a pinned sweep worker)
+            from clip_gp_tpu.parallel.mesh import maybe_sharded_encode
+
+            self._encode_sharded = maybe_sharded_encode(
+                encode, self._encode_params
+            )
 
         from clip_gp_tpu.methods.common import extract_with
 
+        encode_call = self._encode_sharded or (
+            lambda imgs: self._encode_jit(self._encode_params, imgs)
+        )
         with phase_timer("feature_extraction"):
-            feats, labels = extract_with(
-                lambda imgs: self._encode_jit(self._encode_params, imgs),
-                loader,
-            )
+            feats, labels = extract_with(encode_call, loader)
         if key is not None:
             feature_cache.memo_put(key, labels, feats)
             if feature_cache.cache_dir() is not None:

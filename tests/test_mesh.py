@@ -86,3 +86,40 @@ def test_sharded_train_step_grad_reduction(mesh):
     np.testing.assert_allclose(
         np.asarray(w_dp), np.asarray(w_ref), rtol=1e-5, atol=1e-6
     )
+
+
+def test_maybe_sharded_encode_parity_and_gates(mesh):
+    from clip_gp_tpu.parallel.mesh import maybe_sharded_encode
+
+    arch = clip_model.ARCHITECTURES["TEST-ViT"]
+    params = init_clip_params(jax.random.key(3), arch)
+
+    def encode(p, u8):
+        return clip_model.encode_image(p, arch, u8.astype(jnp.float32) / 255.0)
+
+    call = maybe_sharded_encode(encode, params)
+    assert call is not None  # 8 virtual devices, no pinning
+
+    rng = np.random.default_rng(4)
+    # 13 images: forces the pad-to-device-multiple path (13 -> 16)
+    images = jnp.asarray(
+        rng.integers(0, 256, size=(13, 32, 32, 3), dtype=np.uint8)
+    )
+    sharded = np.asarray(call(images))
+    single = np.asarray(jax.jit(encode)(params, images))
+    assert sharded.shape == single.shape
+    # trainer reproducibility relies on extraction being bit-identical
+    # whether or not the batch axis is sharded (per-image math only)
+    np.testing.assert_array_equal(sharded, single)
+
+    # inside a pinned worker (group-parallel sweep), sharding must not engage
+    with jax.default_device(jax.devices()[0]):
+        assert maybe_sharded_encode(encode, params) is None
+
+    # escape hatch
+    import os
+    os.environ["CLIP_GP_TPU_SHARD_EXTRACTION"] = "0"
+    try:
+        assert maybe_sharded_encode(encode, params) is None
+    finally:
+        del os.environ["CLIP_GP_TPU_SHARD_EXTRACTION"]
