@@ -39,6 +39,22 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def _shard_map_encode(mesh: Mesh, encode_fn, axis: str = "data"):
+    """jit(shard_map(encode)) with params replicated and the batch sharded.
+
+    shard_map rather than bare jit sharding annotations: the encode lowers
+    Pallas kernels on TPU (fused attention / int8 blocks), and Mosaic
+    kernels cannot be auto-partitioned by XLA (jax raises
+    NotImplementedError when a pallas_call meets a multi-device sharding).
+    Under shard_map each shard runs the unmodified single-device program —
+    and frozen-tower extraction is pure DP, so no collectives are needed.
+    """
+    mapped = jax.shard_map(
+        encode_fn, mesh=mesh, in_specs=(P(), P(axis)), out_specs=P(axis)
+    )
+    return jax.jit(mapped)
+
+
 def sharded_encode_fn(mesh: Mesh, clip_params, arch, preprocess, axis: str = "data"):
     """Batch-sharded frozen feature extraction: images sharded over `axis`,
     params replicated, output features sharded over `axis`."""
@@ -48,10 +64,8 @@ def sharded_encode_fn(mesh: Mesh, clip_params, arch, preprocess, axis: str = "da
         images = preprocess(images_u8)
         return clip_model.encode_image(params, arch, images)
 
-    rep = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P(axis))
-    encode_jit = jax.jit(encode, in_shardings=(rep, shard), out_shardings=shard)
-    params_rep = jax.device_put(clip_params, rep)
+    encode_jit = _shard_map_encode(mesh, encode, axis)
+    params_rep = jax.device_put(clip_params, NamedSharding(mesh, P()))
     return lambda images: encode_jit(params_rep, images)
 
 
@@ -85,11 +99,8 @@ def maybe_sharded_encode(encode_fn, params, axis: str = "data"):
         return None
     mesh = make_mesh()
     ndev = len(devices)
-    rep = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P(axis))
-    encode_jit = jax.jit(encode_fn, in_shardings=(rep, shard),
-                         out_shardings=shard)
-    params_rep = jax.device_put(params, rep)
+    encode_jit = _shard_map_encode(mesh, encode_fn, axis)
+    params_rep = jax.device_put(params, NamedSharding(mesh, P()))
 
     def call(images):
         n = images.shape[0]
