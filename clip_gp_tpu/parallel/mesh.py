@@ -55,52 +55,10 @@ def _shard_map_encode(mesh: Mesh, encode_fn, axis: str = "data"):
     return jax.jit(mapped)
 
 
-def sharded_encode_fn(mesh: Mesh, clip_params, arch, preprocess, axis: str = "data"):
-    """Batch-sharded frozen feature extraction: images sharded over `axis`,
-    params replicated, output features sharded over `axis`."""
-    from clip_gp_tpu.models import clip_model
-
-    def encode(params, images_u8):
-        images = preprocess(images_u8)
-        return clip_model.encode_image(params, arch, images)
-
-    encode_jit = _shard_map_encode(mesh, encode, axis)
-    params_rep = jax.device_put(clip_params, NamedSharding(mesh, P()))
-    return lambda images: encode_jit(params_rep, images)
-
-
-def maybe_sharded_encode(encode_fn, params, axis: str = "data"):
-    """Batch-DP wrapper for a ``(params, images) -> feats`` encode callable
-    over ALL local devices, or ``None`` when sharding does not apply.
-
-    Used by ``BaseTrainer.encode_images_batched`` so a multi-chip host
-    shards frozen-tower extraction (the dominant FLOPs of every run) without
-    any config. Not applicable when:
-
-    - there is one device (the common single-chip case);
-    - the caller pinned ``jax.default_device`` (the group-parallel sweep
-      backend dedicates one whole device per trial-group worker — a
-      global-mesh encode inside a worker would defeat that scheduling);
-    - ``CLIP_GP_TPU_SHARD_EXTRACTION=0`` (escape hatch).
-
-    Feature extraction is per-image independent, so batch sharding cannot
-    change results — there is no cross-device reduction at all; XLA only
-    inserts the gather for the (already-sharded) output when the host reads
-    it. The batch is padded to a device-count multiple and sliced back.
-    """
-    import os
-
-    if os.environ.get("CLIP_GP_TPU_SHARD_EXTRACTION") == "0":
-        return None
-    devices = jax.devices()
-    if len(devices) < 2:
-        return None
-    if jax.config.jax_default_device is not None:
-        return None
-    mesh = make_mesh()
-    ndev = len(devices)
-    encode_jit = _shard_map_encode(mesh, encode_fn, axis)
-    params_rep = jax.device_put(params, NamedSharding(mesh, P()))
+def _padded_call(encode_jit, params_rep, ndev: int):
+    """Wrap a shard_mapped encode so uneven batches work: shard_map requires
+    the leading axis to divide the mesh, so pad to a device-count multiple
+    and slice the features back."""
 
     def call(images):
         n = images.shape[0]
@@ -110,6 +68,77 @@ def maybe_sharded_encode(encode_fn, params, axis: str = "data"):
             images = jnp.pad(images, pad)
         return encode_jit(params_rep, images)[:n]
 
+    return call
+
+
+def sharded_encode_fn(mesh: Mesh, clip_params, arch, preprocess, axis: str = "data"):
+    """Batch-sharded frozen feature extraction: images sharded over `axis`,
+    params replicated, output features sharded over `axis`. Batches that do
+    not divide the mesh are padded and sliced back."""
+    from clip_gp_tpu.models import clip_model
+
+    def encode(params, images_u8):
+        images = preprocess(images_u8)
+        return clip_model.encode_image(params, arch, images)
+
+    encode_jit = _shard_map_encode(mesh, encode, axis)
+    params_rep = jax.device_put(clip_params, NamedSharding(mesh, P()))
+    return _padded_call(encode_jit, params_rep, mesh.devices.size)
+
+
+def extraction_shard_devices():
+    """The local devices auto-sharded extraction would run over, or ``None``
+    when sharding does not apply. Single source of truth for the gate — the
+    feature-cache key tags entries with the device count (see
+    ``feature_cache.cache_key``), so the decision here must be computable
+    before any encode happens. Not applicable when:
+
+    - there is one local device (the common single-chip case);
+    - this is a multi-process (multi-host) jax program — the trainer feeds
+      host-local loader arrays, which a process-spanning mesh cannot accept;
+    - the caller pinned ``jax.default_device`` (the group-parallel sweep
+      backend dedicates one whole device per trial-group worker — a
+      mesh-wide encode inside a worker would defeat that scheduling);
+    - ``CLIP_GP_TPU_SHARD_EXTRACTION=0`` (escape hatch).
+    """
+    import os
+
+    if os.environ.get("CLIP_GP_TPU_SHARD_EXTRACTION") == "0":
+        return None
+    if jax.process_count() > 1:
+        return None
+    devices = jax.local_devices()
+    if len(devices) < 2:
+        return None
+    if jax.config.jax_default_device is not None:
+        return None
+    return devices
+
+
+def maybe_sharded_encode(encode_fn, params, axis: str = "data"):
+    """Batch-DP wrapper for a ``(params, images) -> feats`` encode callable
+    over all local devices, or ``None`` when sharding does not apply (see
+    ``extraction_shard_devices`` for the gate).
+
+    Used by ``BaseTrainer.encode_images_batched`` so a multi-chip host
+    shards frozen-tower extraction (the dominant FLOPs of every run) without
+    any config. Feature extraction is per-image independent, so there is no
+    cross-device reduction at all; XLA only inserts the gather for the
+    (already-sharded) output when the host reads it. The batch is padded to
+    a device-count multiple and sliced back.
+
+    The returned callable exposes ``.params_rep`` — the mesh-replicated
+    weight copy — so the caller can drop its single-device copy instead of
+    holding the tower in HBM twice.
+    """
+    devices = extraction_shard_devices()
+    if devices is None:
+        return None
+    mesh = Mesh(np.array(devices), (axis,))
+    encode_jit = _shard_map_encode(mesh, encode_fn, axis)
+    params_rep = jax.device_put(params, NamedSharding(mesh, P()))
+    call = _padded_call(encode_jit, params_rep, len(devices))
+    call.params_rep = params_rep
     return call
 
 

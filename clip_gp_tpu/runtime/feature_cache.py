@@ -89,7 +89,26 @@ def split_fingerprint(impaths: List[str], labels: List[int]) -> str:
     return h.hexdigest()[:20]
 
 
-def cache_key(config, split_items, weights_tag: str) -> str:
+def cache_key(
+    config,
+    split_items,
+    weights_tag: str,
+    *,
+    int8: Optional[bool] = None,
+    shard_devices: int = 0,
+) -> str:
+    """Disk/memo key for one (weights, preprocessing, split) extraction.
+
+    ``int8``: whether the int8 tower will ACTUALLY encode this split — pass
+    the effective decision (flag AND arch support), not the raw config flag,
+    so a bf16 fallback is never stored under an int8 label. ``None`` falls
+    back to the raw flag for callers without an arch in hand.
+
+    ``shard_devices``: >1 when extraction auto-shards over a local device
+    mesh. Sharded and single-device executables may differ at ULP level, so
+    entries of different provenance must not alias (the repo's bit-identical
+    reproducibility contract); unsharded keys keep the historical format.
+    """
     impaths = [it.impath for it in split_items]
     labels = [it.label for it in split_items]
     norm = hashlib.sha256(
@@ -104,8 +123,12 @@ def cache_key(config, split_items, weights_tag: str) -> str:
         split_fingerprint(impaths, labels),
     ]
     # int8-encoded features are NOT interchangeable with bf16 ones
-    if getattr(config.model, "int8_inference", False):
+    if int8 is None:
+        int8 = getattr(config.model, "int8_inference", False)
+    if int8:
         parts.append("int8")
+    if shard_devices and shard_devices > 1:
+        parts.append(f"dp{shard_devices}")
     return "_".join(parts)
 
 

@@ -148,7 +148,25 @@ class BaseTrainer:
         self.clip_arch, self.clip_params, self.weights_tag = load_clip_resolved(
             self.config, allow_random=allow_random, seed=int(self.config.seed)
         )
+        # drop any encode state built against previously loaded weights —
+        # the jitted encode takes params as an argument, but the snapshot in
+        # _encode_params (and the sharded replica) would otherwise keep
+        # serving the stale tower
+        self._encode_jit = None
+        self._encode_params = None
+        self._encode_sharded = None
         return self.clip_arch, self.clip_params
+
+    def _int8_effective(self) -> bool:
+        """Whether extraction will actually run the int8 tower: the config
+        flag AND an arch the int8 path covers (ViT only). Keying the feature
+        cache off the raw flag would store bf16-fallback features under an
+        int8 label."""
+        return bool(
+            getattr(self.config.model, "int8_inference", False)
+            and getattr(self, "clip_arch", None) is not None
+            and self.clip_arch.is_vit
+        )
 
     def encode_images_batched(
         self, loader, cacheable: bool = False
@@ -163,9 +181,14 @@ class BaseTrainer:
 
         key = None
         if cacheable:
+            from clip_gp_tpu.parallel.mesh import extraction_shard_devices
+
+            shard_devs = extraction_shard_devices()
             key = feature_cache.cache_key(
                 self.config, loader.data_source,
                 getattr(self, "weights_tag", "default"),
+                int8=self._int8_effective(),
+                shard_devices=len(shard_devs) if shard_devs else 0,
             )
             # in-flight lock: a concurrent sweep worker missing the memo for
             # the same split waits for the winner's encode instead of
@@ -197,13 +220,12 @@ class BaseTrainer:
         # weights would bake them into the HLO as constants (huge
         # executables / remote-compile payloads on tunneled TPU backends)
         if getattr(self, "_encode_jit", None) is None:
-            use_int8 = getattr(self.config.model, "int8_inference", False)
-            if use_int8 and not arch.is_vit:
+            use_int8 = self._int8_effective()
+            if getattr(self.config.model, "int8_inference", False) and not use_int8:
                 print(
                     "[WARN] MODEL.INT8_INFERENCE covers the ViT towers only; "
                     f"falling back to bf16 for {arch.name}"
                 )
-                use_int8 = False
             if use_int8:
                 from clip_gp_tpu.models import quantized
 
@@ -230,13 +252,22 @@ class BaseTrainer:
 
             self._encode_jit = encode
             # on a multi-device host, shard the extraction batch over all
-            # local devices (pure DP — per-image math, bit-identical output;
+            # local devices (pure DP — per-image math, no collectives; the
+            # sharded executable may still differ from single-device at ULP
+            # level, which the feature-cache key records as a dpN tag;
             # returns None on one chip or inside a pinned sweep worker)
             from clip_gp_tpu.parallel.mesh import maybe_sharded_encode
 
             self._encode_sharded = maybe_sharded_encode(
                 encode, self._encode_params
             )
+            if self._encode_sharded is not None:
+                # adopt the mesh-replicated weight copy so the single-device
+                # originals can be freed — otherwise device 0 holds the
+                # frozen tower twice for the trainer's lifetime
+                self._encode_params = self._encode_sharded.params_rep
+                if not use_int8:
+                    self.clip_params = self._encode_params
 
         from clip_gp_tpu.methods.common import extract_with
 

@@ -108,9 +108,16 @@ def test_maybe_sharded_encode_parity_and_gates(mesh):
     sharded = np.asarray(call(images))
     single = np.asarray(jax.jit(encode)(params, images))
     assert sharded.shape == single.shape
-    # trainer reproducibility relies on extraction being bit-identical
-    # whether or not the batch axis is sharded (per-image math only)
+    # per-image math only — on the CPU mesh this is bit-identical; on real
+    # hardware the executables may differ at ULP level, which the feature
+    # cache records via the dpN key tag
     np.testing.assert_array_equal(sharded, single)
+
+    # the replicated weight copy is exposed so the trainer can drop its
+    # single-device original instead of holding the tower in HBM twice
+    assert call.params_rep is not None
+    leaf = jax.tree.leaves(call.params_rep)[0]
+    assert leaf.sharding.is_fully_replicated
 
     # inside a pinned worker (group-parallel sweep), sharding must not engage
     with jax.default_device(jax.devices()[0]):
@@ -123,3 +130,39 @@ def test_maybe_sharded_encode_parity_and_gates(mesh):
         assert maybe_sharded_encode(encode, params) is None
     finally:
         del os.environ["CLIP_GP_TPU_SHARD_EXTRACTION"]
+
+
+def test_extraction_shard_devices_gate(mesh):
+    """The gate is the single source of truth the feature-cache key relies
+    on: it must report the same device count the encode will actually use."""
+    import os
+    from clip_gp_tpu.parallel.mesh import extraction_shard_devices
+
+    devs = extraction_shard_devices()
+    assert devs is not None and len(devs) == len(jax.local_devices())
+
+    with jax.default_device(jax.devices()[0]):
+        assert extraction_shard_devices() is None
+
+    os.environ["CLIP_GP_TPU_SHARD_EXTRACTION"] = "0"
+    try:
+        assert extraction_shard_devices() is None
+    finally:
+        del os.environ["CLIP_GP_TPU_SHARD_EXTRACTION"]
+
+
+def test_sharded_encode_fn_uneven_batch(mesh):
+    """sharded_encode_fn pads batches that do not divide the mesh (shard_map
+    would otherwise reject the 13-over-8 split)."""
+    arch = clip_model.ARCHITECTURES["TEST-ViT"]
+    params = init_clip_params(jax.random.key(5), arch)
+    pre = lambda u8: u8.astype(jnp.float32) / 255.0
+    rng = np.random.default_rng(6)
+    images = jnp.asarray(
+        rng.integers(0, 256, size=(13, 32, 32, 3), dtype=np.uint8)
+    )
+    encode = sharded_encode_fn(mesh, params, arch, pre)
+    out = np.asarray(encode(images))
+    single = np.asarray(clip_model.encode_image(params, arch, pre(images)))
+    assert out.shape == single.shape
+    np.testing.assert_allclose(out, single, rtol=2e-5, atol=2e-5)

@@ -214,6 +214,18 @@ def test_int8_knob_yaml_opts_and_cache_key():
     k_int8 = cache_key(c2, [_Item()], "w")
     assert k_bf16 != k_int8 and k_int8.endswith("int8")
 
+    # the EFFECTIVE int8 decision wins over the raw flag: an RN backbone
+    # falls back to bf16 extraction, so its features must not be stored
+    # under an int8-labelled key
+    k_fallback = cache_key(c2, [_Item()], "w", int8=False)
+    assert k_fallback == k_bf16
+
+    # sharded extraction provenance: dpN-tagged keys never alias the
+    # single-device ones (executables may differ at ULP level)
+    k_dp = cache_key(base, [_Item()], "w", shard_devices=8)
+    assert k_dp != k_bf16 and k_dp.endswith("dp8")
+    assert cache_key(base, [_Item()], "w", shard_devices=1) == k_bf16
+
 
 def test_trainer_int8_knob_routes_encode(tmp_path, monkeypatch):
     """A trainer with MODEL.INT8_INFERENCE=True must extract features through
