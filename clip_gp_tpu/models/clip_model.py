@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any, Dict, Optional, Tuple, Union
+from typing import Any, Callable, Dict, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -295,8 +295,20 @@ def modified_resnet(p: Params, arch: ClipArchitecture, x: jnp.ndarray) -> jnp.nd
     return attention_pool(p["attnpool"], x, arch.vision_heads)
 
 
-def vision_transformer(p: Params, arch: ClipArchitecture, x: jnp.ndarray) -> jnp.ndarray:
-    """ViT forward; input NHWC [B,R,R,3] (ref: clip/model.py:207-262)."""
+def vision_transformer(
+    p: Params,
+    arch: ClipArchitecture,
+    x: jnp.ndarray,
+    block_fn: Optional[Callable] = None,
+) -> jnp.ndarray:
+    """ViT forward; input NHWC [B,R,R,3] (ref: clip/model.py:207-262).
+
+    ``block_fn(block_params, x, num_heads)`` overrides the residual-block
+    body while sharing the stem/epilogue (conv patch embed, class/pos
+    embeds, ln_pre/ln_post, projection) — the int8 inference tower
+    (models/quantized.py) plugs in here so any fix to the shared parts
+    propagates to it by construction. Default: the bf16 ``attention_block``
+    stack with per-block remat (see ``transformer``)."""
     ps = arch.vision_patch_size
     x = conv2d(p["conv1"], x, stride=ps)  # [B, grid, grid, W]
     b, gh, gw, w = x.shape
@@ -305,7 +317,13 @@ def vision_transformer(p: Params, arch: ClipArchitecture, x: jnp.ndarray) -> jnp
     x = jnp.concatenate([cls, x], axis=1)
     x = x + p["pos_embed"].astype(x.dtype)
     x = layer_norm(p["ln_pre"], x)
-    x = transformer(p["transformer"], x, arch.vision_heads)
+    if block_fn is None:
+        x = transformer(p["transformer"], x, arch.vision_heads)
+    else:
+        def body(carry, block_params):
+            return block_fn(block_params, carry, arch.vision_heads), None
+
+        x, _ = jax.lax.scan(body, x, p["transformer"]["blocks"])
     x = layer_norm(p["ln_post"], x[:, 0])
     return x @ p["proj"].astype(x.dtype)
 

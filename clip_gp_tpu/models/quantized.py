@@ -55,11 +55,13 @@ def quantize_weight(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
 
 
 def _dynamic_quantize(x: jnp.ndarray):
-    """Per-token (last-axis) symmetric int8: x [..., I] -> (int8, f32 scale)."""
-    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
-    scale = jnp.maximum(absmax / 127.0, 1e-12)
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
-    return q.astype(jnp.int8), scale
+    """Per-token (last-axis) symmetric int8: x [..., I] -> (int8, f32 scale).
+
+    Single shared recipe with the fused kernels (ops/int8_block.py) — the XLA
+    and Pallas towers must quantize activations identically."""
+    from clip_gp_tpu.ops.int8_block import quantize_rows
+
+    return quantize_rows(x)
 
 
 def int8_linear(
@@ -184,38 +186,23 @@ def encode_image_q8(
 ) -> jnp.ndarray:
     """ViT image encode with int8 block matmuls.
 
-    ``qvisual`` comes from :func:`quantize_visual`. Mirrors
-    ``clip_model.vision_transformer`` outside the blocks (the stem conv is
-    <2% of FLOPs and stays bf16). ``use_fused=None`` follows
-    ``flash_attention.use_flash()``: on TPU the blocks run as int8 Pallas
-    kernels (ops/int8_block.py), elsewhere as the XLA int8 path.
+    ``qvisual`` comes from :func:`quantize_visual`. The stem/epilogue (conv
+    patch embed, class/pos embeds, ln_pre/ln_post, final proj — <2% of FLOPs,
+    bf16) is the SHARED ``clip_model.vision_transformer``, with only the
+    residual block body overridden — so bf16-tower fixes propagate here by
+    construction. ``use_fused=None`` follows ``flash_attention.use_flash()``:
+    on TPU the blocks run as int8 Pallas kernels (ops/int8_block.py),
+    elsewhere as the XLA int8 path.
     """
     from clip_gp_tpu.ops.flash_attention import use_flash
 
     if use_fused is None:
         use_fused = use_flash()
-    p = qvisual
-    x = images.astype(compute_dtype)
-    ps = arch.vision_patch_size
-    x = clip_model.conv2d(p["conv1"], x, stride=ps)
-    b, gh, gw, w = x.shape
-    x = x.reshape(b, gh * gw, w)
-    cls = jnp.broadcast_to(p["class_embed"].astype(x.dtype), (b, 1, w))
-    x = jnp.concatenate([cls, x], axis=1)
-    x = x + p["pos_embed"].astype(x.dtype)
-    x = layer_norm(p["ln_pre"], x)
-    num_heads = arch.vision_heads
-
-    if use_fused:
-        def body(x, block_params):
-            return _q8_fused_block(block_params, x, num_heads), None
-    else:
-        def body(x, block_params):
-            return _q8_attention_block(block_params, x, num_heads), None
-
-    x, _ = jax.lax.scan(body, x, p["transformer"]["blocks"])
-    x = layer_norm(p["ln_post"], x[:, 0])
-    return (x @ p["proj"].astype(x.dtype)).astype(jnp.float32)
+    block = _q8_fused_block if use_fused else _q8_attention_block
+    x = clip_model.vision_transformer(
+        qvisual, arch, images.astype(compute_dtype), block_fn=block
+    )
+    return x.astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("arch",))

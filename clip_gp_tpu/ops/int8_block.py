@@ -36,10 +36,14 @@ from clip_gp_tpu.ops.flash_attention import _round_up
 _EPS = 1e-12
 
 
-def _quantize_rows(x32: jnp.ndarray):
-    """Per-row (last-axis) symmetric int8 on the VPU: f32 [..., I] ->
-    (int8 [..., I], f32 scale [..., 1]). Same math as
-    models/quantized._dynamic_quantize."""
+def quantize_rows(x: jnp.ndarray):
+    """Per-row (last-axis) symmetric int8 quantization on the VPU:
+    float [..., I] -> (int8 [..., I], f32 scale [..., 1]).
+
+    The ONE activation-quantization recipe of the int8 path — used in-kernel
+    here and by the XLA int8 fallback (models/quantized.int8_linear), so the
+    two towers can never drift apart on this step."""
+    x32 = x.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
     scale = jnp.maximum(absmax / 127.0, _EPS)
     q = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
@@ -59,7 +63,7 @@ def _q8_ln_block_kernel(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
     h = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
     h = h * g_ref[...] + b_ref[...]
 
-    hq, hs = _quantize_rows(h)
+    hq, hs = quantize_rows(h)
     qkv = jax.lax.dot_general(                  # int8 wide qkv matmul, MXU
         hq, wqkv_ref[...],
         dimension_numbers=(((2,), (0,)), ((), ())),
@@ -92,7 +96,7 @@ def _q8_ln_block_kernel(x_ref, g_ref, b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
         # w_out was quantized over its FULL [D] contraction axis (scale is
         # per output channel), so slicing its rows per head keeps the
         # dequantization exact: each head contributes q_h·x_h * scale[col]
-        oq, os = _quantize_rows(out_h)
+        oq, os = quantize_rows(out_h)
         part = jax.lax.dot_general(
             oq, wout_ref[head],
             dimension_numbers=(((2,), (0,)), ((), ())),
@@ -187,7 +191,7 @@ def _q8_mlp_kernel(x_ref, g_ref, b_ref, wfc_ref, sfc_ref, bfc_ref,
     h = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
     h = h * g_ref[...] + b_ref[...]
 
-    hq, hs = _quantize_rows(h)
+    hq, hs = quantize_rows(h)
     hid = jax.lax.dot_general(
         hq, wfc_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -196,7 +200,7 @@ def _q8_mlp_kernel(x_ref, g_ref, b_ref, wfc_ref, sfc_ref, bfc_ref,
     hid = hid.astype(jnp.float32) * hs * sfc_ref[...] + bfc_ref[...]
     hid = hid * jax.nn.sigmoid(1.702 * hid)  # QuickGELU, fp32 VPU
 
-    gq, gs = _quantize_rows(hid)
+    gq, gs = quantize_rows(hid)
     out = jax.lax.dot_general(
         gq, wpr_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),

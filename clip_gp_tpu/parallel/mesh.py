@@ -115,7 +115,7 @@ def extraction_shard_devices():
     return devices
 
 
-def maybe_sharded_encode(encode_fn, params, axis: str = "data"):
+def maybe_sharded_encode(encode_fn, params, axis: str = "data", devices=None):
     """Batch-DP wrapper for a ``(params, images) -> feats`` encode callable
     over all local devices, or ``None`` when sharding does not apply (see
     ``extraction_shard_devices`` for the gate).
@@ -127,11 +127,17 @@ def maybe_sharded_encode(encode_fn, params, axis: str = "data"):
     (already-sharded) output when the host reads it. The batch is padded to
     a device-count multiple and sliced back.
 
+    ``devices``: pass the list a prior ``extraction_shard_devices()`` call
+    returned to pin the decision (the trainer snapshots it once so its
+    feature-cache keys always describe the executable that encoded); default
+    re-evaluates the gate now.
+
     The returned callable exposes ``.params_rep`` — the mesh-replicated
-    weight copy — so the caller can drop its single-device copy instead of
-    holding the tower in HBM twice.
+    weight copy — so the caller can drop its own single-device copy of the
+    same subtree rather than keep both resident.
     """
-    devices = extraction_shard_devices()
+    if devices is None:
+        devices = extraction_shard_devices()
     if devices is None:
         return None
     mesh = Mesh(np.array(devices), (axis,))

@@ -95,6 +95,7 @@ def cache_key(
     weights_tag: str,
     *,
     int8: Optional[bool] = None,
+    int8_fused: Optional[bool] = None,
     shard_devices: int = 0,
 ) -> str:
     """Disk/memo key for one (weights, preprocessing, split) extraction.
@@ -103,6 +104,13 @@ def cache_key(
     the effective decision (flag AND arch support), not the raw config flag,
     so a bf16 fallback is never stored under an int8 label. ``None`` falls
     back to the raw flag for callers without an arch in hand.
+
+    ``int8_fused``: which int8 tower — the fused Pallas kernels (``int8``
+    label, the TPU default) or the XLA fallback (``int8xla``). The two
+    quantize the attention output differently (per-head vs per-token scales),
+    so their features are NOT interchangeable — far beyond ULP. ``None``
+    resolves via ``flash_attention.use_flash()``, the same default
+    ``encode_image_q8`` uses.
 
     ``shard_devices``: >1 when extraction auto-shards over a local device
     mesh. Sharded and single-device executables may differ at ULP level, so
@@ -126,7 +134,11 @@ def cache_key(
     if int8 is None:
         int8 = getattr(config.model, "int8_inference", False)
     if int8:
-        parts.append("int8")
+        if int8_fused is None:
+            from clip_gp_tpu.ops.flash_attention import use_flash
+
+            int8_fused = use_flash()
+        parts.append("int8" if int8_fused else "int8xla")
     if shard_devices and shard_devices > 1:
         parts.append(f"dp{shard_devices}")
     return "_".join(parts)

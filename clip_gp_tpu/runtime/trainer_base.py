@@ -155,6 +155,18 @@ class BaseTrainer:
         self._encode_jit = None
         self._encode_params = None
         self._encode_sharded = None
+        self._encode_plan_cached = None
+        if (
+            getattr(self.config.model, "int8_inference", False)
+            and not self.clip_arch.is_vit
+        ):
+            # warn at load time, not encode time: with a warm feature cache
+            # the encode build never runs and the user would otherwise get
+            # silent bf16 results for an explicit int8 request
+            print(
+                "[WARN] MODEL.INT8_INFERENCE covers the ViT towers only; "
+                f"falling back to bf16 for {self.clip_arch.name}"
+            )
         return self.clip_arch, self.clip_params
 
     def _int8_effective(self) -> bool:
@@ -167,6 +179,32 @@ class BaseTrainer:
             and getattr(self, "clip_arch", None) is not None
             and self.clip_arch.is_vit
         )
+
+    def _encode_plan(self) -> dict:
+        """Extraction decisions — int8?, fused kernels?, shard width —
+        frozen ONCE per loaded tower.
+
+        The cache key must describe the executable that actually encodes;
+        the underlying gates (``CLIP_GP_TPU_SHARD_EXTRACTION``,
+        ``CLIP_GP_TPU_DISABLE_FLASH``, pinned default device) are re-readable
+        environment state that could flip between a trainer's extractions,
+        so both the key (``encode_images_batched``) and the executable build
+        (``_encode_batched_uncached``) read this one snapshot."""
+        plan = getattr(self, "_encode_plan_cached", None)
+        if plan is None:
+            from clip_gp_tpu.ops.flash_attention import use_flash
+            from clip_gp_tpu.parallel.mesh import extraction_shard_devices
+
+            int8 = self._int8_effective()
+            devices = extraction_shard_devices()
+            plan = {
+                "int8": int8,
+                "int8_fused": bool(int8 and use_flash()),
+                "shard_device_list": devices,
+                "shard_devices": len(devices) if devices else 0,
+            }
+            self._encode_plan_cached = plan
+        return plan
 
     def encode_images_batched(
         self, loader, cacheable: bool = False
@@ -181,14 +219,13 @@ class BaseTrainer:
 
         key = None
         if cacheable:
-            from clip_gp_tpu.parallel.mesh import extraction_shard_devices
-
-            shard_devs = extraction_shard_devices()
+            plan = self._encode_plan()
             key = feature_cache.cache_key(
                 self.config, loader.data_source,
                 getattr(self, "weights_tag", "default"),
-                int8=self._int8_effective(),
-                shard_devices=len(shard_devs) if shard_devs else 0,
+                int8=plan["int8"],
+                int8_fused=plan["int8_fused"],
+                shard_devices=plan["shard_devices"],
             )
             # in-flight lock: a concurrent sweep worker missing the memo for
             # the same split waits for the winner's encode instead of
@@ -220,13 +257,8 @@ class BaseTrainer:
         # weights would bake them into the HLO as constants (huge
         # executables / remote-compile payloads on tunneled TPU backends)
         if getattr(self, "_encode_jit", None) is None:
-            use_int8 = self._int8_effective()
-            if getattr(self.config.model, "int8_inference", False) and not use_int8:
-                print(
-                    "[WARN] MODEL.INT8_INFERENCE covers the ViT towers only; "
-                    f"falling back to bf16 for {arch.name}"
-                )
-            if use_int8:
+            plan = self._encode_plan()
+            if plan["int8"]:
                 from clip_gp_tpu.models import quantized
 
                 # weights quantize once per trainer; the int8 blocks replace
@@ -235,39 +267,47 @@ class BaseTrainer:
                 self._encode_params = quantized.quantize_visual_jit(
                     params, arch
                 )
+                int8_fused = plan["int8_fused"]
 
                 @jax.jit
                 def encode(qvisual, images_u8):
                     return quantized.encode_image_q8(
-                        qvisual, arch, preprocess(images_u8)
+                        qvisual, arch, preprocess(images_u8),
+                        use_fused=int8_fused,
                     )
             else:
-                self._encode_params = params
+                # visual subtree only: the sharded path below replicates
+                # _encode_params to every device, and the text tower /
+                # token embedding (~40% of CLIP weights) play no part in
+                # image extraction
+                self._encode_params = params["visual"]
 
                 @jax.jit
-                def encode(params, images_u8):
+                def encode(visual, images_u8):
                     return clip_model.encode_image(
-                        params, arch, preprocess(images_u8)
+                        {"visual": visual}, arch, preprocess(images_u8)
                     )
 
             self._encode_jit = encode
             # on a multi-device host, shard the extraction batch over all
             # local devices (pure DP — per-image math, no collectives; the
             # sharded executable may still differ from single-device at ULP
-            # level, which the feature-cache key records as a dpN tag;
-            # returns None on one chip or inside a pinned sweep worker)
-            from clip_gp_tpu.parallel.mesh import maybe_sharded_encode
+            # level, which the feature-cache key records as a dpN tag).
+            # The device list comes from the SAME plan snapshot the cache
+            # key used, so key provenance always matches the executable.
+            if plan["shard_devices"] > 1:
+                from clip_gp_tpu.parallel.mesh import maybe_sharded_encode
 
-            self._encode_sharded = maybe_sharded_encode(
-                encode, self._encode_params
-            )
-            if self._encode_sharded is not None:
-                # adopt the mesh-replicated weight copy so the single-device
-                # originals can be freed — otherwise device 0 holds the
-                # frozen tower twice for the trainer's lifetime
+                self._encode_sharded = maybe_sharded_encode(
+                    encode, self._encode_params,
+                    devices=plan["shard_device_list"],
+                )
+                # adopt the mesh-replicated visual tower so the extraction
+                # path holds one copy (self.clip_params keeps the original
+                # full tree for the text tower and the methods)
                 self._encode_params = self._encode_sharded.params_rep
-                if not use_int8:
-                    self.clip_params = self._encode_params
+            else:
+                self._encode_sharded = None
 
         from clip_gp_tpu.methods.common import extract_with
 

@@ -151,6 +151,27 @@ def test_extraction_shard_devices_gate(mesh):
         del os.environ["CLIP_GP_TPU_SHARD_EXTRACTION"]
 
 
+def test_encode_plan_frozen_until_reload(mesh, monkeypatch):
+    """The trainer's extraction plan (int8 / fused / shard width) is a
+    one-shot snapshot: env gates flipping mid-run must not make later cache
+    keys disagree with the executable that was already built."""
+    from clip_gp_tpu.core.config import Config
+    from clip_gp_tpu.runtime.trainer_base import BaseTrainer
+
+    t = object.__new__(BaseTrainer)
+    t.config = Config()
+    t._encode_plan_cached = None
+    plan = t._encode_plan()
+    assert plan["shard_devices"] == len(jax.local_devices())
+
+    monkeypatch.setenv("CLIP_GP_TPU_SHARD_EXTRACTION", "0")
+    assert t._encode_plan() is plan  # frozen despite the flipped gate
+
+    # a fresh snapshot (what load_clip_model triggers) sees the new gate
+    t._encode_plan_cached = None
+    assert t._encode_plan()["shard_devices"] == 0
+
+
 def test_sharded_encode_fn_uneven_batch(mesh):
     """sharded_encode_fn pads batches that do not divide the mesh (shard_map
     would otherwise reject the 13-over-8 split)."""

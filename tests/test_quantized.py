@@ -211,8 +211,15 @@ def test_int8_knob_yaml_opts_and_cache_key():
 
     base = Config()
     k_bf16 = cache_key(base, [_Item()], "w")
-    k_int8 = cache_key(c2, [_Item()], "w")
+    # fused (Pallas, the TPU default) and XLA int8 towers quantize the
+    # attention output differently — three mutually distinct labels
+    k_int8 = cache_key(c2, [_Item()], "w", int8_fused=True)
+    k_int8_xla = cache_key(c2, [_Item()], "w", int8_fused=False)
     assert k_bf16 != k_int8 and k_int8.endswith("int8")
+    assert k_int8_xla != k_int8 and k_int8_xla.endswith("int8xla")
+    # int8_fused=None resolves via use_flash(), which is False on the CPU
+    # test backend — the same default encode_image_q8 applies
+    assert cache_key(c2, [_Item()], "w") == k_int8_xla
 
     # the EFFECTIVE int8 decision wins over the raw flag: an RN backbone
     # falls back to bf16 extraction, so its features must not be stored
@@ -225,6 +232,40 @@ def test_int8_knob_yaml_opts_and_cache_key():
     k_dp = cache_key(base, [_Item()], "w", shard_devices=8)
     assert k_dp != k_bf16 and k_dp.endswith("dp8")
     assert cache_key(base, [_Item()], "w", shard_devices=1) == k_bf16
+
+
+def test_int8_rn_fallback_warns_at_load_time(tmp_path, monkeypatch, capfd):
+    """An int8 request on an RN backbone must warn when the tower LOADS —
+    with a warm feature cache the encode build never runs, so an
+    encode-time warning would silently drop an explicit int8 request."""
+    monkeypatch.setenv("CLIP_GP_TPU_ALLOW_RANDOM_WEIGHTS", "1")
+    import clip_gp_tpu.data.datasets  # noqa: F401
+    import clip_gp_tpu.methods  # noqa: F401
+    from clip_gp_tpu.core.config import Config
+    from clip_gp_tpu.core.registry import build_trainer
+    from clip_gp_tpu.core.seeding import set_random_seed
+    from clip_gp_tpu.data.pipeline import build_data_manager
+
+    c = Config()
+    c.dataset.name = "Synthetic"
+    c.dataset.root = str(tmp_path / "data")
+    c.dataset.num_shots = 2
+    c.model.backbone_name = "TEST-RN"
+    c.model.int8_inference = True
+    c.input.size = (64, 64)
+    c.adapter.num_templates = 2
+    c.output_dir = str(tmp_path / "out")
+    c.seed = 1
+    set_random_seed(1)
+    dm = build_data_manager(c)
+    trainer = build_trainer(c, dm)
+    capfd.readouterr()
+    trainer.load_clip_model()  # no encode happens
+    out = capfd.readouterr().out
+    assert "[WARN] MODEL.INT8_INFERENCE covers the ViT towers only" in out
+    # and the plan agrees: bf16 extraction, bf16 cache label
+    plan = trainer._encode_plan()
+    assert plan["int8"] is False and plan["int8_fused"] is False
 
 
 def test_trainer_int8_knob_routes_encode(tmp_path, monkeypatch):
