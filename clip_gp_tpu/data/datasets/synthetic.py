@@ -21,6 +21,19 @@ from clip_gp_tpu.data.datasets.catalog import _SplitJsonDataset
 SYNTH_CLASSNAMES = ["red circle", "green square", "blue stripe", "yellow dot"]
 
 
+def _clear_split_caches(dataset_root: str) -> None:
+    """Drop the split JSON + few-shot pickle caches derived from a previous
+    image tree — they index impaths a regeneration deletes."""
+    import shutil
+
+    p = os.path.join(dataset_root, "split_zhou_Synthetic.json")
+    if os.path.exists(p):
+        os.remove(p)
+    fs = os.path.join(dataset_root, "split_fewshot")
+    if os.path.isdir(fs):
+        shutil.rmtree(fs)
+
+
 def generate_synthetic_imagefolder(
     root: str,
     num_classes: int = 4,
@@ -29,11 +42,22 @@ def generate_synthetic_imagefolder(
     seed: int = 0,
     fmt: str = "png",
 ) -> str:
-    """Create <root>/synthetic/images/<class>/img_*.<fmt>; idempotent.
+    """Create <root>/synthetic/images/<class>/img_*.<fmt>; idempotent per
+    parameter set.
 
     ``fmt="jpg"`` matches the real catalogs (all 15 are JPEG datasets), which
-    also exercises the native fused decode path in benchmarks."""
-    image_dir = os.path.join(root, "synthetic", "images")
+    also exercises the native fused decode path in benchmarks.
+
+    A ``.done_*`` marker names the parameters of the one COMPLETE generation
+    occupying the tree. Requesting a different variant replaces the tree
+    wholesale — tree, old marker, and the split/few-shot caches built
+    against it are all deleted BEFORE any new image is written, so an
+    interrupted regeneration can never leave a stale marker vouching for a
+    mixed tree."""
+    import shutil
+
+    dataset_root = os.path.join(root, "synthetic")
+    image_dir = os.path.join(dataset_root, "images")
     marker = os.path.join(
         image_dir,
         f".done_{num_classes}_{images_per_class}_{image_size}"
@@ -41,6 +65,9 @@ def generate_synthetic_imagefolder(
     )
     if os.path.exists(marker):
         return image_dir
+    if os.path.isdir(image_dir):
+        shutil.rmtree(image_dir)
+        _clear_split_caches(dataset_root)
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:image_size, 0:image_size]
     for c in range(num_classes):
@@ -77,21 +104,21 @@ class Synthetic(_SplitJsonDataset):
 
     def _load_splits(self, config):
         import glob
-        import shutil
 
         root = os.path.abspath(os.path.expanduser(config.dataset.root))
         image_dir = os.path.join(root, "synthetic", "images")
-        # a completed generation leaves a .done_* marker; benchmarks
-        # pre-generate larger variants (more classes / jpg) into the same
-        # layout with their own marker, and a default-args regeneration
-        # would clobber them — so any marker means the tree is usable
+        # a completed generation leaves exactly one .done_* marker (the
+        # generator deletes tree + marker + split caches together before
+        # regenerating, so a marker always vouches for the whole tree);
+        # benchmarks pre-generate larger variants (more classes / jpg) into
+        # the same layout with their own marker, and a default-args
+        # regeneration would clobber them — so any marker means usable
         done = glob.glob(os.path.join(image_dir, ".done_*"))
         if not done:
             if os.path.isdir(image_dir) and os.listdir(image_dir):
-                # non-empty but marker-less: an interrupted generation left a
-                # partial tree — silently training on it would give a wrong
-                # class count; regenerate from scratch (cheap, deterministic)
+                # non-empty but marker-less: an interrupted generation left
+                # a partial tree — silently training on it would give a
+                # wrong class count (the generator rmtrees it first)
                 print(f"[Synthetic] partial tree at {image_dir}; regenerating")
-                shutil.rmtree(image_dir)
             generate_synthetic_imagefolder(root)
         return super()._load_splits(config)

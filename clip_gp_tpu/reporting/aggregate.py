@@ -302,9 +302,14 @@ def make_plots(
                 ys = [shot_map[s][metric] for s in xs]
                 if not xs:
                     continue
-                ax.plot(xs, ys, marker="o", label=fam)
+                (line,) = ax.plot(xs, ys, marker="o", label=fam)
                 if show_zero_shot and 0 in shot_map:
-                    ax.scatter([0], [shot_map[0][metric]], marker="*", s=120)
+                    # star must reuse the line's color — a bare scatter would
+                    # consume the NEXT color-cycle entry and render every
+                    # family's zero-shot point in a different family's color
+                    # (ref: scripts/aggregate_results.py:462-467)
+                    ax.scatter([0], [shot_map[0][metric]], marker="*", s=120,
+                               color=line.get_color())
             ax.set_xlabel("shots")
             ax.set_title(f"{ds}: {title}")
             ax.set_xscale("symlog", base=2)
@@ -326,10 +331,11 @@ def make_plots(
             ]
             if not pts:
                 continue
-            ax.plot(*zip(*pts), marker="o", label=fam)
+            (line,) = ax.plot(*zip(*pts), marker="o", label=fam)
             if show_zero_shot and 0 in shot_map:
                 ax.scatter(
-                    [shot_map[0]["ece"]], [shot_map[0]["acc"]], marker="*", s=150
+                    [shot_map[0]["ece"]], [shot_map[0]["acc"]],
+                    marker="*", s=150, color=line.get_color(),
                 )
         ax.set_xlabel("ECE (%)")
         ax.set_ylabel("Accuracy (%)")
@@ -389,17 +395,30 @@ def make_reliability_diagrams(
                 ax.bar(centers, acc, width=1.0 / n_bins * 0.9,
                        label="accuracy", alpha=0.8)
                 ax.plot([0, 1], [0, 1], "k--", lw=1, label="perfect")
-                ax.scatter(conf, acc, color="C3", s=14, zorder=3,
-                           label="avg confidence")
-                ece = _fmean([_run_metric(r, "ece") for r in rs])
+                # empty bins carry no samples — plotting their placeholder
+                # (center, 0) would look like a catastrophically
+                # miscalibrated bin
+                pts = [(f, a) for f, a, c in zip(conf, acc, cnt) if c]
+                if pts:
+                    ax.scatter(*zip(*pts), color="C3", s=14, zorder=3,
+                               label="avg confidence")
+                # same NaN filter as the console tables: one seed missing
+                # 'ece' must not poison the title
+                eces = [e for r in rs
+                        if not math.isnan(e := _run_metric(r, "ece"))]
+                ece_txt = f"ECE {_fmean(eces):.2f}%" if eces else "ECE n/a"
                 ax.set_xlabel("confidence")
                 ax.set_ylabel("accuracy")
-                ax.set_title(f"{ds} / {cfg} (ECE {ece:.2f}%)", fontsize=9)
+                ax.set_title(f"{ds} / {cfg} ({ece_txt})", fontsize=9)
                 ax.set_xlim(0, 1)
                 ax.set_ylim(0, 1)
                 ax.legend(fontsize=7)
                 fig.tight_layout()
-                fig.savefig(out_dir / f"{ds}__{cfg}.png", dpi=110)
+                # shots in the filename: a config dir named without the
+                # shots suffix would otherwise overwrite its own PNG once
+                # per shot count
+                fig.savefig(out_dir / f"{ds}__{cfg}__{shots}shots.png",
+                            dpi=110)
                 plt.close(fig)
 
 

@@ -18,14 +18,21 @@ from __future__ import annotations
 
 import argparse
 import csv
+import math
 import statistics
 from pathlib import Path
 from typing import Any, Dict, List
 
-from clip_gp_tpu.reporting.aggregate import group_runs, load_runs
+from clip_gp_tpu.reporting.aggregate import (
+    _fmean,
+    _pstdev,
+    _run_metric,
+    group_runs,
+    load_runs,
+)
 
 METRICS = (
-    ("acc_mean", "acc_std", "Accuracy", "top1_acc"),
+    ("acc_mean", "acc_std", "Accuracy", "acc"),
     ("ece_mean", "ece_std", "ECE", "ece"),
     ("aece_mean", "aece_std", "AECE", "aece"),
 )
@@ -46,17 +53,15 @@ def build_rows(output_root: Path, experiments: List[str]) -> List[Dict[str, Any]
                         "config_label": cfg,
                     }
                     for mean_key, std_key, _, metric in METRICS:
+                        # same extraction + NaN tolerance and the same
+                        # population stdev as the aggregate console tables,
+                        # so runs.csv can never disagree with them
                         vals = [
-                            float(r["metrics"][metric])
-                            for r in runs
-                            if r.get("metrics", {}).get(metric) is not None
+                            v for r in runs
+                            if not math.isnan(v := _run_metric(r, metric))
                         ]
-                        row[mean_key] = (
-                            statistics.mean(vals) if vals else float("nan")
-                        )
-                        row[std_key] = (
-                            statistics.stdev(vals) if len(vals) > 1 else 0.0
-                        )
+                        row[mean_key] = _fmean(vals)
+                        row[std_key] = _pstdev(vals)
                     rows.append(row)
     return rows
 
@@ -117,7 +122,8 @@ def make_bar_plots(rows: List[Dict[str, Any]], outdir: Path) -> List[Path]:
             ax.grid(True, ls="--", alpha=0.3, axis="y")
             ax.set_xticks(x, shots)
             if title == "Accuracy":
-                vals = [r["acc_mean"] for r in g]
+                vals = [r["acc_mean"] for r in g
+                        if not math.isnan(r["acc_mean"])]
                 if vals:
                     ax.set_ylim(max(0, min(vals) - 10), min(100, max(vals) + 10))
             if title == "AECE":

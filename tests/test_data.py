@@ -61,6 +61,41 @@ def test_dataset_splits_and_fewshot(synth_config):
     ]
 
 
+def test_synthetic_variant_regeneration_atomic(synth_config):
+    """Requesting a different synthetic variant replaces the tree, old
+    marker, and split/few-shot caches together — an interrupted regeneration
+    can then never leave a stale marker vouching for a mixed tree."""
+    from clip_gp_tpu.data.datasets.synthetic import (
+        generate_synthetic_imagefolder,
+    )
+
+    set_random_seed(1)
+    build_data_manager(synth_config)  # default 4-class tree + caches
+    root = synth_config.dataset.root
+    ds_root = os.path.join(root, "synthetic")
+    image_dir = os.path.join(ds_root, "images")
+    old_marker = os.path.join(image_dir, ".done_4_20_64")
+    assert os.path.exists(old_marker)
+    assert os.path.exists(os.path.join(ds_root, "split_zhou_Synthetic.json"))
+    assert os.path.isdir(os.path.join(ds_root, "split_fewshot"))
+
+    generate_synthetic_imagefolder(root, num_classes=6, fmt="jpg")
+    # old marker + caches gone, new variant complete
+    assert not os.path.exists(old_marker)
+    assert os.path.exists(os.path.join(image_dir, ".done_6_20_64_jpg"))
+    assert not os.path.exists(
+        os.path.join(ds_root, "split_zhou_Synthetic.json")
+    )
+    assert not os.path.isdir(os.path.join(ds_root, "split_fewshot"))
+    class_dirs = [d for d in os.listdir(image_dir) if not d.startswith(".")]
+    assert len(class_dirs) == 6
+
+    # the catalog rebuilds splits against the new tree (6 classes)
+    set_random_seed(1)
+    dm = build_data_manager(synth_config)
+    assert dm.num_classes == 6
+
+
 def test_batch_loader_shapes(synth_config):
     set_random_seed(1)
     dm = build_data_manager(synth_config)

@@ -126,7 +126,8 @@ def test_reliability_diagrams(tmp_path):
     grouped = aggregate.group_runs(runs)
     aggregate.make_reliability_diagrams(grouped, "exp1", root)
     assert (
-        root / "exp1" / "_plots" / "reliability" / "caltech101__GP_1shots.png"
+        root / "exp1" / "_plots" / "reliability"
+        / "caltech101__GP_1shots__1shots.png"
     ).exists()
 
 
