@@ -204,11 +204,30 @@ def _coerce(obj, key: str, value):
     return value
 
 
-def _merge_section(section_obj, section_dict: dict) -> None:
+def _warn_unknown_key(obj, dotted_key: str) -> None:
+    """Shared unknown-key warning for YAML sections and dotted OPTS — the
+    reference silently dropped both (ref: utils/config.py:492-522), which
+    made typos invisible."""
+    import difflib
+
+    known = (
+        [f.name for f in dataclasses.fields(obj)]
+        if dataclasses.is_dataclass(obj)
+        else [a for a in vars(obj) if not a.startswith("_")]
+    )
+    leaf = dotted_key.rsplit(".", 1)[-1].lower()
+    close = difflib.get_close_matches(leaf, known, n=3)
+    hint = f" (did you mean: {', '.join(close)}?)" if close else ""
+    print(f"[WARN] unknown config key {dotted_key!r} ignored{hint}")
+
+
+def _merge_section(section_obj, section_dict: dict, path: str = "") -> None:
     for k, v in section_dict.items():
-        k = k.lower()
-        if hasattr(section_obj, k):
-            setattr(section_obj, k, _coerce(section_obj, k, v))
+        lk = k.lower()
+        if hasattr(section_obj, lk):
+            setattr(section_obj, lk, _coerce(section_obj, lk, v))
+        else:
+            _warn_unknown_key(section_obj, f"{path}.{k}" if path else k)
 
 
 def merge_config_dict(config: Config, config_dict: dict) -> None:
@@ -225,9 +244,13 @@ def merge_config_dict(config: Config, config_dict: dict) -> None:
             continue
         if key == "TRAINER" and isinstance(value, dict):
             if "ADAPTER" in value:
-                _merge_section(config.adapter, value["ADAPTER"])
+                _merge_section(config.adapter, value["ADAPTER"],
+                               path="TRAINER.ADAPTER")
             if "NAME" in value:
                 config.trainer_name = value["NAME"]
+            for k in value:
+                if k not in ("ADAPTER", "NAME"):
+                    _warn_unknown_key(config.adapter, f"TRAINER.{k}")
             continue
         if key == "DATALOADER" and isinstance(value, dict):
             if "TRAIN_X" in value and "BATCH_SIZE" in value["TRAIN_X"]:
@@ -237,18 +260,25 @@ def merge_config_dict(config: Config, config_dict: dict) -> None:
             _merge_section(
                 config.dataloader,
                 {k: v for k, v in value.items() if k not in ("TRAIN_X", "TEST")},
+                path="DATALOADER",
             )
             continue
         if key == "MODEL" and isinstance(value, dict):
             if "BACKBONE" in value and "NAME" in value["BACKBONE"]:
                 config.model.backbone_name = value["BACKBONE"]["NAME"]
-            if "INIT_WEIGHTS" in value:
-                config.model.init_weights = value["INIT_WEIGHTS"]
             if "INT8_INFERENCE" in value:
                 config.model.int8_inference = bool(value["INT8_INFERENCE"])
+            # flat spellings (BACKBONE_NAME, INIT_WEIGHTS, ...) merge like
+            # any section; unknown keys warn instead of vanishing
+            _merge_section(
+                config.model,
+                {k: v for k, v in value.items()
+                 if k not in ("BACKBONE", "INT8_INFERENCE")},
+                path="MODEL",
+            )
             continue
         if lk in _SECTIONS and isinstance(value, dict):
-            _merge_section(getattr(config, _SECTIONS[lk]), value)
+            _merge_section(getattr(config, _SECTIONS[lk]), value, path=key)
             continue
         if hasattr(config, lk):
             attr = getattr(config, lk)
@@ -315,16 +345,7 @@ def set_nested(config: Config, dotted_key: str, value) -> None:
     if hasattr(obj, leaf):
         setattr(obj, leaf, _coerce(obj, leaf, value))
     else:
-        import difflib
-
-        known = (
-            [f.name for f in dataclasses.fields(obj)]
-            if dataclasses.is_dataclass(obj)
-            else [a for a in vars(obj) if not a.startswith("_")]
-        )
-        close = difflib.get_close_matches(leaf, known, n=3)
-        hint = f" (did you mean: {', '.join(close)}?)" if close else ""
-        print(f"[WARN] unknown config key {dotted_key!r} ignored{hint}")
+        _warn_unknown_key(obj, dotted_key)
 
 
 def merge_from_opts(config: Config, opts: List[str]) -> None:

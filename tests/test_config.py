@@ -134,3 +134,41 @@ def test_unknown_opts_key_warns_with_suggestion(capsys):
     assert "[WARN] unknown config key" in out
     assert "use_gp" in out  # near-miss suggestion
     assert c.adapter.use_gp is False  # unchanged
+
+
+def test_unknown_yaml_section_key_warns(capsys):
+    """YAML section merges warn on unknown keys like dotted OPTS do — a
+    typo'd key in an experiment YAML must not silently revert to defaults."""
+    from clip_gp_tpu.core.config import merge_config_dict
+
+    c = Config()
+    merge_config_dict(c, {"MODEL": {"BACKBONE_NAM": "TEST-ViT"}})
+    out = capsys.readouterr().out
+    assert "[WARN] unknown config key 'MODEL.BACKBONE_NAM'" in out
+    assert "backbone_name" in out  # near-miss suggestion
+    assert c.model.backbone_name == "RN50"  # unchanged
+
+
+def test_model_flat_backbone_name_merges():
+    """MODEL.BACKBONE_NAME (the OPTS spelling) works in YAML alongside the
+    reference's nested MODEL.BACKBONE.NAME (ref: utils/config.py:203-263)."""
+    from clip_gp_tpu.core.config import merge_config_dict
+
+    c = Config()
+    merge_config_dict(c, {"MODEL": {"BACKBONE_NAME": "TEST-ViT"}})
+    assert c.model.backbone_name == "TEST-ViT"
+    c2 = Config()
+    merge_config_dict(c2, {"MODEL": {"BACKBONE": {"NAME": "TEST-RN"}}})
+    assert c2.model.backbone_name == "TEST-RN"
+
+
+def test_shipped_configs_merge_without_warnings(capsys):
+    """Every YAML in configs/ addresses only known fields."""
+    import glob
+
+    for f in sorted(
+        glob.glob("configs/trainers/*.yaml") + glob.glob("configs/datasets/*.yaml")
+    ):
+        c = Config()
+        merge_config_from_file(c, f)
+    assert "[WARN]" not in capsys.readouterr().out
