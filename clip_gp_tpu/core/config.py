@@ -201,6 +201,10 @@ def _coerce(obj, key: str, value):
             return tuple(
                 type(getattr(obj, key)[0])(v.strip()) for v in value[1:-1].split(",")
             )
+    # quoted YAML booleans ("false") must not land as truthy strings on a
+    # bool field
+    if isinstance(getattr(obj, key, None), bool) and isinstance(value, str):
+        return value.strip().lower() == "true"
     return value
 
 
@@ -253,10 +257,16 @@ def merge_config_dict(config: Config, config_dict: dict) -> None:
                     _warn_unknown_key(config.adapter, f"TRAINER.{k}")
             continue
         if key == "DATALOADER" and isinstance(value, dict):
-            if "TRAIN_X" in value and "BATCH_SIZE" in value["TRAIN_X"]:
-                config.dataloader.batch_size_train = value["TRAIN_X"]["BATCH_SIZE"]
-            if "TEST" in value and "BATCH_SIZE" in value["TEST"]:
-                config.dataloader.batch_size_test = value["TEST"]["BATCH_SIZE"]
+            for sub, field in (("TRAIN_X", "batch_size_train"),
+                               ("TEST", "batch_size_test")):
+                if sub in value and isinstance(value[sub], dict):
+                    if "BATCH_SIZE" in value[sub]:
+                        setattr(config.dataloader, field,
+                                value[sub]["BATCH_SIZE"])
+                    for k in value[sub]:
+                        if k != "BATCH_SIZE":
+                            _warn_unknown_key(
+                                config.dataloader, f"DATALOADER.{sub}.{k}")
             _merge_section(
                 config.dataloader,
                 {k: v for k, v in value.items() if k not in ("TRAIN_X", "TEST")},
@@ -264,16 +274,17 @@ def merge_config_dict(config: Config, config_dict: dict) -> None:
             )
             continue
         if key == "MODEL" and isinstance(value, dict):
-            if "BACKBONE" in value and "NAME" in value["BACKBONE"]:
-                config.model.backbone_name = value["BACKBONE"]["NAME"]
-            if "INT8_INFERENCE" in value:
-                config.model.int8_inference = bool(value["INT8_INFERENCE"])
-            # flat spellings (BACKBONE_NAME, INIT_WEIGHTS, ...) merge like
-            # any section; unknown keys warn instead of vanishing
+            if "BACKBONE" in value and isinstance(value["BACKBONE"], dict):
+                if "NAME" in value["BACKBONE"]:
+                    config.model.backbone_name = value["BACKBONE"]["NAME"]
+                for k in value["BACKBONE"]:
+                    if k != "NAME":
+                        _warn_unknown_key(config.model, f"MODEL.BACKBONE.{k}")
+            # flat spellings (BACKBONE_NAME, INIT_WEIGHTS, INT8_INFERENCE)
+            # merge like any section; unknown keys warn instead of vanishing
             _merge_section(
                 config.model,
-                {k: v for k, v in value.items()
-                 if k not in ("BACKBONE", "INT8_INFERENCE")},
+                {k: v for k, v in value.items() if k != "BACKBONE"},
                 path="MODEL",
             )
             continue

@@ -65,9 +65,14 @@ def generate_synthetic_imagefolder(
     )
     if os.path.exists(marker):
         return image_dir
+    # caches strictly before the tree: if generation is interrupted at any
+    # point past this line, what remains is marker-less AND cache-less, so
+    # the next load regenerates everything. Clearing even when images/ is
+    # already gone matters — a stale split JSON must never outlive the tree
+    # it indexed.
+    _clear_split_caches(dataset_root)
     if os.path.isdir(image_dir):
         shutil.rmtree(image_dir)
-        _clear_split_caches(dataset_root)
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:image_size, 0:image_size]
     for c in range(num_classes):

@@ -172,3 +172,32 @@ def test_shipped_configs_merge_without_warnings(capsys):
         c = Config()
         merge_config_from_file(c, f)
     assert "[WARN]" not in capsys.readouterr().out
+
+
+def test_nested_backbone_and_loader_typos_warn(capsys):
+    """Unknown keys one level deeper — inside MODEL.BACKBONE and
+    DATALOADER.TRAIN_X/TEST — warn too instead of silently vanishing."""
+    from clip_gp_tpu.core.config import merge_config_dict
+
+    c = Config()
+    merge_config_dict(c, {"MODEL": {"BACKBONE": {"NAM": "ViT-B/16"}}})
+    merge_config_dict(c, {"DATALOADER": {"TRAIN_X": {"BATCH_SIZ": 64}}})
+    out = capsys.readouterr().out
+    assert "unknown config key 'MODEL.BACKBONE.NAM'" in out
+    assert "unknown config key 'DATALOADER.TRAIN_X.BATCH_SIZ'" in out
+    assert c.model.backbone_name == "RN50"
+    assert c.dataloader.batch_size_train == 128
+
+
+def test_quoted_yaml_bool_coerces():
+    """A quoted "false" (e.g. emitted by a sweep-grid templater) must not
+    land as a truthy string on a bool field."""
+    from clip_gp_tpu.core.config import merge_config_dict
+
+    c = Config()
+    merge_config_dict(c, {"MODEL": {"INT8_INFERENCE": "false"}})
+    assert c.model.int8_inference is False
+    merge_config_dict(c, {"MODEL": {"INT8_INFERENCE": "True"}})
+    assert c.model.int8_inference is True
+    merge_config_dict(c, {"TRAINER": {"ADAPTER": {"USE_GP": "false"}}})
+    assert c.adapter.use_gp is False

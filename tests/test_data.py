@@ -200,3 +200,27 @@ def test_templates():
     c.dataset.name = "EuroSAT"
     assert len(get_templates(c)) == 15
     assert "satellite" in get_templates(c)[0]
+
+
+def test_stale_split_caches_cleared_even_without_image_tree(synth_config):
+    """If a previous regeneration was interrupted after deleting images/ but
+    before clearing caches (the old ordering), the next generation must still
+    drop the stale split JSON — it indexes impaths that no longer exist."""
+    import shutil
+
+    from clip_gp_tpu.data.datasets.synthetic import (
+        generate_synthetic_imagefolder,
+    )
+
+    set_random_seed(1)
+    build_data_manager(synth_config)
+    root = synth_config.dataset.root
+    ds_root = os.path.join(root, "synthetic")
+    shutil.rmtree(os.path.join(ds_root, "images"))  # simulate interruption
+    assert os.path.exists(os.path.join(ds_root, "split_zhou_Synthetic.json"))
+
+    generate_synthetic_imagefolder(root)
+    assert not os.path.exists(
+        os.path.join(ds_root, "split_zhou_Synthetic.json")
+    )
+    assert not os.path.isdir(os.path.join(ds_root, "split_fewshot"))
