@@ -229,9 +229,12 @@ def run_trials_inprocess(trials: List[Trial]) -> List[Dict[str, Any]]:
 def _vmap_supported(config, group_size: int) -> bool:
     """Can this trial group train as one vmapped program?
 
-    All four tiny-state heads qualify, including their GP / template-weight
-    pre-stage variants (the pre-stages themselves run as vmapped per-trial
-    fits — trial_vmap.vmapped_{gp,tw}_prestage)."""
+    All five tiny-state heads qualify (Adapter, CLIP-Adapter, TaskRes,
+    Tip-Adapter-F, CoOp), including the GP / template-weight pre-stage
+    variants (the pre-stages themselves run as vmapped per-trial fits —
+    trial_vmap.vmapped_{gp,tw}_prestage). CoCoOp stays in-process: its
+    per-image prompts make the trainable compute image-batch-shaped, not
+    trial-shaped (methods/cocoop.py)."""
     a = config.adapter
     name = str(config.trainer_name)
     if group_size < 2:
@@ -247,6 +250,10 @@ def _vmap_supported(config, group_size: int) -> bool:
         return True
     if name == "Tip-Adapter":
         return bool(a.tip_adapter_trainable)  # only the trainable -F variant
+    if name == "Adapter-CoOp":
+        # ctx (incl. csc / ctx_init variants) vmaps; the text tower runs
+        # inside the loss batched over T·K prompts (trial_vmap.CoOpSpec)
+        return True
     return False
 
 
@@ -257,7 +264,7 @@ def run_trials_vmapped(
 ) -> List[Dict[str, Any]]:
     """Group trials that differ only by seed (or vmappable scalar grid cells)
     and train each group as one vmapped program. Supported methods: Adapter,
-    CLIP-Adapter, TaskRes, Tip-Adapter-F. Non-groupable trials fall back to
+    CLIP-Adapter, TaskRes, Tip-Adapter-F, CoOp. Non-groupable trials fall back to
     in-process sequential execution; with ``strict`` a vmapped-group failure
     raises instead of silently degrading the sweep to the slow path.
 

@@ -31,6 +31,8 @@ Methods are pluggable ``MethodSpec`` objects; supported heads:
 - **TaskRes** (residual on base text features; ref: trainers/taskres.py).
 - **Tip-Adapter-F** (trainable cache keys with best-on-test state keeping and
   a per-trial (β, α) val grid search; ref: trainers/tip_adapter.py:225-327).
+- **CoOp** (learnable prompt ctx; ref: trainers/adapter_coop.py) — the text
+  tower runs inside the vmapped loss, batching T·K prompts into one pass.
 
 GP/template-weight *pre-stage* variants of the latter three run on this
 backend too: the pre-stage fits train as vmapped per-trial programs
@@ -956,11 +958,123 @@ class TipAdapterFSpec(MethodSpec):
         return params, consts
 
 
+class CoOpSpec(MethodSpec):
+    """CoOp learnable prompt context (ref: trainers/adapter_coop.py:453-560).
+
+    The only trainable state is the ctx embedding block ([n_ctx, W], or
+    [K, n_ctx, W] with ``csc``) — tiny, so trials vmap like the other heads.
+    The expensive part is that every step re-encodes the assembled prompts
+    through the frozen text tower; under the trial vmap that one tower pass
+    batches T·K prompts into MXU-sized work (vs T sequential passes
+    in-process), and the per-block remat in ``clip_model.transformer`` keeps
+    backward memory at per-block inputs. Image features are frozen-tower
+    encodes of the augmented few-shot images, re-encoded once per epoch as a
+    shared union pass (the reference's per-batch encode in
+    adapter_coop.py:514-522 with augmentation).
+
+    Memory note: backward keeps ~layers·T·K·L·W block inputs live; for very
+    large T·K on a single chip, shard trials over a mesh (the runner's
+    ``trial`` axis) or reduce the group size.
+    """
+
+    name = "Adapter-CoOp"
+    supported_hparams = ("lr",)
+    config_keys = {"OPTIM.LR": "lr"}
+    reencode_per_epoch = True
+    normalize_features = True
+
+    def __init__(self, runner):
+        super().__init__(runner)
+        from clip_gp_tpu.methods.coop import build_prompt_parts
+
+        config = runner.config
+        self._sched = build_lr_schedule(config.optim)
+        self._base_lr = float(config.optim.lr)
+        self._arch = runner.arch
+        self._use_csc = bool(config.adapter.csc)
+        self._ctx_init = str(config.adapter.ctx_init or "")
+        # prefix/suffix/eot are identical across trials (same classnames);
+        # they and the text-tower weights ride `shared` — explicit jit
+        # arguments, never closure leaves (CLAUDE.md hard rule)
+        (ctx0, prefix, suffix, tokenized, self._n_ctx) = build_prompt_parts(
+            config, runner.classnames, runner.clip_params,
+            jax.random.key(int(runner.seeds[0])),
+        )
+        self._ctx0 = ctx0  # phrase-derived when ctx_init, else ignored
+        self._ctx_dim = int(ctx0.shape[-1])
+        runner.shared["coop_prefix"] = prefix
+        runner.shared["coop_suffix"] = suffix
+        runner.shared["coop_eot"] = tokenized.argmax(axis=-1)
+        runner.shared["coop_text_params"] = {
+            k: runner.clip_params[k]
+            for k in ("pos_embed", "transformer", "ln_final", "text_projection")
+        }
+
+    def lr_vectors(self):
+        return {"lr": self.hp("lr", self._base_lr)}
+
+    def optimizer_tx(self):
+        return _core_transform(self.r.config.optim)
+
+    def lr_factor(self, epoch, batch, n_batches):
+        return self._sched(epoch) / max(self._base_lr, 1e-12)
+
+    def max_epoch(self):
+        return int(self.r.config.adapter.clip_adapter_epochs)
+
+    def init_params(self, seed):
+        if self._ctx_init:
+            # phrase-initialized ctx is deterministic and shared by all seeds
+            # (trials still differ via few-shot splits and batch order)
+            return {"ctx": jnp.asarray(self._ctx0)}
+        shape = (
+            (self.r.k, self._n_ctx, self._ctx_dim)
+            if self._use_csc
+            else (self._n_ctx, self._ctx_dim)
+        )
+        return {"ctx": 0.02 * jax.random.normal(jax.random.key(int(seed)), shape)}
+
+    def export_state(self, params_t, consts_t):
+        # methods/coop.py trainable_state layout
+        return {"ctx": params_t["ctx"]}
+
+    def _text_features(self, p, shared):
+        from clip_gp_tpu.methods.coop import assemble_prompts
+        from clip_gp_tpu.models import clip_model
+
+        prompts = assemble_prompts(
+            p["ctx"], shared["coop_prefix"], shared["coop_suffix"], self.r.k
+        )
+        feats = clip_model.text_features_from_embeddings(
+            shared["coop_text_params"], self._arch, prompts, shared["coop_eot"]
+        )
+        return common.l2_normalize(feats)
+
+    def loss(self, p, c, feats, labels, key, hps, shared):
+        text = self._text_features(p, shared)
+        logits = self.r.logit_scale * feats @ text.T
+        return common.cross_entropy(logits, labels)
+
+    def eval_logits(self, p, c, key, shared):
+        text = self._text_features(p, shared)
+        return self.r.logit_scale * shared["feats_test"] @ text.T
+
+    def zero_shot_logits(self, eval_fn, zs_params, consts, shared):
+        # the reference's zero-shot block uses the template classifier at
+        # fixed scale 100, NOT the initial ctx (methods/coop.py train())
+        zs_w = common.zero_shot_classifier(self.r.text_embeddings)
+        logits = np.asarray(100.0 * shared["feats_test"] @ zs_w)
+        return np.broadcast_to(
+            logits[None], (self.r.t_trials,) + logits.shape
+        )
+
+
 SPECS = {
     "Adapter": AdapterSpec,
     "CLIP-Adapter": ClipAdapterSpec,
     "TaskRes": TaskResSpec,
     "Tip-Adapter": TipAdapterFSpec,
+    "Adapter-CoOp": CoOpSpec,
 }
 
 
@@ -1144,6 +1258,11 @@ class VmappedTrials:
         base = BaseTrainer(config, dm)
         with phase_timer("vmap.clip_load"):
             arch, clip_params = base.load_clip_model()
+        # specs that run a tower inside the loss (CoOp's text encode) need
+        # the arch + params at construction time
+        self.arch = arch
+        self.clip_params = clip_params
+        self.classnames = classnames
         templates = get_templates(config)
         with phase_timer("vmap.text_encode"):
             self.text_embeddings = common.encode_templates(

@@ -193,6 +193,60 @@ def test_vmap_backend_clip_adapter_no_fallback(tmp_path, capsys, monkeypatch):
         assert (t.format_outdir() / "log.txt").exists()
 
 
+def test_vmap_backend_coop_no_fallback(tmp_path, capsys, monkeypatch):
+    """BASELINE config #4 shape: a CoOp seeds x OPTIM.LR sweep runs fully
+    vmapped (zero in-process fallbacks) with per-trial metrics.json."""
+    monkeypatch.setenv("CLIP_GP_TPU_ALLOW_RANDOM_WEIGHTS", "1")
+    from clip_gp_tpu.parallel.sweep import run_trials_vmapped
+
+    trainer_yaml = tmp_path / "coop.yaml"
+    trainer_yaml.write_text(textwrap.dedent("""\
+        name: coopexp
+        BASE_CONFIG: configs/trainers/default.yaml
+        TRAINER_NAME: Adapter-CoOp
+        MODEL:
+          BACKBONE:
+            NAME: TEST-ViT
+        INPUT:
+          SIZE: (32, 32)
+        DATALOADER:
+          NUM_WORKERS: 2
+          TRAIN_X:
+            BATCH_SIZE: 8
+          TEST:
+            BATCH_SIZE: 8
+        TRAINER:
+          ADAPTER:
+            NUM_TEMPLATES: 2
+            CLIP_ADAPTER_EPOCHS: 2
+            N_CTX: 2
+            USE_GP: False
+    """))
+    cfg = {
+        "name": "coopexp",
+        "datasets": ["synthetic"],
+        "seeds": [1, 2],
+        "shots": [2],
+        "root": str(tmp_path / "data"),
+        "output_root": str(tmp_path / "output"),
+        "template": "{experiment}/{dataset}/coop_{shots}shots{sig}/seed{seed}",
+        "grid": {"OPTIM.LR": [0.002, 0.02]},
+        "dataset_config": "configs/datasets/synthetic.yaml",
+        "__config_file__": str(trainer_yaml),
+    }
+    trials, _ = build_trials(cfg)
+    assert len(trials) == 4  # 2 seeds x 2 lrs, one vmapped group
+    results = run_trials_vmapped(trials, strict=True)
+    out = capsys.readouterr().out
+    assert "not vmap-groupable" not in out
+    assert "[ERROR]" not in out
+    assert len(results) == 4
+    for t in trials:
+        payload = json.loads((t.format_outdir() / "metrics.json").read_text())
+        assert payload["metrics"]["top1_acc"] is not None
+        assert payload["config"]["optim"]["lr"] in (0.002, 0.02)
+
+
 def test_strict_vmap_raises_and_fallback_counts(tmp_path, capsys, monkeypatch):
     import clip_gp_tpu.parallel.sweep as sweep_mod
     import clip_gp_tpu.parallel.trial_vmap as tv

@@ -112,10 +112,13 @@ def _head_config(tmp_path, method):
     c.adapter.tip_adapter_trainable = True
     c.adapter.tip_adapter_init_beta = 1.0
     c.adapter.tip_adapter_init_alpha = 1.0
+    c.adapter.n_ctx = 2
     return c
 
 
-@pytest.mark.parametrize("method", ["CLIP-Adapter", "TaskRes", "Tip-Adapter"])
+@pytest.mark.parametrize(
+    "method", ["CLIP-Adapter", "TaskRes", "Tip-Adapter", "Adapter-CoOp"]
+)
 def test_vmapped_other_heads(tmp_path, method):
     from clip_gp_tpu.parallel.trial_vmap import run_vmapped_trials
 
@@ -204,7 +207,44 @@ def test_vmapped_prestage_variants(tmp_path, method, flags):
         assert np.isfinite(payload["metrics"]["top1_acc"])
 
 
-@pytest.mark.parametrize("method", ["Adapter", "CLIP-Adapter", "TaskRes"])
+def test_vmapped_coop_lr_grid_and_variants(tmp_path):
+    """CoOp trials vmap: an OPTIM.LR grid joins the trial axis (landing in
+    each metrics.json config dump under optim.lr), and the csc /
+    ctx_init structural variants train finite."""
+    from clip_gp_tpu.parallel.trial_vmap import run_vmapped_trials
+
+    config = _head_config(tmp_path, "Adapter-CoOp")
+    seeds = [1, 1]
+    overrides = [{"lr": 0.001}, {"lr": 0.05}]
+    outdirs = [tmp_path / f"out/t{i}" for i in range(2)]
+    results = run_vmapped_trials(
+        config, seeds, outdirs, trial_overrides=overrides,
+        method="Adapter-CoOp",
+    )
+    assert len(results) == 2
+    accs = []
+    for i, outdir in enumerate(outdirs):
+        payload = json.loads((outdir / "metrics.json").read_text())
+        assert payload["config"]["optim"]["lr"] == overrides[i]["lr"]
+        assert np.isfinite(payload["metrics"]["top1_acc"])
+        accs.append(payload["metrics"]["top1_acc"])
+
+    # class-specific ctx: per-class [K, n_ctx, W] trainable block
+    csc = _head_config(tmp_path, "Adapter-CoOp")
+    csc.adapter.csc = True
+    results = run_vmapped_trials(csc, [1, 2], method="Adapter-CoOp")
+    assert all(np.isfinite(r["metrics"]["top1_acc"]) for r in results)
+
+    # phrase-initialized ctx: deterministic embedding-derived init
+    init = _head_config(tmp_path, "Adapter-CoOp")
+    init.adapter.ctx_init = "a photo of a"
+    results = run_vmapped_trials(init, [1, 2], method="Adapter-CoOp")
+    assert all(np.isfinite(r["metrics"]["top1_acc"]) for r in results)
+
+
+@pytest.mark.parametrize(
+    "method", ["Adapter", "CLIP-Adapter", "TaskRes", "Adapter-CoOp"]
+)
 def test_vmap_checkpoint_eval_only_roundtrip(tmp_path, method):
     """With TRAIN.ENABLE_ADAPTER_CHECKPOINTS the vmap backend writes
     per-trial checkpoints in the in-process trainer's trainable_state
