@@ -26,6 +26,52 @@ _PROBE_SRC = (
 )
 
 
+def probe_device_count(
+    timeout_s: float = 120.0, platform: str | None = None
+) -> int | None:
+    """Count JAX devices in a killable subprocess; ``None`` on wedge/error.
+
+    ``jax.devices()`` initializes the backend, and on the tunneled TPU that
+    init hangs indefinitely while the tunnel is wedged — so any code path
+    that must *decide* based on the device count (``dryrun_multichip``)
+    cannot afford to ask in-process. The subprocess inherits the caller's
+    environment, so it resolves the same platform the caller would.
+
+    ``platform`` pins the subprocess to that backend via ``jax.config``
+    (the only mechanism the axon plugin honors — it ignores the
+    ``JAX_PLATFORMS`` env var).
+    """
+    pin = (
+        f"jax.config.update('jax_platforms', {platform!r}); "
+        if platform
+        else ""
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             f"import jax; {pin}print('DEVCOUNT', len(jax.devices()))"],
+            capture_output=True,
+            timeout=timeout_s,
+            text=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"[mesh] device-count probe timed out after {timeout_s:.0f}s "
+            "(backend wedged?)",
+            file=sys.stderr,
+        )
+        return None
+    for line in out.stdout.splitlines():
+        if line.startswith("DEVCOUNT "):
+            return int(line.split()[1])
+    print(
+        f"[mesh] device-count probe failed (rc={out.returncode}): "
+        f"{out.stderr.strip()[-500:]}",
+        file=sys.stderr,
+    )
+    return None
+
+
 def wait_for_backend() -> None:
     budget = float(os.environ.get("BENCH_BACKEND_WAIT_S", "2700"))
     deadline = time.monotonic() + budget

@@ -56,6 +56,41 @@ def test_dryrun_multichip_self_provisions_like_the_driver():
     assert "dryrun_multichip OK: 8-device mesh" in proc.stdout
 
 
+def test_dryrun_multichip_wedged_backend_falls_back_to_virtual_mesh(
+    monkeypatch,
+):
+    # A wedged tunnel makes backend init (and thus the device-count probe)
+    # hang; dryrun must treat a probe timeout (None) as "re-exec on the
+    # virtual CPU mesh" rather than initializing the backend in-process.
+    import __graft_entry__ as g
+
+    monkeypatch.delenv("CLIP_GP_TPU_MESH_CHILD", raising=False)
+    monkeypatch.setattr(g, "_backend_initialized", lambda: False)
+    import clip_gp_tpu.runtime.backend_guard as bg
+
+    monkeypatch.setattr(bg, "probe_device_count", lambda *a, **k: None)
+    calls = []
+    monkeypatch.setattr(
+        g, "_reexec_with_virtual_mesh", lambda n: calls.append(n)
+    )
+    g.dryrun_multichip(8)
+    assert calls == [8]
+
+
+def test_probe_device_count_reports_subprocess_count():
+    from clip_gp_tpu.runtime.backend_guard import probe_device_count
+
+    env_backup = dict(os.environ)
+    try:
+        # platform is pinned via jax.config in the probe subprocess — the
+        # axon plugin ignores the JAX_PLATFORMS env var
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        assert probe_device_count(timeout_s=120, platform="cpu") == 4
+    finally:
+        os.environ.clear()
+        os.environ.update(env_backup)
+
+
 def test_dryrun_multichip_direct_when_devices_exist():
     # Under the test session's own 8-device virtual mesh, the direct
     # (no-subprocess) path must also work.
