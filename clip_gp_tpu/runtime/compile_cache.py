@@ -7,7 +7,33 @@ cache makes every later process start warm. Disable with
 
 from __future__ import annotations
 
+import hashlib
 import os
+
+
+def _host_fingerprint() -> str:
+    """Hash of this host's CPU feature flags.
+
+    The cache directory may outlive the machine that wrote it (the image
+    moves between heterogeneous hosts). XLA:CPU AOT executables are compiled
+    for the *compiling* host's CPU features, and loading one on a host with
+    fewer features risks SIGILL. Namespacing the cache by CPU flags turns
+    those unsafe loads into clean misses. (Note: XLA's cpu_aot_loader
+    mismatch warning can still fire for same-host entries — it compares its
+    own tuning prefs like ``+prefer-no-scatter`` against raw CPUID flags;
+    that residual warning is spurious and harmless.)
+    """
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.md5(flags.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return platform.machine() or "unknown"
 
 
 def enable(min_compile_secs: float = 0.5) -> None:
@@ -18,7 +44,10 @@ def enable(min_compile_secs: float = 0.5) -> None:
 
     cache_dir = os.environ.get(
         "CLIP_GP_TPU_COMPILE_CACHE_DIR",
-        os.path.expanduser("~/.cache/clip_gp_tpu/xla"),
+        os.path.join(
+            os.path.expanduser("~/.cache/clip_gp_tpu/xla"),
+            _host_fingerprint(),
+        ),
     )
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -93,3 +93,30 @@ def test_budget_exhaustion_returns_instead_of_hanging(monkeypatch):
     monkeypatch.setenv("BENCH_BACKEND_WAIT_S", "0")
     backend_guard.wait_for_backend()  # must return, not loop forever
     assert state["n"] == 1
+
+
+def test_host_fingerprint_stable_and_filesystem_safe():
+    from clip_gp_tpu.runtime.compile_cache import _host_fingerprint
+
+    fp = _host_fingerprint()
+    assert fp == _host_fingerprint()  # deterministic on one host
+    assert fp and "/" not in fp and len(fp) <= 32
+
+
+def test_compile_cache_dir_is_host_namespaced(monkeypatch):
+    # cache entries AOT-compiled for another host's CPU features must miss
+    # cleanly (SIGILL risk otherwise) — the dir embeds a CPU-flags hash
+    import jax
+
+    from clip_gp_tpu.runtime import compile_cache
+
+    monkeypatch.delenv("CLIP_GP_TPU_COMPILE_CACHE_DIR", raising=False)
+    monkeypatch.delenv("CLIP_GP_TPU_NO_COMPILE_CACHE", raising=False)
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        compile_cache.enable()
+        assert jax.config.jax_compilation_cache_dir.endswith(
+            compile_cache._host_fingerprint()
+        )
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)
