@@ -64,7 +64,11 @@ from clip_gp_tpu.ops.metrics import (
     compute_ece_with_bins,
     compute_macro_f1,
 )
-from clip_gp_tpu.runtime.optim import _core_transform, build_lr_schedule
+from clip_gp_tpu.runtime.optim import (
+    _OverrideLr,
+    _core_transform,
+    build_lr_schedule,
+)
 
 
 # serializes the global-RNG few-shot sampling window across the sweep's
@@ -306,9 +310,42 @@ class MethodSpec:
         """Lr-free optax transform (per-trial lrs scale updates afterwards)."""
         raise NotImplementedError
 
-    def lr_factor(self, epoch: int, batch: int, n_batches: int) -> float:
-        """Schedule shape multiplier on the per-trial lrs (1.0 at epoch 0)."""
-        return 1.0
+    def sched_config(self):
+        """Config view whose scheduler family (name, eta_min, horizon …)
+        governs this head's lr curve."""
+        return self.r.config.optim
+
+    def lr_factors(self, epoch: int, batch: int, n_batches: int):
+        """group → per-trial schedule multipliers [T] at this step.
+
+        The vmapped analog of ``MultiGroupOptimizer.set_epoch``: a trial's
+        schedule is the scheduler family instantiated at *that trial's own
+        base lr* (torch schedulers track per-group ``base_lrs``; ref:
+        utils/optimization.py:283-369). One group-wide shape rescaled onto
+        every trial is wrong for any schedule that is not proportional in
+        the base lr — e.g. cosine with ``eta_min > 0``, where a 10× lr grid
+        cell would otherwise finish training 10× above its configured floor.
+        """
+        curves = self._lr_factor_curves()
+        return {g: c[epoch] for g, c in curves.items()}
+
+    def _lr_factor_curves(self):
+        """{group: [max_epoch, T] schedule multipliers}, cached per run."""
+        cached = getattr(self, "_factor_curves", None)
+        if cached is None:
+            epochs = max(1, self.max_epoch())
+            cfg = self.sched_config()
+            cached = {}
+            for group, vec in self.lr_vectors().items():
+                lrs = np.asarray(vec, dtype=np.float64)
+                curve = np.empty((epochs, lrs.shape[0]), dtype=np.float32)
+                for t, lr in enumerate(lrs):
+                    sched = build_lr_schedule(_OverrideLr(cfg, float(lr)))
+                    denom = max(float(lr), 1e-12)
+                    curve[:, t] = [sched(e) / denom for e in range(epochs)]
+                cached[group] = curve
+            self._factor_curves = cached
+        return cached
 
     def max_epoch(self) -> int:
         raise NotImplementedError
@@ -376,8 +413,6 @@ class AdapterSpec(MethodSpec):
         self.s_eval = max(1, int(config.adapter.gp_num_mc_samples_eval or 1))
         self.shots = int(config.dataset.num_shots)
         self.gp_static = None
-        self._sched = build_lr_schedule(config.optim)
-        self._base_lr = float(config.optim.lr)
         if self.use_gp:
             self.gp_static, self.gp_params0, gp_buffers = svgp.create_gp(
                 runner.text_embeddings, config
@@ -401,9 +436,6 @@ class AdapterSpec(MethodSpec):
 
     def optimizer_tx(self):
         return _core_transform(self.r.config.optim)
-
-    def lr_factor(self, epoch, batch, n_batches):
-        return self._sched(epoch) / max(self._base_lr, 1e-12)
 
     def max_epoch(self):
         # BaseTrainer quirk preserved: every trainer's epoch count comes from
@@ -504,7 +536,6 @@ class ClipAdapterSpec(MethodSpec):
             name=a.clip_adapter_optimizer,
         )
         self._view = view
-        self._sched = build_lr_schedule(view)
         self._zs_weights = common.zero_shot_classifier(runner.text_embeddings)
 
     def lr_vectors(self):
@@ -520,8 +551,8 @@ class ClipAdapterSpec(MethodSpec):
     def optimizer_tx(self):
         return _core_transform(self._view)
 
-    def lr_factor(self, epoch, batch, n_batches):
-        return self._sched(epoch) / max(self._lr_default, 1e-12)
+    def sched_config(self):
+        return self._view
 
     def max_epoch(self):
         return self._epochs
@@ -635,7 +666,6 @@ class TaskResSpec(MethodSpec):
             name=a.taskres_optimizer,
         )
         self._view = view
-        self._sched = build_lr_schedule(view)
         runner.shared["zs_weights"] = common.zero_shot_classifier(
             runner.text_embeddings
         )
@@ -654,8 +684,8 @@ class TaskResSpec(MethodSpec):
     def optimizer_tx(self):
         return _core_transform(self._view)
 
-    def lr_factor(self, epoch, batch, n_batches):
-        return self._sched(epoch) / max(self._lr_default, 1e-12)
+    def sched_config(self):
+        return self._view
 
     def max_epoch(self):
         return self._epochs
@@ -796,11 +826,16 @@ class TipAdapterFSpec(MethodSpec):
             optax.add_decayed_weights(1e-4),
         )
 
-    def lr_factor(self, epoch, batch, n_batches):
-        # per-STEP cosine decay over epochs*n_batches (optax semantics)
+    def lr_factors(self, epoch, batch, n_batches):
+        # per-STEP cosine decay over epochs*n_batches (optax semantics);
+        # decays to zero, so the shape is proportional in the base lr and
+        # one scalar serves every trial
         total = max(1, self._epochs * n_batches)
         step = min(epoch * n_batches + batch, total)
-        return 0.5 * (1.0 + math.cos(math.pi * step / total))
+        f = 0.5 * (1.0 + math.cos(math.pi * step / total))
+        return {
+            "lr": np.full(self.r.t_trials, f, dtype=np.float32),
+        }
 
     def max_epoch(self):
         return self._epochs
@@ -988,7 +1023,6 @@ class CoOpSpec(MethodSpec):
         from clip_gp_tpu.methods.coop import build_prompt_parts
 
         config = runner.config
-        self._sched = build_lr_schedule(config.optim)
         self._base_lr = float(config.optim.lr)
         self._arch = runner.arch
         self._use_csc = bool(config.adapter.csc)
@@ -1015,9 +1049,6 @@ class CoOpSpec(MethodSpec):
 
     def optimizer_tx(self):
         return _core_transform(self.r.config.optim)
-
-    def lr_factor(self, epoch, batch, n_batches):
-        return self._sched(epoch) / max(self._base_lr, 1e-12)
 
     def max_epoch(self):
         return int(self.r.config.adapter.clip_adapter_epochs)
@@ -1325,7 +1356,7 @@ class VmappedTrials:
         def _bc(vec, ndim):
             return vec.reshape((vec.shape[0],) + (1,) * (ndim - 1))
 
-        def step(params, opt_state, consts, feats_b, labels_b, keys, factor,
+        def step(params, opt_state, consts, feats_b, labels_b, keys, facs,
                  shared):
             def trial_loss(p, c, feats, labels, key, hps):
                 return spec.loss(p, c, feats, labels, key, hps, shared)
@@ -1334,12 +1365,14 @@ class VmappedTrials:
                 jax.value_and_grad(trial_loss), in_axes=(0, 0, 0, 0, 0, 0)
             )(params, consts, feats_b, labels_b, keys, hp_tree)
             updates, opt_state = tx.update(grads, opt_state, params)
-            # per-trial, per-group learning rates (schedule factor on top)
+            # per-trial, per-group learning rates; facs holds each group's
+            # per-trial schedule multiplier [T] for this step
             scaled = {}
             for name, u in updates.items():
-                vec = lr_vecs[spec.lr_group(name)]
+                group = spec.lr_group(name)
+                vec = lr_vecs[group] * facs[group]
                 scaled[name] = jax.tree.map(
-                    lambda x: x * _bc(-(vec * factor), x.ndim), u
+                    lambda x: x * _bc(-vec, x.ndim), u
                 )
             return (
                 jax.tree.map(lambda p, u: p + u, params, scaled),
@@ -1353,7 +1386,7 @@ class VmappedTrials:
                        factors, shared):
             """One dispatch per epoch: scan the vmapped step over batches.
             feats_e: [n_batches, T, B, D]; keys_e: [n_batches, T];
-            factors: [n_batches] per-step schedule multipliers."""
+            factors: {group: [n_batches, T]} per-step schedule multipliers."""
 
             def body(carry, batch):
                 params, opt_state = carry
@@ -1412,10 +1445,17 @@ class VmappedTrials:
                 ])
                 for epoch in range(max_epoch)
             ]))  # [E, T, N]
-            factors_all = jnp.asarray(np.asarray([
-                [spec.lr_factor(e, b, n_batches) for b in range(n_batches)]
+            fac_eb = [
+                [spec.lr_factors(e, b, n_batches) for b in range(n_batches)]
                 for e in range(max_epoch)
-            ], dtype=np.float32))  # [E, n_batches]
+            ]
+            factors_all = {
+                g: jnp.asarray(np.asarray(
+                    [[fac_eb[e][b][g] for b in range(n_batches)]
+                     for e in range(max_epoch)], dtype=np.float32,
+                ))
+                for g in fac_eb[0][0]
+            }  # {group: [E, n_batches, T]}
             keys_all = []
             for _ in range(max_epoch):  # same root_key evolution as eager
                 root_key, sub = jax.random.split(root_key)
@@ -1484,10 +1524,13 @@ class VmappedTrials:
                         base, union_items, dm, spec.normalize_features
                     )
                 feats_train = self._shard_trials(union_feats[train_idx_j])
-            factors = np.asarray(
-                [spec.lr_factor(epoch, b, n_batches) for b in range(n_batches)],
-                dtype=np.float32,
-            )
+            fac_b = [
+                spec.lr_factors(epoch, b, n_batches) for b in range(n_batches)
+            ]
+            factors = {
+                g: np.asarray([f[g] for f in fac_b], dtype=np.float32)
+                for g in fac_b[0]
+            }  # {group: [n_batches, T]}
             # per-trial epoch shuffle (seed-deterministic)
             perms = np.stack(
                 [
@@ -1514,7 +1557,7 @@ class VmappedTrials:
                 with phase_timer("vmap.train.dispatch"):
                     params, opt_state, losses = epoch_jit(
                         params, opt_state, consts, fb, lb, keys_e,
-                        jnp.asarray(factors), shared,
+                        jax.tree.map(jnp.asarray, factors), shared,
                     )
                 losses = losses[-1]
             else:
@@ -1525,7 +1568,9 @@ class VmappedTrials:
                         params, opt_state, losses = step_jit(
                             params, opt_state, consts,
                             feats_e[:, lo:hi], labels_e[:, lo:hi],
-                            keys, jnp.asarray(factors[b]), shared,
+                            keys,
+                            {g: jnp.asarray(v[b]) for g, v in factors.items()},
+                            shared,
                         )
             with phase_timer("vmap.train.epoch_end"):
                 spec.on_epoch_end(params, consts, shared, epoch)

@@ -26,7 +26,8 @@ def _host_fingerprint() -> str:
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
+                # x86 lists capabilities under "flags", ARM under "Features"
+                if line.startswith(("flags", "Features")):
                     flags = " ".join(sorted(line.split(":", 1)[1].split()))
                     return hashlib.md5(flags.encode()).hexdigest()[:10]
     except OSError:

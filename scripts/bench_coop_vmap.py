@@ -33,6 +33,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 os.environ.setdefault("CLIP_GP_TPU_ALLOW_RANDOM_WEIGHTS", "1")
 
+# same persistent compile cache the real CLI/sweep paths enable
+from clip_gp_tpu.runtime import compile_cache  # noqa: E402
+
+compile_cache.enable()
+
 SEEDS = [1, 2, 3, 4, 5]
 EPOCHS = int(os.environ.get("BENCH_COOP_EPOCHS", "6"))
 CLASSES = int(os.environ.get("BENCH_COOP_CLASSES", "50"))
@@ -95,32 +100,41 @@ def main():
     vmap_s = time.time() - t0
     assert len(results) == len(SEEDS)
 
-    # ---- in-process: one trial, scaled by T ------------------------------
-    # (five sequential trials would just run this five times; one timed
-    # trial × T is the cheaper, equally-fair denominator — jit caches warm
-    # across seeds either way, and the first compile is excluded from
-    # neither side)
-    feature_cache.memo_clear()
-    cfg = copy.deepcopy(config)
-    cfg.seed = SEEDS[0]
-    cfg.output_dir = tempfile.mkdtemp(prefix="bench_coop_run_")
-    set_random_seed(cfg.seed)
-    dm = build_data_manager(cfg)
-    t0 = time.time()
-    trainer = build_trainer(cfg, dm)
-    trainer.train()
-    inproc_s = time.time() - t0
+    # ---- in-process: cold trial + (T-1) x warm trial ---------------------
+    # A real sequential seed group pays one cold compile (seed 1) and then
+    # warm-cache trials (the sweep backends enable the persistent compile
+    # cache, and jit re-traces serve from it). Timing one cold trial and one
+    # warm trial and modeling the group as cold + (T-1)*warm UNDERSTATES the
+    # real group slightly (a fresh process re-loads the persistent cache;
+    # our warm run reuses in-memory jit caches) — i.e. the reported speedup
+    # is conservative.
+    def run_inproc(seed):
+        feature_cache.memo_clear()
+        cfg = copy.deepcopy(config)
+        cfg.seed = seed
+        cfg.output_dir = tempfile.mkdtemp(prefix="bench_coop_run_")
+        set_random_seed(cfg.seed)
+        dm = build_data_manager(cfg)
+        t0 = time.time()
+        trainer = build_trainer(cfg, dm)
+        trainer.train()
+        return time.time() - t0
 
-    group_inproc_s = inproc_s * len(SEEDS)
+    cold_s = run_inproc(SEEDS[0])
+    warm_s = run_inproc(SEEDS[1])
+    group_inproc_s = cold_s + warm_s * (len(SEEDS) - 1)
     print(json.dumps({
         "metric": "coop_seed_group_time_s",
         "seeds": len(SEEDS),
         "classes": CLASSES,
         "epochs": EPOCHS,
         "vmapped_group_s": round(vmap_s, 1),
-        "inprocess_trial_s": round(inproc_s, 1),
+        "inprocess_trial_cold_s": round(cold_s, 1),
+        "inprocess_trial_warm_s": round(warm_s, 1),
         "inprocess_group_s": round(group_inproc_s, 1),
         "speedup": round(group_inproc_s / vmap_s, 2),
+        "baseline_note": "group modeled as cold + (T-1)*warm trials; "
+                         "conservative (see docstring)",
     }))
 
 

@@ -319,3 +319,91 @@ def test_whole_run_scan_matches_eager_epochs(tmp_path, use_gp, batch,
         assert a["metrics"]["top1_acc"] == b["metrics"]["top1_acc"]
         assert a["metrics"]["ece"] == b["metrics"]["ece"]
         assert a["metrics"]["aece"] == b["metrics"]["aece"]
+
+
+# ----------------------------------------------------------------------
+# per-trial lr schedules (each trial's schedule instantiated at its OWN
+# base lr, like MultiGroupOptimizer / torch per-group base_lrs)
+# ----------------------------------------------------------------------
+
+def test_lr_factors_instantiate_per_trial_schedules():
+    """Cosine with eta_min > 0 is not proportional in the base lr: a 10x lr
+    trial must end at the SAME absolute floor, i.e. a different multiplier.
+    (Regression: factors used to be one schedule shape scaled onto every
+    trial, so lr-grid cells trained with the wrong effective schedule.)"""
+    import math
+    import types
+
+    from clip_gp_tpu.parallel.trial_vmap import MethodSpec
+
+    spec = MethodSpec.__new__(MethodSpec)
+    optim = types.SimpleNamespace(
+        lr_scheduler="cosine", lr=0.002, max_epoch=10, eta_min=1e-5,
+    )
+    spec.r = types.SimpleNamespace(config=types.SimpleNamespace(optim=optim))
+    lrs = [0.002, 0.02]
+    spec.lr_vectors = lambda: {"lr": np.asarray(lrs, np.float32)}
+    spec.max_epoch = lambda: 10
+
+    for epoch in (0, 5, 9):
+        facs = spec.lr_factors(epoch, 0, 1)["lr"]
+        shape = (1 + math.cos(math.pi * epoch / 10)) / 2
+        for t, lr in enumerate(lrs):
+            expected = (1e-5 + (lr - 1e-5) * shape) / lr
+            assert np.isclose(facs[t], expected, rtol=1e-5), (epoch, t)
+    # at the last epoch the multipliers genuinely differ across trials
+    last = spec.lr_factors(9, 0, 1)["lr"]
+    assert not np.isclose(last[0], last[1])
+    # effective lr approaches each trial's own eta_min floor, not a scaled one
+    eff = np.asarray(lrs) * np.asarray(spec.lr_factors(10 - 1, 0, 1)["lr"])
+    shape9 = (1 + math.cos(math.pi * 9 / 10)) / 2
+    assert np.allclose(eff, [1e-5 + (lr - 1e-5) * shape9 for lr in lrs])
+
+
+def test_vmapped_coop_matches_inprocess_trainer(tmp_path):
+    """Output parity: with a deterministic pipeline (no train augmentation),
+    phrase-initialized ctx, and a single batch per epoch, the vmapped CoOp
+    trial and the in-process Adapter-CoOp trainer train the same program —
+    final test metrics must agree (guards CoOpSpec's reimplementation of
+    the trainer's loss/optimizer/schedule)."""
+    import copy
+
+    from clip_gp_tpu.core.registry import build_trainer
+    from clip_gp_tpu.core.seeding import set_random_seed
+    from clip_gp_tpu.data.pipeline import build_data_manager
+    from clip_gp_tpu.parallel.trial_vmap import run_vmapped_trials
+
+    config = _head_config(tmp_path, "Adapter-CoOp")
+    config.input.transforms = []  # deterministic resize+center-crop only
+    config.adapter.ctx_init = "a photo of a"  # shared deterministic ctx
+    config.adapter.clip_adapter_epochs = 2
+    config.optim.max_epoch = 2
+    config.dataloader.batch_size_train = 64  # >= few-shot set: one batch
+    config.optim.name = "sgd"
+    config.optim.lr = 0.01
+    config.seed = 1
+
+    # in-process trainer
+    cfg = copy.deepcopy(config)
+    cfg.output_dir = str(tmp_path / "inproc")
+    set_random_seed(cfg.seed)
+    dm = build_data_manager(cfg)
+    trainer = build_trainer(cfg, dm)
+    trainer.train()
+    inproc = json.loads(
+        (tmp_path / "inproc" / "metrics.json").read_text()
+    )["metrics"]
+
+    # vmapped trial (T=1)
+    outdir = tmp_path / "vmap"
+    results = run_vmapped_trials(
+        config, [1], [outdir], method="Adapter-CoOp"
+    )
+    vmapped = results[0]["metrics"]
+
+    assert np.isclose(vmapped["top1_acc"], inproc["top1_acc"], atol=1e-6), (
+        vmapped, inproc
+    )
+    assert np.isclose(vmapped["ece"], inproc["ece"], atol=1e-4), (
+        vmapped, inproc
+    )
