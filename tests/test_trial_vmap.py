@@ -407,3 +407,37 @@ def test_vmapped_coop_matches_inprocess_trainer(tmp_path):
     assert np.isclose(vmapped["ece"], inproc["ece"], atol=1e-4), (
         vmapped, inproc
     )
+
+
+def test_whole_run_scan_matches_eager_with_lr_grid_cosine_floor(
+    tmp_path, monkeypatch,
+):
+    """The per-trial factor curves feed both the whole-run scan (stacked
+    [E, n_batches, T] pytree) and the eager per-epoch path; with a cosine +
+    eta_min schedule over an lr grid they must still agree exactly."""
+    import copy
+
+    from clip_gp_tpu.core.seeding import set_random_seed
+    from clip_gp_tpu.data.pipeline import build_data_manager
+    from clip_gp_tpu.runtime import feature_cache
+
+    config = _config(tmp_path, use_gp=True)
+    config.optim.lr_scheduler = "cosine"
+    config.optim.eta_min = 1e-4
+    config.dataloader.batch_size_train = 4  # multibatch inner scan
+    seeds = [1, 1]
+    overrides = [{"lr": 0.001}, {"lr": 0.01}]
+    for s in set(seeds):
+        cfg = copy.deepcopy(config)
+        cfg.seed = s
+        set_random_seed(s)
+        build_data_manager(cfg)
+    feature_cache.memo_clear()
+    monkeypatch.setenv("CLIP_GP_TPU_VMAP_EAGER_EPOCHS", "1")
+    eager = run_seed_vmapped_adapter(config, seeds, trial_overrides=overrides)
+    feature_cache.memo_clear()
+    monkeypatch.delenv("CLIP_GP_TPU_VMAP_EAGER_EPOCHS")
+    scanned = run_seed_vmapped_adapter(config, seeds, trial_overrides=overrides)
+    for a, b in zip(eager, scanned):
+        assert a["metrics"]["top1_acc"] == b["metrics"]["top1_acc"]
+        assert a["metrics"]["ece"] == b["metrics"]["ece"]
