@@ -441,3 +441,54 @@ def test_whole_run_scan_matches_eager_with_lr_grid_cosine_floor(
     for a, b in zip(eager, scanned):
         assert a["metrics"]["top1_acc"] == b["metrics"]["top1_acc"]
         assert a["metrics"]["ece"] == b["metrics"]["ece"]
+
+
+@pytest.mark.parametrize("method", ["Adapter", "TaskRes", "Tip-Adapter"])
+def test_vmapped_head_matches_inprocess_trainer(tmp_path, method):
+    """Same output-parity guard as the CoOp test for the deterministic-init
+    heads (Adapter: eye/zeros init; TaskRes: zero residuals; Tip: cache-key
+    init + (beta, alpha) grid): with no train augmentation and one batch per
+    epoch, vmapped and in-process training compute the same program — top-1
+    exactly, ECE to reduction-order noise. (CLIP-Adapter is excluded: its
+    random MLP init draws from the in-process trainer's KeyStream, which the
+    vmapped spec does not replicate.)"""
+    import copy
+
+    from clip_gp_tpu.core.registry import build_trainer
+    from clip_gp_tpu.core.seeding import set_random_seed
+    from clip_gp_tpu.data.pipeline import build_data_manager
+    from clip_gp_tpu.parallel.trial_vmap import run_vmapped_trials
+    from clip_gp_tpu.runtime import feature_cache
+
+    config = _head_config(tmp_path, method)
+    config.adapter.use_gp = False
+    config.input.transforms = []
+    config.dataloader.batch_size_train = 64
+    config.optim.name = "sgd"
+    config.optim.lr = 0.01
+    config.seed = 1
+
+    cfg = copy.deepcopy(config)
+    cfg.output_dir = str(tmp_path / "inproc")
+    set_random_seed(cfg.seed)
+    feature_cache.memo_clear()
+    dm = build_data_manager(cfg)
+    trainer = build_trainer(cfg, dm)
+    trainer.train()
+    inproc = json.loads(
+        (tmp_path / "inproc" / "metrics.json").read_text()
+    )["metrics"]
+
+    feature_cache.memo_clear()
+    outdir = tmp_path / "vmap"
+    results = run_vmapped_trials(config, [1], [outdir], method=method)
+    vmapped = results[0]["metrics"]
+
+    assert np.isclose(vmapped["top1_acc"], inproc["top1_acc"], atol=1e-6), (
+        method, vmapped, inproc
+    )
+    # percent units; 5e-3 absorbs float reduction-order noise (measured
+    # 1.2e-3 on Tip) while still catching any real math divergence
+    assert np.isclose(vmapped["ece"], inproc["ece"], atol=5e-3), (
+        method, vmapped, inproc
+    )
