@@ -136,6 +136,19 @@ class OptimConfig:
     lr: float = 0.01
     max_epoch: int = 300
     lr_scheduler: str = "cosine"
+    # scheduler-family knobs. The reference setattr's arbitrary OPTIM.* YAML
+    # keys onto its config (ref: utils/config.py:241) and reads these via
+    # getattr defaults (ref: utils/optimization.py:232-276); ``None`` means
+    # "use the reference's derived default" (step_size: max_epoch//3,
+    # gamma: 0.1 step/multistep or 0.95 exponential, milestones:
+    # [E//2, 3E//4], total_iters: max_epoch)
+    eta_min: float = 0.0  # cosine floor
+    step_size: Optional[int] = None
+    gamma: Optional[float] = None
+    milestones: Optional[List[int]] = None
+    start_factor: float = 1.0  # linear
+    end_factor: float = 0.0  # linear
+    total_iters: Optional[int] = None  # linear
     warmup_epoch: int = 1
     warmup_type: str = "constant"  # constant | linear
     warmup_cons_lr: float = 1e-5
@@ -326,6 +339,16 @@ def _parse_opt_value(value: str):
     low = value.lower()
     if low in ("true", "false"):
         return low == "true"
+    if value.startswith("["):
+        # list literals (e.g. OPTIM.MILESTONES "[10, 20]") — the reference's
+        # OPTS parser leaves these as strings (ref: utils/config.py:480-486),
+        # which its schedulers then crash on; documented fix
+        import ast
+
+        try:
+            return ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            pass
     try:
         return int(value)
     except ValueError:

@@ -43,11 +43,21 @@ def enable(min_compile_secs: float = 0.5) -> None:
         return
     import jax
 
+    # CPU-forced processes (tests, virtual-mesh children) namespace by host
+    # CPU features — XLA:CPU AOT executables are feature-specific and risk
+    # SIGILL when loaded on a different host. Accelerator-path processes
+    # share one dir: TPU executables are host-CPU-independent, and splitting
+    # them would forfeit the warm start (20-40 s/compile over the tunnel)
+    # whenever the image moves hosts.
+    try:
+        forced_cpu = (jax.config.jax_platforms or "").startswith("cpu")
+    except Exception:
+        forced_cpu = False
+    subdir = _host_fingerprint() if forced_cpu else "accel"
     cache_dir = os.environ.get(
         "CLIP_GP_TPU_COMPILE_CACHE_DIR",
         os.path.join(
-            os.path.expanduser("~/.cache/clip_gp_tpu/xla"),
-            _host_fingerprint(),
+            os.path.expanduser("~/.cache/clip_gp_tpu/xla"), subdir
         ),
     )
     try:

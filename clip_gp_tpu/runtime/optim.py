@@ -25,6 +25,15 @@ import jax
 import optax
 
 
+def _opt(config, name, default):
+    """Scheduler knob with the reference's derived default: the config field
+    may be absent OR None (OptimConfig declares Optional knobs as None =
+    "derive", matching the reference's getattr defaults at
+    utils/optimization.py:232-276)."""
+    v = getattr(config, name, None)
+    return default if v is None else v
+
+
 def build_lr_schedule(config, warmup: bool = False) -> Callable[[int], float]:
     """Return epoch → lr, mirroring build_lr_scheduler semantics
     (ref: utils/optimization.py:218-280, 283-369)."""
@@ -33,7 +42,7 @@ def build_lr_schedule(config, warmup: bool = False) -> Callable[[int], float]:
     max_epoch = int(config.max_epoch)
 
     if name == "cosine":
-        eta_min = float(getattr(config, "eta_min", 0.0))
+        eta_min = float(_opt(config, "eta_min", 0.0))
 
         def sched(e):
             return eta_min + (base_lr - eta_min) * (
@@ -41,23 +50,23 @@ def build_lr_schedule(config, warmup: bool = False) -> Callable[[int], float]:
             ) / 2
 
     elif name == "step":
-        step_size = int(getattr(config, "step_size", max(max_epoch // 3, 1)))
-        gamma = float(getattr(config, "gamma", 0.1))
+        step_size = int(_opt(config, "step_size", max(max_epoch // 3, 1)))
+        gamma = float(_opt(config, "gamma", 0.1))
 
         def sched(e):
             return base_lr * gamma ** (e // step_size)
 
     elif name == "multistep":
         milestones = list(
-            getattr(config, "milestones", [max_epoch // 2, max_epoch * 3 // 4])
+            _opt(config, "milestones", [max_epoch // 2, max_epoch * 3 // 4])
         )
-        gamma = float(getattr(config, "gamma", 0.1))
+        gamma = float(_opt(config, "gamma", 0.1))
 
         def sched(e):
             return base_lr * gamma ** sum(1 for m in milestones if e >= m)
 
     elif name == "exponential":
-        gamma = float(getattr(config, "gamma", 0.95))
+        gamma = float(_opt(config, "gamma", 0.95))
 
         def sched(e):
             return base_lr * gamma**e
@@ -68,9 +77,9 @@ def build_lr_schedule(config, warmup: bool = False) -> Callable[[int], float]:
             return base_lr
 
     elif name == "linear":
-        start = float(getattr(config, "start_factor", 1.0))
-        end = float(getattr(config, "end_factor", 0.0))
-        total = int(getattr(config, "total_iters", max_epoch))
+        start = float(_opt(config, "start_factor", 1.0))
+        end = float(_opt(config, "end_factor", 0.0))
+        total = int(_opt(config, "total_iters", max_epoch))
 
         def sched(e):
             t = min(e, total) / max(total, 1)

@@ -33,7 +33,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 os.environ.setdefault("CLIP_GP_TPU_ALLOW_RANDOM_WEIGHTS", "1")
 
-# same persistent compile cache the real CLI/sweep paths enable
+# Persistent compile cache pointed at a FRESH dir: every invocation then
+# measures the same program — the vmapped group and the in-process seed-1
+# trial compile cold, and the in-process seed-2 trial loads seed-1's entries
+# (exactly what a real sequential group's later seeds do). Reusing the
+# shared on-disk cache would silently turn "cold" into "warm" on any rerun.
+os.environ["CLIP_GP_TPU_COMPILE_CACHE_DIR"] = tempfile.mkdtemp(
+    prefix="bench_coop_xla_"
+)
 from clip_gp_tpu.runtime import compile_cache  # noqa: E402
 
 compile_cache.enable()

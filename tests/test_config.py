@@ -201,3 +201,61 @@ def test_quoted_yaml_bool_coerces():
     assert c.model.int8_inference is True
     merge_config_dict(c, {"TRAINER": {"ADAPTER": {"USE_GP": "false"}}})
     assert c.adapter.use_gp is False
+
+
+def test_optim_scheduler_knobs_merge_without_warning(capsys):
+    """The reference setattr's arbitrary OPTIM.* YAML keys (ref:
+    utils/config.py:241), so ETA_MIN / GAMMA / MILESTONES / STEP_SIZE /
+    START_FACTOR / END_FACTOR / TOTAL_ITERS are part of its config surface;
+    our typed OptimConfig must accept them rather than warn-and-drop."""
+    from clip_gp_tpu.core.config import Config, merge_config_dict
+
+    c = Config()
+    merge_config_dict(c, {"OPTIM": {
+        "ETA_MIN": 1e-5,
+        "GAMMA": 0.5,
+        "MILESTONES": [2, 4],
+        "STEP_SIZE": 7,
+        "START_FACTOR": 0.9,
+        "END_FACTOR": 0.1,
+        "TOTAL_ITERS": 11,
+    }})
+    out = capsys.readouterr().out
+    assert "[WARN]" not in out
+    assert c.optim.eta_min == 1e-5
+    assert c.optim.gamma == 0.5
+    assert c.optim.milestones == [2, 4]
+    assert c.optim.step_size == 7
+    assert c.optim.start_factor == 0.9
+    assert c.optim.end_factor == 0.1
+    assert c.optim.total_iters == 11
+
+
+def test_lr_schedule_derived_defaults_and_eta_min_floor():
+    """None scheduler knobs derive the reference's defaults; a configured
+    eta_min is an absolute cosine floor (ref: utils/optimization.py:232-276)."""
+    from clip_gp_tpu.core.config import OptimConfig
+    from clip_gp_tpu.runtime.optim import build_lr_schedule
+
+    # step: step_size None -> max_epoch // 3, gamma None -> 0.1
+    c = OptimConfig(lr=1.0, max_epoch=9, lr_scheduler="step")
+    sched = build_lr_schedule(c)
+    assert sched(0) == 1.0 and abs(sched(3) - 0.1) < 1e-12
+
+    # exponential: gamma None -> 0.95
+    c = OptimConfig(lr=1.0, max_epoch=9, lr_scheduler="exponential")
+    assert abs(build_lr_schedule(c)(1) - 0.95) < 1e-12
+
+    # cosine floor reaches eta_min at max_epoch regardless of base lr
+    for lr in (0.002, 0.02):
+        c = OptimConfig(lr=lr, max_epoch=10, lr_scheduler="cosine",
+                        eta_min=1e-5)
+        assert abs(build_lr_schedule(c)(10) - 1e-5) < 1e-12
+
+
+def test_opts_parse_list_literals():
+    from clip_gp_tpu.core.config import Config, merge_from_opts
+
+    c = Config()
+    merge_from_opts(c, ["OPTIM.MILESTONES", "[10, 20]"])
+    assert c.optim.milestones == [10, 20]

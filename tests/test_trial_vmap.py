@@ -372,6 +372,7 @@ def test_vmapped_coop_matches_inprocess_trainer(tmp_path):
     from clip_gp_tpu.core.seeding import set_random_seed
     from clip_gp_tpu.data.pipeline import build_data_manager
     from clip_gp_tpu.parallel.trial_vmap import run_vmapped_trials
+    from clip_gp_tpu.runtime import feature_cache
 
     config = _head_config(tmp_path, "Adapter-CoOp")
     config.input.transforms = []  # deterministic resize+center-crop only
@@ -387,6 +388,7 @@ def test_vmapped_coop_matches_inprocess_trainer(tmp_path):
     cfg = copy.deepcopy(config)
     cfg.output_dir = str(tmp_path / "inproc")
     set_random_seed(cfg.seed)
+    feature_cache.memo_clear()
     dm = build_data_manager(cfg)
     trainer = build_trainer(cfg, dm)
     trainer.train()
@@ -394,7 +396,9 @@ def test_vmapped_coop_matches_inprocess_trainer(tmp_path):
         (tmp_path / "inproc" / "metrics.json").read_text()
     )["metrics"]
 
-    # vmapped trial (T=1)
+    # vmapped trial (T=1) — memo cleared so its encode path is really
+    # exercised rather than served from the in-process run's cache
+    feature_cache.memo_clear()
     outdir = tmp_path / "vmap"
     results = run_vmapped_trials(
         config, [1], [outdir], method="Adapter-CoOp"
