@@ -19,9 +19,31 @@
 #include <vector>
 
 #include <cstdio>  // jpeglib.h needs FILE
+#include <dlfcn.h>
 #include <jpeglib.h>
 
 namespace {
+
+// libjpeg-turbo partial-decompression entry points, resolved at runtime so
+// the library still builds (and degrades to full decode) against a plain
+// libjpeg that lacks them. With them, the train path decodes only the
+// scanline/column window a RandomResizedCrop box actually reads.
+typedef void (*crop_scanline_fn)(j_decompress_ptr, JDIMENSION*, JDIMENSION*);
+typedef JDIMENSION (*skip_scanlines_fn)(j_decompress_ptr, JDIMENSION);
+
+crop_scanline_fn get_crop_fn() {
+  static crop_scanline_fn fn = reinterpret_cast<crop_scanline_fn>(
+      dlsym(RTLD_DEFAULT, "jpeg_crop_scanline"));
+  return fn;
+}
+
+skip_scanlines_fn get_skip_fn() {
+  static skip_scanlines_fn fn = reinterpret_cast<skip_scanlines_fn>(
+      dlsym(RTLD_DEFAULT, "jpeg_skip_scanlines"));
+  return fn;
+}
+
+int g_partial_decode = 1;  // set_partial_decode() toggles (exactness tests)
 
 struct ErrorMgr {
   jpeg_error_mgr pub;
@@ -46,7 +68,15 @@ inline float cubic(float x) {
 // kernel is stretched by the scale factor (support 2*scale), matching
 // Pillow's ImagingResample weight computation. Resamples from a float source
 // box (x0, y0, w, h) — PIL's resize(box=...) convention — so cropping is free.
-void resize_bicubic_box(const uint8_t* src, int sh, int sw, float box_x,
+//
+// ``src`` may be a partial-decode WINDOW of the full image: (src_x0, src_y0)
+// is the window origin and (full_w, full_h) the full image dims. Tap centers,
+// weights, and clamping are all computed in FULL-image coordinates (only the
+// pixel indexing subtracts the origin), so the output is bit-identical
+// whether the decode was windowed or full — window-relative float arithmetic
+// would differ in ulps and flip rounded uint8s by ±1.
+void resize_bicubic_box(const uint8_t* src, int sh, int sw, int src_x0,
+                        int src_y0, int full_w, int full_h, float box_x,
                         float box_y, float box_w, float box_h, uint8_t* dst,
                         int dh, int dw) {
   const float scale_y = box_h / dh;
@@ -88,29 +118,33 @@ void resize_bicubic_box(const uint8_t* src, int sh, int sw, float box_x,
     return t;
   };
 
-  const Taps tx = build_taps(sw, dw, scale_x, box_x);
-  const Taps ty = build_taps(sh, dh, scale_y, box_y);
+  const Taps tx = build_taps(full_w, dw, scale_x, box_x);
+  const Taps ty = build_taps(full_h, dh, scale_y, box_y);
 
   // the vertical pass only reads rows inside the crop box's filter support
   // — restrict the horizontal pass to that range (a small RandomResizedCrop
   // of a large photo would otherwise resample every source row, like 10x
-  // the needed work; PIL's ImagingResample restricts both passes too)
-  int row_lo = sh, row_hi = 0;
+  // the needed work; PIL's ImagingResample restricts both passes too).
+  // Full-image coordinates; additionally clamped to the decoded window.
+  int row_lo = full_h, row_hi = 0;
   for (int oy = 0; oy < dh; ++oy) {
     row_lo = std::min(row_lo, ty.bounds[oy]);
     row_hi = std::max(row_hi, ty.bounds[oy] + ty.counts[oy]);
   }
-  row_lo = std::max(row_lo, 0);
-  row_hi = std::min(row_hi, sh);
+  row_lo = std::max(row_lo, src_y0);
+  row_hi = std::min(row_hi, src_y0 + sh);
   const int nrows = std::max(row_hi - row_lo, 0);
 
   // horizontal pass into float intermediate [nrows, dw, 3]
   std::vector<float> tmp(static_cast<size_t>(nrows) * dw * 3);
   for (int y = row_lo; y < row_hi; ++y) {
-    const uint8_t* row = src + static_cast<size_t>(y) * sw * 3;
+    const uint8_t* row = src + static_cast<size_t>(y - src_y0) * sw * 3;
     for (int ox = 0; ox < dw; ++ox) {
       const float* w = &tx.weights[static_cast<size_t>(ox) * tx.max_taps];
-      const int x0 = tx.bounds[ox];
+      // tap bounds are full-image; clamp into the window (no-op when the
+      // decode margin held, which the parity test pins)
+      const int x0 = std::clamp(tx.bounds[ox] - src_x0, 0,
+                                std::max(sw - tx.counts[ox], 0));
       float acc[3] = {0.0f, 0.0f, 0.0f};
       for (int k = 0; k < tx.counts[ox]; ++k) {
         const uint8_t* px = row + (x0 + k) * 3;
@@ -127,7 +161,9 @@ void resize_bicubic_box(const uint8_t* src, int sh, int sw, float box_x,
   // vertical pass
   for (int oy = 0; oy < dh; ++oy) {
     const float* w = &ty.weights[static_cast<size_t>(oy) * ty.max_taps];
-    const int y0 = ty.bounds[oy] - row_lo;
+    const int y0 = std::clamp(ty.bounds[oy], row_lo,
+                              std::max(row_hi - ty.counts[oy], row_lo)) -
+                   row_lo;
     for (int ox = 0; ox < dw; ++ox) {
       float acc[3] = {0.0f, 0.0f, 0.0f};
       for (int k = 0; k < ty.counts[oy]; ++k) {
@@ -146,16 +182,29 @@ void resize_bicubic_box(const uint8_t* src, int sh, int sw, float box_x,
 
 void resize_bicubic(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
                     int dw) {
-  resize_bicubic_box(src, sh, sw, 0.0f, 0.0f, static_cast<float>(sw),
-                     static_cast<float>(sh), dst, dh, dw);
+  resize_bicubic_box(src, sh, sw, 0, 0, sw, sh, 0.0f, 0.0f,
+                     static_cast<float>(sw), static_cast<float>(sh), dst, dh,
+                     dw);
 }
 
 // Shared decode: JPEG bytes → RGB pixel buffer, optionally DCT-scaled so the
 // given region stays >= 2*target on its short side. On success fills
 // `pixels` ([sh, sw, 3]) and the scale factors applied (output/original).
+//
+// ``box`` (x, y, w, h in ORIGINAL image coordinates, or nullptr) restricts
+// the decode to the scanline/column window that resampling the box actually
+// reads (libjpeg-turbo partial decompression; baseline JPEGs only). The
+// retained pixels are bit-identical to a full decode except within a couple
+// of pixels of the crop boundary, so the window carries the resampler's
+// filter support plus an iMCU of slack — the resampler never reads the
+// boundary-adjacent region. ``col_off``/``row_off`` report the decoded
+// sub-image's origin in (DCT-scaled) output coordinates.
 int decode_pixels(const uint8_t* data, long size, float region_short,
                   int target, std::vector<uint8_t>* pixels, int* out_sw,
-                  int* out_sh, float* fx, float* fy) {
+                  int* out_sh, float* fx, float* fy,
+                  const float* box = nullptr, int* col_off = nullptr,
+                  int* row_off = nullptr, int* full_w_out = nullptr,
+                  int* full_h_out = nullptr) {
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
   // declared BEFORE setjmp: a longjmp from inside jpeg_read_scanlines must
@@ -195,21 +244,73 @@ int decode_pixels(const uint8_t* data, long size, float region_short,
   }
   jpeg_start_decompress(&cinfo);
 
-  const int sw = cinfo.output_width;
-  const int sh = cinfo.output_height;
+  // scale factors are the FULL scaled-image dims over the originals; a
+  // partial-decode window below changes cinfo.output_width, so snapshot now
+  const int full_sw = static_cast<int>(cinfo.output_width);
+  const int full_sh = static_cast<int>(cinfo.output_height);
   const int channels = cinfo.output_components;
   if (channels != 3 && channels != 1) {
     jpeg_abort_decompress(&cinfo);
     jpeg_destroy_decompress(&cinfo);
     return 3;
   }
-  pixels->resize(static_cast<size_t>(sw) * sh * 3);
+
+  int xoff_applied = 0;
+  int rows_skipped = 0;
+  int rows_keep_hi = full_sh;
+  if (g_partial_decode && box != nullptr && !cinfo.progressive_mode &&
+      full_sh > 0 && full_sw > 0) {
+    const float fxs = static_cast<float>(full_sw) / orig_w;
+    const float fys = static_cast<float>(full_sh) / orig_h;
+    const float bx = box[0] * fxs;
+    const float by = box[1] * fys;
+    const float bw = box[2] * fxs;
+    const float bh = box[3] * fys;
+    // resampler filter support (kernel stretched by the downscale factor)
+    // + an iMCU (16 px) of slack for crop-boundary chroma-upsampling edges
+    const float scale = std::max(bw, bh) / static_cast<float>(std::max(target, 1));
+    const int margin =
+        static_cast<int>(std::ceil(2.0f * std::max(scale, 1.0f))) + 18;
+    crop_scanline_fn crop_fn = get_crop_fn();
+    if (crop_fn != nullptr) {
+      const int x_lo = std::max(0, static_cast<int>(std::floor(bx)) - margin);
+      const int x_hi = std::min(
+          full_sw, static_cast<int>(std::ceil(bx + bw)) + margin);
+      if (x_hi > x_lo && x_hi - x_lo < full_sw) {
+        JDIMENSION xoff = static_cast<JDIMENSION>(x_lo);
+        JDIMENSION xw = static_cast<JDIMENSION>(x_hi - x_lo);
+        crop_fn(&cinfo, &xoff, &xw);  // expands to iMCU boundaries
+        xoff_applied = static_cast<int>(xoff);
+      }
+    }
+    skip_scanlines_fn skip_fn = get_skip_fn();
+    if (skip_fn != nullptr) {
+      const int y_lo = std::max(0, static_cast<int>(std::floor(by)) - margin);
+      const int y_hi = std::min(
+          full_sh, static_cast<int>(std::ceil(by + bh)) + margin);
+      if (y_hi > y_lo) {
+        if (y_lo > 0)
+          rows_skipped = static_cast<int>(
+              skip_fn(&cinfo, static_cast<JDIMENSION>(y_lo)));
+        rows_keep_hi = y_hi;
+      }
+    }
+  }
+
+  const int sw = static_cast<int>(cinfo.output_width);  // post-crop width
+  const int rows_kept = rows_keep_hi - rows_skipped;
+  if (rows_kept <= 0) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 4;
+  }
+  pixels->resize(static_cast<size_t>(sw) * rows_kept * 3);
   rowbuf.resize(static_cast<size_t>(sw) * channels);
-  while (cinfo.output_scanline < cinfo.output_height) {
+  while (static_cast<int>(cinfo.output_scanline) < rows_keep_hi) {
     uint8_t* rowptr = rowbuf.data();
     jpeg_read_scanlines(&cinfo, &rowptr, 1);
-    uint8_t* dst_row =
-        &(*pixels)[static_cast<size_t>(cinfo.output_scanline - 1) * sw * 3];
+    uint8_t* dst_row = &(*pixels)[static_cast<size_t>(
+                           cinfo.output_scanline - 1 - rows_skipped) * sw * 3];
     if (channels == 3) {
       std::memcpy(dst_row, rowbuf.data(), static_cast<size_t>(sw) * 3);
     } else {  // grayscale → RGB
@@ -218,18 +319,31 @@ int decode_pixels(const uint8_t* data, long size, float region_short,
       }
     }
   }
-  jpeg_finish_decompress(&cinfo);
+  if (static_cast<int>(cinfo.output_scanline) <
+      static_cast<int>(cinfo.output_height)) {
+    jpeg_abort_decompress(&cinfo);  // bottom rows intentionally unread
+  } else {
+    jpeg_finish_decompress(&cinfo);
+  }
   jpeg_destroy_decompress(&cinfo);
   *out_sw = sw;
-  *out_sh = sh;
-  *fx = static_cast<float>(sw) / orig_w;
-  *fy = static_cast<float>(sh) / orig_h;
+  *out_sh = rows_kept;
+  *fx = static_cast<float>(full_sw) / orig_w;
+  *fy = static_cast<float>(full_sh) / orig_h;
+  if (col_off != nullptr) *col_off = xoff_applied;
+  if (row_off != nullptr) *row_off = rows_skipped;
+  if (full_w_out != nullptr) *full_w_out = full_sw;
+  if (full_h_out != nullptr) *full_h_out = full_sh;
   return 0;
 }
 
 }  // namespace
 
 extern "C" {
+
+// Toggle partial (windowed) decompression for the train path. On by
+// default; tests turn it off to prove bit-parity against the full decode.
+void set_partial_decode(int enabled) { g_partial_decode = enabled; }
 
 // Read only the JPEG header; writes original width/height. 0 on success.
 int jpeg_dims(const uint8_t* data, long size, int* width, int* height) {
@@ -265,12 +379,15 @@ int decode_rrc(const uint8_t* data, long size, float x, float y, float w,
   std::vector<uint8_t> pixels;
   int sw, sh;
   float fx, fy;
+  int col_off = 0, row_off = 0, full_w = 0, full_h = 0;
   const float region_short = std::min(w, h);
+  const float box[4] = {x, y, w, h};
   const int rc = decode_pixels(data, size, region_short, target, &pixels,
-                               &sw, &sh, &fx, &fy);
+                               &sw, &sh, &fx, &fy, box, &col_off, &row_off,
+                               &full_w, &full_h);
   if (rc != 0) return rc;
-  resize_bicubic_box(pixels.data(), sh, sw, x * fx, y * fy, w * fx, h * fy,
-                     out, target, target);
+  resize_bicubic_box(pixels.data(), sh, sw, col_off, row_off, full_w, full_h,
+                     x * fx, y * fy, w * fx, h * fy, out, target, target);
   if (flip) {
     for (int row = 0; row < target; ++row) {
       uint8_t* r = out + static_cast<size_t>(row) * target * 3;

@@ -44,7 +44,7 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         tmp = lib_path.with_suffix(f".so.tmp.{os.getpid()}")
         cmd = [
             "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-            str(_SRC), "-ljpeg", "-o", str(tmp),
+            str(_SRC), "-ljpeg", "-ldl", "-o", str(tmp),
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -82,6 +82,8 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8),
     ]
+    lib.set_partial_decode.restype = None
+    lib.set_partial_decode.argtypes = [ctypes.c_int]
     return lib
 
 
@@ -126,6 +128,14 @@ def jpeg_dims(jpeg_bytes: bytes) -> Optional[tuple]:
     if rc != 0:
         return None
     return (w.value, h.value)
+
+
+def set_partial_decode(enabled: bool) -> None:
+    """Toggle windowed (partial) JPEG decompression on the train path —
+    tests turn it off to prove bit-parity against the full decode."""
+    lib = _get_lib()
+    if lib is not None:
+        lib.set_partial_decode(1 if enabled else 0)
 
 
 def decode_rrc(

@@ -180,3 +180,54 @@ def test_pipeline_native_train_path_rng_parity(tmp_path, monkeypatch):
     assert out_pil.shape == out_nat.shape == (224, 224, 3)
     diff = np.abs(out_pil.astype(np.int16) - out_nat.astype(np.int16))
     assert float(diff.mean()) < 4.0, f"mean abs diff {diff.mean():.2f}"
+
+
+def test_partial_decode_bit_identical_to_full():
+    """The windowed (jpeg_crop_scanline/jpeg_skip_scanlines) train-path
+    decode must be BIT-identical to the full decode: tap centers/weights are
+    computed in full-image coordinates and the decode window carries the
+    filter support plus an iMCU of slack, so neither float arithmetic nor
+    crop-boundary pixels can differ. Covers interior, corner, and
+    full-image boxes over 4:2:0-subsampled JPEGs."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from clip_gp_tpu.native import loader
+
+    if not loader.native_available():
+        import pytest
+
+        pytest.skip("native decoder unavailable")
+
+    rng = np.random.default_rng(7)
+    try:
+        for w, h in [(500, 375), (97, 211), (640, 480)]:
+            yy, xx = np.mgrid[0:h, 0:w]
+            arr = np.stack([
+                ((xx * xx + yy) % 256).astype(np.uint8),
+                (yy % 256).astype(np.uint8),
+                ((xx + yy) % 256).astype(np.uint8),
+            ], -1)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="JPEG", quality=85)
+            jb = buf.getvalue()
+            boxes = [(0.0, 0.0, float(w), float(h)),       # full image
+                     (0.0, 0.0, w * 0.4, h * 0.4),          # top-left corner
+                     (w * 0.6, h * 0.6, w * 0.4, h * 0.4)]  # bottom-right
+            for _ in range(6):                              # interior
+                bw = float(rng.uniform(0.2, 0.9) * w)
+                bh = float(rng.uniform(0.2, 0.9) * h)
+                boxes.append((float(rng.uniform(0, w - bw)),
+                              float(rng.uniform(0, h - bh)), bw, bh))
+            for flip in (False, True):
+                for box in boxes:
+                    loader.set_partial_decode(True)
+                    a = loader.decode_rrc(jb, box, 224, flip)
+                    loader.set_partial_decode(False)
+                    b = loader.decode_rrc(jb, box, 224, flip)
+                    assert a is not None and b is not None
+                    assert np.array_equal(a, b), (w, h, box, flip)
+    finally:
+        loader.set_partial_decode(True)
