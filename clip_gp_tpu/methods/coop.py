@@ -144,6 +144,32 @@ class Trainer(BaseTrainer):
             self.token_prefix, self.token_suffix, self._eot,
         )
 
+        # quiet epochs advance every full-size batch as ONE scanned
+        # executable (text-tower fwd/bwd per batch otherwise costs one
+        # dispatch round-trip each — 350 ms over a tunneled backend). The
+        # step is deterministic (no in-step RNG), so scanning is the same
+        # math as the eager loop.
+        def epoch_scan(clip_params, params, opt_state, feats_b, labels_b,
+                       prefix, suffix, eot):
+            def body(carry, xs):
+                params, opt_state = carry
+                f, l = xs
+                params, opt_state, loss, _ = train_step(
+                    clip_params, params, opt_state, f, l, prefix, suffix, eot
+                )
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (feats_b, labels_b)
+            )
+            return params, opt_state, losses
+
+        scan_jit = jax.jit(epoch_scan, donate_argnums=(1, 2))
+        self._epoch_scan = lambda params, opt_state, fb, lb: scan_jit(
+            self._clip_params, params, opt_state, fb, lb,
+            self.token_prefix, self.token_suffix, self._eot,
+        )
+
     # ------------------------------------------------------------------
     def predict_logits(self, features):
         text = self._text_features(self.params)
@@ -194,6 +220,41 @@ class Trainer(BaseTrainer):
         self.num_batches = len(loader)
         verbose = self.epoch == 0 or (self.epoch + 1) % 10 == 0
         bs = loader.batch_size
+        if not verbose and self._writer is None and self.num_batches > 1:
+            # quiet epoch: stream-encode the augmented batches (image encode
+            # overlaps the loader's host decode), then advance all full-size
+            # batches as one scanned executable. Only the trailing partial
+            # batch (drop_last=False) steps eagerly — order preserved, and
+            # the step has no RNG, so results match the eager loop.
+            feats_list, labels_list = [], []
+            for batch in loader:
+                imgs = batch["img"]
+                n = imgs.shape[0]
+                imgs = common.pad_batch(imgs, bs)
+                feats_list.append(self._encode_norm(jnp.asarray(imgs))[:n])
+                labels_list.append(jnp.asarray(batch["label"].astype(np.int32)))
+            n_full = sum(1 for f in feats_list if int(f.shape[0]) == bs)
+            self.batch_idx = self.num_batches - 1
+            if n_full > 1:
+                self.params, self.opt_state, losses_dev = self._epoch_scan(
+                    self.params, self.opt_state,
+                    jnp.stack(feats_list[:n_full]),
+                    jnp.stack(labels_list[:n_full]),
+                )
+                losses.update(losses_dev.mean(), n_full)
+            else:
+                for f, l in zip(feats_list[:n_full], labels_list[:n_full]):
+                    self.params, self.opt_state, loss, _ = self._train_step(
+                        self.params, self.opt_state, f, l
+                    )
+                    losses.update(loss)
+            for f, l in zip(feats_list[n_full:], labels_list[n_full:]):
+                self.params, self.opt_state, loss, _ = self._train_step(
+                    self.params, self.opt_state, f, l
+                )
+                losses.update(loss)
+            self.opt_state = self.opt.set_epoch(self.opt_state, self.epoch + 1)
+            return losses.avg  # device scalar; callers never materialize it
         for self.batch_idx, batch in enumerate(loader):
             imgs = batch["img"]
             n = imgs.shape[0]

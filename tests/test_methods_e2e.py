@@ -236,3 +236,26 @@ def test_final_model_best_val(tmp_path, capfd):
     assert os.path.exists(
         os.path.join(config.output_dir, "adapter", "model-best.npz")
     )
+
+
+def test_coop_quiet_scan_matches_eager(tmp_path):
+    """Quiet CoOp epochs advance as one scanned executable; enabling
+    TensorBoard forces the per-batch eager loop. Trained ctx must agree
+    across modes (the step has no in-step RNG; scanned vs unrolled XLA
+    executables may reassociate floats, hence allclose not bit-equal)."""
+    cfg_scan = make_config(tmp_path / "scan", "Adapter-CoOp")
+    cfg_scan.adapter.clip_adapter_epochs = 4
+    cfg_scan.optim.max_epoch = 4
+    t_scan, _ = _run(cfg_scan)
+
+    cfg_eager = make_config(tmp_path / "eager", "Adapter-CoOp")
+    cfg_eager.adapter.clip_adapter_epochs = 4
+    cfg_eager.optim.max_epoch = 4
+    cfg_eager.train.enable_tensorboard = True
+    t_eager, _ = _run(cfg_eager)
+
+    np.testing.assert_allclose(
+        np.asarray(t_scan.params["ctx"]),
+        np.asarray(t_eager.params["ctx"]),
+        rtol=1e-3, atol=1e-5,
+    )
