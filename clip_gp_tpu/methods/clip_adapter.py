@@ -124,13 +124,38 @@ class Trainer(BaseTrainer):
                 params = jax.tree.map(lambda p, u: p + u, params, updates)
                 return params, opt_state, loss, logits
 
-            return jax.jit(train_step, donate_argnums=(0, 1))
+            return train_step
 
-        self._train_step = make_train_step(logits_fn)
+        plain_step = make_train_step(logits_fn)
         # GP classifier trains through the no-renorm logits (the adapter's CE
         # gradient must see the same per-class shrinkage the reference's
         # MC-mean logits carry)
-        self._gp_train_step = make_train_step(gp_logits_fn)
+        gp_step = make_train_step(gp_logits_fn)
+        self._train_step = jax.jit(plain_step, donate_argnums=(0, 1))
+        self._gp_train_step = jax.jit(gp_step, donate_argnums=(0, 1))
+
+        # quiet epochs advance every full-size batch as ONE scanned
+        # executable (common.quiet_epoch_advance); the step is deterministic,
+        # so scanning is the same math as the eager loop.
+        def make_epoch_scan(step):
+            def epoch_scan(params, opt_state, feats_b, labels_b, clip_weights):
+                def body(carry, xs):
+                    params, opt_state = carry
+                    f, l = xs
+                    params, opt_state, loss, _ = step(
+                        params, opt_state, f, l, clip_weights
+                    )
+                    return (params, opt_state), loss
+
+                (params, opt_state), losses = jax.lax.scan(
+                    body, (params, opt_state), (feats_b, labels_b)
+                )
+                return params, opt_state, losses
+
+            return jax.jit(epoch_scan, donate_argnums=(0, 1))
+
+        self._epoch_scan = make_epoch_scan(plain_step)
+        self._gp_epoch_scan = make_epoch_scan(gp_step)
 
     # ------------------------------------------------------------------
     def predict_logits(self, features):
@@ -220,6 +245,29 @@ class Trainer(BaseTrainer):
         self.num_batches = len(loader)
         verbose = self.epoch == 0 or (self.epoch + 1) % 10 == 0
         bs = loader.batch_size
+        gp = getattr(self, "_gp_classifier", False)
+        if not verbose and self._writer is None and self.num_batches > 1:
+            scan = self._gp_epoch_scan if gp else self._epoch_scan
+            step = self._gp_train_step if gp else self._train_step
+
+            def scan_full(fb, lb, _keys):
+                self.params, self.opt_state, losses_dev = scan(
+                    self.params, self.opt_state, fb, lb, self.clip_weights
+                )
+                return losses_dev
+
+            def step_one(f, l, _key):
+                self.params, self.opt_state, loss, _ = step(
+                    self.params, self.opt_state, f, l, self.clip_weights
+                )
+                return loss
+
+            common.quiet_epoch_advance(
+                loader, self._encode, scan_full, step_one, losses
+            )
+            self.batch_idx = self.num_batches - 1
+            self.opt_state = self.opt.set_epoch(self.opt_state, self.epoch + 1)
+            return losses.avg  # device scalar; callers never materialize it
         for self.batch_idx, batch in enumerate(loader):
             imgs = batch["img"]
             n = imgs.shape[0]

@@ -173,6 +173,54 @@ def pad_batch(imgs: np.ndarray, batch_size: int) -> np.ndarray:
     return np.concatenate([imgs, pad], axis=0)
 
 
+def quiet_epoch_advance(loader, encode, scan_full, step_one, losses,
+                        draw_key=None):
+    """Advance one quiet training epoch with a single scanned dispatch.
+
+    Stream-encodes the augmented batches (image encode overlaps the loader's
+    host decode), then advances all full-size batches as ONE scanned
+    executable — per-batch eager stepping otherwise costs one dispatch
+    round-trip each (350 ms over a tunneled backend). Only the trailing
+    partial batch (drop_last=False) steps eagerly, so batch order is
+    preserved; steps draw no RNG beyond the explicit ``draw_key`` stream, so
+    the result matches the eager loop.
+
+    ``scan_full(feats_b [T,B,*], labels_b [T,B], keys_b [T,2]|None)`` runs
+    the scan and mutates trainer state via its closure, returning per-batch
+    device losses. ``step_one(feats, labels, key|None)`` steps one batch and
+    returns its loss. ``draw_key`` (optional) draws one training-stream key
+    per batch, consumed in batch order exactly as the eager loop would.
+    """
+    bs = loader.batch_size
+    feats_list, labels_list = [], []
+    for batch in loader:
+        imgs = batch["img"]
+        n = imgs.shape[0]
+        imgs = pad_batch(imgs, bs)
+        feats_list.append(encode(jnp.asarray(imgs))[:n])
+        labels_list.append(jnp.asarray(batch["label"].astype(np.int32)))
+    n_full = sum(1 for f in feats_list if int(f.shape[0]) == bs)
+    if n_full > 1:
+        keys_b = (
+            jnp.stack([draw_key() for _ in range(n_full)])
+            if draw_key is not None
+            else None
+        )
+        losses_dev = scan_full(
+            jnp.stack(feats_list[:n_full]),
+            jnp.stack(labels_list[:n_full]),
+            keys_b,
+        )
+        losses.update(losses_dev.mean(), n_full)
+        rest = zip(feats_list[n_full:], labels_list[n_full:])
+    else:
+        rest = zip(feats_list, labels_list)
+    for f, l in rest:
+        key = draw_key() if draw_key is not None else None
+        losses.update(step_one(f, l, key))
+    return len(feats_list)
+
+
 def extract_with(encode_fn, loader) -> Tuple[np.ndarray, np.ndarray]:
     """Run a jitted image-encode function over a loader with batch padding.
 

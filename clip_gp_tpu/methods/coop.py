@@ -221,38 +221,22 @@ class Trainer(BaseTrainer):
         verbose = self.epoch == 0 or (self.epoch + 1) % 10 == 0
         bs = loader.batch_size
         if not verbose and self._writer is None and self.num_batches > 1:
-            # quiet epoch: stream-encode the augmented batches (image encode
-            # overlaps the loader's host decode), then advance all full-size
-            # batches as one scanned executable. Only the trailing partial
-            # batch (drop_last=False) steps eagerly — order preserved, and
-            # the step has no RNG, so results match the eager loop.
-            feats_list, labels_list = [], []
-            for batch in loader:
-                imgs = batch["img"]
-                n = imgs.shape[0]
-                imgs = common.pad_batch(imgs, bs)
-                feats_list.append(self._encode_norm(jnp.asarray(imgs))[:n])
-                labels_list.append(jnp.asarray(batch["label"].astype(np.int32)))
-            n_full = sum(1 for f in feats_list if int(f.shape[0]) == bs)
-            self.batch_idx = self.num_batches - 1
-            if n_full > 1:
+            def scan_full(fb, lb, _keys):
                 self.params, self.opt_state, losses_dev = self._epoch_scan(
-                    self.params, self.opt_state,
-                    jnp.stack(feats_list[:n_full]),
-                    jnp.stack(labels_list[:n_full]),
+                    self.params, self.opt_state, fb, lb
                 )
-                losses.update(losses_dev.mean(), n_full)
-            else:
-                for f, l in zip(feats_list[:n_full], labels_list[:n_full]):
-                    self.params, self.opt_state, loss, _ = self._train_step(
-                        self.params, self.opt_state, f, l
-                    )
-                    losses.update(loss)
-            for f, l in zip(feats_list[n_full:], labels_list[n_full:]):
+                return losses_dev
+
+            def step_one(f, l, _key):
                 self.params, self.opt_state, loss, _ = self._train_step(
                     self.params, self.opt_state, f, l
                 )
-                losses.update(loss)
+                return loss
+
+            common.quiet_epoch_advance(
+                loader, self._encode_norm, scan_full, step_one, losses
+            )
+            self.batch_idx = self.num_batches - 1
             self.opt_state = self.opt.set_epoch(self.opt_state, self.epoch + 1)
             return losses.avg  # device scalar; callers never materialize it
         for self.batch_idx, batch in enumerate(loader):

@@ -99,12 +99,33 @@ class Trainer(BaseTrainer):
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
 
-    def _build_gp_train_step(self):
+        # quiet epochs advance every full-size batch as ONE scanned
+        # executable (common.quiet_epoch_advance); the step is deterministic,
+        # so scanning is the same math as the eager loop.
+        def epoch_scan(params, opt_state, feats_b, labels_b, base):
+            def body(carry, xs):
+                params, opt_state = carry
+                f, l = xs
+                params, opt_state, loss, _ = train_step(
+                    params, opt_state, f, l, base
+                )
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (feats_b, labels_b)
+            )
+            return params, opt_state, losses
+
+        self._epoch_scan = jax.jit(epoch_scan, donate_argnums=(0, 1))
+
+    def _build_gp_train_fns(self):
         """Residuals train THROUGH per-step MC prototype samples like the
         reference (normalize(p̂ₛ + α·residual) is nonlinear in the samples,
         so the fixed-mean shortcut optimizes a different objective;
         ref: taskres.py:96-116 runs this path with S_train in training
-        mode). gp params/buffers are explicit jit args (CLAUDE.md)."""
+        mode). gp params/buffers are explicit jit args (CLAUDE.md). Sets the
+        eager per-batch step and the quiet-epoch scan (per-batch keys ride
+        the scanned axis, consumed in batch order like the eager loop)."""
         static, _, _ = self.gp_bundle
         s_tr = max(1, int(self.config.adapter.gp_num_mc_samples_train or 1))
         gp_logits = self._gp_logits_raw
@@ -129,7 +150,24 @@ class Trainer(BaseTrainer):
                 logits,
             )
 
-        return jax.jit(train_step, donate_argnums=(0, 1))
+        self._gp_train_step = jax.jit(train_step, donate_argnums=(0, 1))
+
+        def epoch_scan(params, opt_state, feats_b, labels_b, keys_b,
+                       gp_params, buffers):
+            def body(carry, xs):
+                params, opt_state = carry
+                f, l, key = xs
+                params, opt_state, loss, _ = train_step(
+                    params, opt_state, f, l, gp_params, buffers, key
+                )
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (feats_b, labels_b, keys_b)
+            )
+            return params, opt_state, losses
+
+        self._gp_epoch_scan = jax.jit(epoch_scan, donate_argnums=(0, 1))
 
     # ------------------------------------------------------------------
     def predict_logits(self, features):
@@ -222,7 +260,51 @@ class Trainer(BaseTrainer):
         bs = loader.batch_size
         gp_path = self.gp_bundle is not None and bool(self.config.adapter.use_gp)
         if gp_path and not hasattr(self, "_gp_train_step"):
-            self._gp_train_step = self._build_gp_train_step()
+            self._build_gp_train_fns()
+        if not verbose and self._writer is None and self.num_batches > 1:
+            if gp_path:
+                _, gp_params, buffers = self.gp_bundle
+
+                def scan_full(fb, lb, keys_b):
+                    self.params, self.opt_state, losses_dev = (
+                        self._gp_epoch_scan(
+                            self.params, self.opt_state, fb, lb, keys_b,
+                            gp_params, buffers,
+                        )
+                    )
+                    return losses_dev
+
+                def step_one(f, l, key):
+                    self.params, self.opt_state, loss, _ = self._gp_train_step(
+                        self.params, self.opt_state, f, l,
+                        gp_params, buffers, key,
+                    )
+                    return loss
+
+                draw_key = self.keys.next
+            else:
+                def scan_full(fb, lb, _keys):
+                    self.params, self.opt_state, losses_dev = self._epoch_scan(
+                        self.params, self.opt_state, fb, lb,
+                        self.base_text_features,
+                    )
+                    return losses_dev
+
+                def step_one(f, l, _key):
+                    self.params, self.opt_state, loss, _ = self._train_step(
+                        self.params, self.opt_state, f, l,
+                        self.base_text_features,
+                    )
+                    return loss
+
+                draw_key = None
+            common.quiet_epoch_advance(
+                loader, self._encode, scan_full, step_one, losses,
+                draw_key=draw_key,
+            )
+            self.batch_idx = self.num_batches - 1
+            self.opt_state = self.opt.set_epoch(self.opt_state, self.epoch + 1)
+            return losses.avg  # device scalar; callers never materialize it
         for self.batch_idx, batch in enumerate(loader):
             imgs = batch["img"]
             n = imgs.shape[0]

@@ -254,26 +254,93 @@ class Trainer(BaseTrainer):
             return _jit_step(adapter_w, opt_state, feats, labels, clip_logits,
                              self.cache_vals)
 
-        best_acc, best_w = 0.0, np.asarray(adapter_w)
+        # all full-size batches of an epoch advance as ONE scanned executable
+        # (per-batch eager steps cost one dispatch round-trip each over a
+        # tunneled backend); the step is deterministic, so scanning is the
+        # same math as eager stepping.
+        def epoch_scan(adapter_w, opt_state, feats_b, labels_b,
+                       clip_logits_b, cache_vals):
+            def body(carry, xs):
+                adapter_w, opt_state = carry
+                f, l, cl = xs
+                adapter_w, opt_state, loss, tip = step(
+                    adapter_w, opt_state, f, l, cl, cache_vals
+                )
+                correct = (tip.argmax(axis=1) == l).sum()
+                return (adapter_w, opt_state), (loss, correct)
+
+            (adapter_w, opt_state), (losses, corrects) = jax.lax.scan(
+                body, (adapter_w, opt_state),
+                (feats_b, labels_b, clip_logits_b),
+            )
+            return adapter_w, opt_state, losses.sum(), corrects.sum()
+
+        jit_epoch_scan = jax.jit(epoch_scan, donate_argnums=(0, 1))
+
+        # per-epoch best-state keep runs device-side: the test tip-logits,
+        # finite guard, and accuracy compare all stay on device, so tracking
+        # the best epoch costs no host sync (the eager design materialized
+        # the full test logits every epoch).
+        def eval_best(adapter_w, best_acc, best_w, test_feats,
+                      test_clip_logits, test_labels_d, cache_vals):
+            affinity = test_feats @ adapter_w.T
+            tip = test_clip_logits + alpha * (
+                jnp.exp(-(beta - beta * affinity)) @ cache_vals
+            )
+            # never snapshot a numerically poisoned state: argmax over NaN
+            # rows degenerates to class 0, which can spuriously beat acc 0
+            finite = jnp.isfinite(tip).all()
+            acc = 100.0 * (tip.argmax(axis=1) == test_labels_d).mean()
+            better = finite & (acc > best_acc)
+            return (
+                jnp.where(better, acc, best_acc),
+                jnp.where(better, adapter_w, best_w),
+            )
+
+        jit_eval_best = jax.jit(eval_best)
+
+        best_acc = jnp.asarray(0.0)
+        best_w = jnp.array(adapter_w)  # copy: adapter_w donates into steps
         test_feats_j = jnp.asarray(test_feats)
+        test_labels_d = jnp.asarray(test_labels.astype(np.int32))
+        # the GP-classifier test logits are sample-averaged once up front
+        # (the eager loop re-sampled per epoch via _tip_logits; the adapter
+        # is trained against fixed clip logits either way, and the final
+        # reported eval in train() still draws its own samples)
+        test_clip_logits = self._clip_logits(test_feats_j)
         for epoch in range(epochs):
-            correct = total = 0
-            loss_sum = 0.0
+            bs = self.train_loader_x.batch_size
+            feats_list, labels_list, clip_list = [], [], []
             for batch in self.train_loader_x:
                 imgs = batch["img"]
-                bs = self.train_loader_x.batch_size
                 n = imgs.shape[0]
                 imgs = common.pad_batch(imgs, bs)
                 feats = self._encode_norm(jnp.asarray(imgs))[:n]
-                labels = jnp.asarray(batch["label"].astype(np.int32))
-                clip_logits = self._clip_logits(feats)
+                feats_list.append(feats)
+                labels_list.append(jnp.asarray(batch["label"].astype(np.int32)))
+                clip_list.append(self._clip_logits(feats))
+            n_full = sum(1 for f in feats_list if int(f.shape[0]) == bs)
+            total = sum(int(f.shape[0]) for f in feats_list)
+            correct = 0
+            loss_sum = 0.0
+            if n_full > 1:
+                adapter_w, opt_state, loss_sum, correct = jit_epoch_scan(
+                    adapter_w, opt_state,
+                    jnp.stack(feats_list[:n_full]),
+                    jnp.stack(labels_list[:n_full]),
+                    jnp.stack(clip_list[:n_full]),
+                    self.cache_vals,
+                )
+                rest = zip(feats_list[n_full:], labels_list[n_full:],
+                           clip_list[n_full:])
+            else:
+                rest = zip(feats_list, labels_list, clip_list)
+            for f, l, cl in rest:
                 adapter_w, opt_state, loss, tip = jit_step(
-                    adapter_w, opt_state, feats, labels, clip_logits
+                    adapter_w, opt_state, f, l, cl
                 )
                 # device-side correct-count: no per-batch host sync
-                correct_dev = (tip[:n].argmax(axis=1) == labels[:n]).sum()
-                correct += correct_dev  # lazy device accumulation
-                total += n
+                correct += (tip.argmax(axis=1) == l).sum()
                 loss_sum += loss
             if epoch == 0 or (epoch + 1) % 10 == 0:
                 print(
@@ -281,20 +348,11 @@ class Trainer(BaseTrainer):
                     f"loss {float(loss_sum) / max(1, n_batches):.4f} "
                     f"acc_train {100.0 * float(correct) / max(1, total):.4f}"
                 )
-            # quick test eval on cached test features; keep the best state
-            tip_test = np.asarray(
-                self._tip_logits(test_feats_j, beta, alpha, adapter_w)
+            best_acc, best_w = jit_eval_best(
+                adapter_w, best_acc, best_w, test_feats_j,
+                test_clip_logits, test_labels_d, self.cache_vals,
             )
-            # never snapshot a numerically poisoned state: argmax over NaN
-            # rows degenerates to class 0, which can spuriously beat acc 0
-            if not np.isfinite(tip_test).all():
-                continue
-            acc_test = compute_accuracy(tip_test, test_labels)[0]
-            if acc_test > best_acc:
-                # host snapshot — the live adapter_w buffer is donated into
-                # the next jit step
-                best_acc, best_w = acc_test, np.asarray(adapter_w)
-        return jnp.asarray(best_w)
+        return jnp.array(best_w)
 
     # metrics.json handled inside train(); standard test() path unused
     def predict_logits(self, features):

@@ -238,6 +238,51 @@ def test_final_model_best_val(tmp_path, capfd):
     )
 
 
+def _quiet_vs_eager_params(tmp_path, trainer_name, param_key,
+                           **adapter_overrides):
+    """Train twice — quiet-scan mode vs TB-forced eager mode — and return
+    the trained parameter from each (the step has no in-step RNG beyond the
+    explicit key stream; scanned vs unrolled XLA executables may reassociate
+    floats, hence callers assert allclose, not bit-equal)."""
+    cfg_scan = make_config(tmp_path / "scan", trainer_name, **adapter_overrides)
+    cfg_scan.adapter.clip_adapter_epochs = 4
+    cfg_scan.adapter.taskres_epochs = 4
+    cfg_scan.optim.max_epoch = 4
+    t_scan, _ = _run(cfg_scan)
+
+    cfg_eager = make_config(tmp_path / "eager", trainer_name,
+                            **adapter_overrides)
+    cfg_eager.adapter.clip_adapter_epochs = 4
+    cfg_eager.adapter.taskres_epochs = 4
+    cfg_eager.optim.max_epoch = 4
+    cfg_eager.train.enable_tensorboard = True
+    t_eager, _ = _run(cfg_eager)
+
+    return (
+        np.asarray(t_scan.params[param_key]),
+        np.asarray(t_eager.params[param_key]),
+    )
+
+
+def test_clip_adapter_quiet_scan_matches_eager(tmp_path):
+    got, want = _quiet_vs_eager_params(tmp_path, "CLIP-Adapter", "fc1")
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+
+def test_taskres_quiet_scan_matches_eager(tmp_path):
+    got, want = _quiet_vs_eager_params(tmp_path, "TaskRes", "residuals")
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+
+def test_taskres_gp_quiet_scan_matches_eager(tmp_path):
+    """The GP path draws one MC key per batch; the quiet scan must consume
+    the training key stream in the same order as the eager loop."""
+    got, want = _quiet_vs_eager_params(
+        tmp_path, "TaskRes", "residuals", use_gp=True, gp_pca_dim=8
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+
 def test_coop_quiet_scan_matches_eager(tmp_path):
     """Quiet CoOp epochs advance as one scanned executable; enabling
     TensorBoard forces the per-batch eager loop. Trained ctx must agree
