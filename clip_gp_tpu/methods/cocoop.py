@@ -182,6 +182,33 @@ class Trainer(BaseTrainer):
             self.token_prefix, self.token_suffix, self._eot,
         )
 
+        # quiet epochs advance every full-size batch as ONE scanned
+        # executable (the per-image text tower fwd/bwd otherwise costs one
+        # dispatch round-trip per batch over a tunneled backend). Per-batch
+        # (loss, top-1) come back as device arrays so the cadenced print
+        # lines materialize once per epoch instead of once per printed batch.
+        def epoch_scan(clip_params, params, opt_state, feats_b, labels_b,
+                       prefix, suffix, eot):
+            def body(carry, xs):
+                params, opt_state = carry
+                f, l = xs
+                params, opt_state, loss, logits = train_step(
+                    clip_params, params, opt_state, f, l, prefix, suffix, eot
+                )
+                acc = 100.0 * (logits.argmax(axis=-1) == l).mean()
+                return (params, opt_state), (loss, acc)
+
+            (params, opt_state), (losses, accs) = jax.lax.scan(
+                body, (params, opt_state), (feats_b, labels_b)
+            )
+            return params, opt_state, losses, accs
+
+        scan_jit = jax.jit(epoch_scan, donate_argnums=(1, 2))
+        self._epoch_scan = lambda params, opt_state, fb, lb: scan_jit(
+            self._clip_params, params, opt_state, fb, lb,
+            self.token_prefix, self.token_suffix, self._eot,
+        )
+
     # ------------------------------------------------------------------
     def predict_logits(self, features):
         return self._logits_fn(self.params, common.l2_normalize(features))
@@ -227,6 +254,45 @@ class Trainer(BaseTrainer):
         self.num_batches = len(loader)
         print_freq = int(self.config.train.print_freq)
         bs = loader.batch_size
+        if self._writer is None and self.num_batches > 1:
+            stats = []  # per-batch (loss, top-1) device scalars, batch order
+
+            def scan_full(fb, lb, _keys):
+                self.params, self.opt_state, losses_dev, accs_dev = (
+                    self._epoch_scan(self.params, self.opt_state, fb, lb)
+                )
+                stats.extend(zip(losses_dev, accs_dev))
+                return losses_dev
+
+            def step_one(f, l, _key):
+                self.params, self.opt_state, loss, logits = self._train_step(
+                    self.params, self.opt_state, f, l
+                )
+                acc = 100.0 * (jnp.argmax(logits, axis=-1) == l).mean()
+                stats.append((loss, acc))
+                return loss
+
+            common.quiet_epoch_advance(
+                loader, self._encode_norm, scan_full, step_one, losses
+            )
+            printed = [
+                i for i in range(self.num_batches)
+                if (i + 1) % print_freq == 0 or self.num_batches < print_freq
+            ]
+            if printed:
+                # one epoch-end transfer for every printed line
+                vals = np.asarray(
+                    jnp.stack([jnp.stack(stats[i]) for i in printed])
+                )
+                for (loss_v, acc_v), i in zip(vals, printed):
+                    print(
+                        f"epoch [{self.epoch + 1}/{self.max_epoch}] "
+                        f"batch [{i + 1}/{self.num_batches}] "
+                        f"loss {loss_v:.4f} acc_train {acc_v:.4f}"
+                    )
+            self.batch_idx = self.num_batches - 1
+            self.opt_state = self.opt.set_epoch(self.opt_state, self.epoch + 1)
+            return losses.avg  # device scalar; callers never materialize it
         for self.batch_idx, batch in enumerate(loader):
             imgs = batch["img"]
             n = imgs.shape[0]

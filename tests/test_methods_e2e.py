@@ -283,6 +283,11 @@ def test_taskres_gp_quiet_scan_matches_eager(tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
 
 
+def test_cocoop_quiet_scan_matches_eager(tmp_path):
+    got, want = _quiet_vs_eager_params(tmp_path, "Adapter-CoCoOp", "ctx")
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+
 def test_coop_quiet_scan_matches_eager(tmp_path):
     """Quiet CoOp epochs advance as one scanned executable; enabling
     TensorBoard forces the per-batch eager loop. Trained ctx must agree
