@@ -243,10 +243,14 @@ class Trainer(BaseTrainer):
             n = imgs.shape[0]
             imgs = common.pad_batch(imgs, bs)
             feats = self._encode_norm(jnp.asarray(imgs))
-            logits = np.asarray(self._logits_fn(self.params, feats))[:n]
-            logits_all.append(logits)
+            # device array, sliced lazily: dispatch overlaps the loader's
+            # host decode; ONE transfer materializes everything at the end
+            logits_all.append(self._logits_fn(self.params, feats)[:n])
             labels_all.append(batch["label"])
-        return np.concatenate(logits_all), np.concatenate(labels_all)
+        return (
+            np.asarray(jnp.concatenate(logits_all, axis=0)),
+            np.concatenate(labels_all),
+        )
 
     def run_epoch(self):
         losses = AverageMeter()
