@@ -439,7 +439,8 @@ class Trainer(BaseTrainer):
             # subsequent key (bit-exact same-seed runs are a tested contract)
             epoch_keys = self.keys.next(self.num_batches + 1)[: self.num_batches]
 
-        if not verbose_epoch and self._writer is None and self.num_batches > 1:
+        if (not verbose_epoch and self.num_batches > 1
+                and common.quiet_epochs_enabled(self._writer)):
             # quiet epoch: run all batches as ONE scanned executable
             n_full = self.num_batches * batch_size
             feats_b = features[:n_full].reshape(

@@ -136,26 +136,10 @@ class Trainer(BaseTrainer):
 
         # quiet epochs advance every full-size batch as ONE scanned
         # executable (common.quiet_epoch_advance); the step is deterministic,
-        # so scanning is the same math as the eager loop.
-        def make_epoch_scan(step):
-            def epoch_scan(params, opt_state, feats_b, labels_b, clip_weights):
-                def body(carry, xs):
-                    params, opt_state = carry
-                    f, l = xs
-                    params, opt_state, loss, _ = step(
-                        params, opt_state, f, l, clip_weights
-                    )
-                    return (params, opt_state), loss
-
-                (params, opt_state), losses = jax.lax.scan(
-                    body, (params, opt_state), (feats_b, labels_b)
-                )
-                return params, opt_state, losses
-
-            return jax.jit(epoch_scan, donate_argnums=(0, 1))
-
-        self._epoch_scan = make_epoch_scan(plain_step)
-        self._gp_epoch_scan = make_epoch_scan(gp_step)
+        # so scanning is the same math as the eager loop. clip_weights is the
+        # trailing epoch constant.
+        self._epoch_scan = common.make_epoch_scan(plain_step)
+        self._gp_epoch_scan = common.make_epoch_scan(gp_step)
 
     # ------------------------------------------------------------------
     def predict_logits(self, features):
@@ -246,17 +230,18 @@ class Trainer(BaseTrainer):
         verbose = self.epoch == 0 or (self.epoch + 1) % 10 == 0
         bs = loader.batch_size
         gp = getattr(self, "_gp_classifier", False)
-        if not verbose and self._writer is None and self.num_batches > 1:
+        if (not verbose and self.num_batches > 1
+                and common.quiet_epochs_enabled(self._writer)):
             scan = self._gp_epoch_scan if gp else self._epoch_scan
             step = self._gp_train_step if gp else self._train_step
 
-            def scan_full(fb, lb, _keys):
+            def scan_full(fb, lb, _keys, _extras):
                 self.params, self.opt_state, losses_dev = scan(
                     self.params, self.opt_state, fb, lb, self.clip_weights
                 )
                 return losses_dev
 
-            def step_one(f, l, _key):
+            def step_one(f, l, _key, _extra):
                 self.params, self.opt_state, loss, _ = step(
                     self.params, self.opt_state, f, l, self.clip_weights
                 )

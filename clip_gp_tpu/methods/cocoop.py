@@ -187,25 +187,20 @@ class Trainer(BaseTrainer):
         # dispatch round-trip per batch over a tunneled backend). Per-batch
         # (loss, top-1) come back as device arrays so the cadenced print
         # lines materialize once per epoch instead of once per printed batch.
-        def epoch_scan(clip_params, params, opt_state, feats_b, labels_b,
-                       prefix, suffix, eot):
-            def body(carry, xs):
-                params, opt_state = carry
-                f, l = xs
-                params, opt_state, loss, logits = train_step(
-                    clip_params, params, opt_state, f, l, prefix, suffix, eot
-                )
-                acc = 100.0 * (logits.argmax(axis=-1) == l).mean()
-                return (params, opt_state), (loss, acc)
-
-            (params, opt_state), (losses, accs) = jax.lax.scan(
-                body, (params, opt_state), (feats_b, labels_b)
+        def step_for_scan(params, opt_state, f, l, clip_params,
+                          prefix, suffix, eot):
+            return train_step(
+                clip_params, params, opt_state, f, l, prefix, suffix, eot
             )
-            return params, opt_state, losses, accs
 
-        scan_jit = jax.jit(epoch_scan, donate_argnums=(1, 2))
+        scan_jit = common.make_epoch_scan(
+            step_for_scan,
+            out_fn=lambda loss, logits, l: (
+                loss, 100.0 * (logits.argmax(axis=-1) == l).mean()
+            ),
+        )
         self._epoch_scan = lambda params, opt_state, fb, lb: scan_jit(
-            self._clip_params, params, opt_state, fb, lb,
+            params, opt_state, fb, lb, self._clip_params,
             self.token_prefix, self.token_suffix, self._eot,
         )
 
@@ -258,22 +253,27 @@ class Trainer(BaseTrainer):
         self.num_batches = len(loader)
         print_freq = int(self.config.train.print_freq)
         bs = loader.batch_size
-        if self._writer is None and self.num_batches > 1:
-            stats = []  # per-batch (loss, top-1) device scalars, batch order
+        if self.num_batches > 1 and common.quiet_epochs_enabled(self._writer):
+            # per-batch (loss, top-1) chunks in batch order, kept whole —
+            # iterating scan outputs element-wise would re-issue O(batches)
+            # tiny gather dispatches, negating the scan's dispatch savings
+            loss_parts, acc_parts = [], []
 
-            def scan_full(fb, lb, _keys):
-                self.params, self.opt_state, losses_dev, accs_dev = (
+            def scan_full(fb, lb, _keys, _extras):
+                self.params, self.opt_state, (losses_dev, accs_dev) = (
                     self._epoch_scan(self.params, self.opt_state, fb, lb)
                 )
-                stats.extend(zip(losses_dev, accs_dev))
+                loss_parts.append(losses_dev)
+                acc_parts.append(accs_dev)
                 return losses_dev
 
-            def step_one(f, l, _key):
+            def step_one(f, l, _key, _extra):
                 self.params, self.opt_state, loss, logits = self._train_step(
                     self.params, self.opt_state, f, l
                 )
                 acc = 100.0 * (jnp.argmax(logits, axis=-1) == l).mean()
-                stats.append((loss, acc))
+                loss_parts.append(loss.reshape(1))
+                acc_parts.append(acc.reshape(1))
                 return loss
 
             common.quiet_epoch_advance(
@@ -284,10 +284,12 @@ class Trainer(BaseTrainer):
                 if (i + 1) % print_freq == 0 or self.num_batches < print_freq
             ]
             if printed:
-                # one epoch-end transfer for every printed line
-                vals = np.asarray(
-                    jnp.stack([jnp.stack(stats[i]) for i in printed])
-                )
+                # one gather + one transfer for every printed line
+                idx = jnp.asarray(printed)
+                vals = np.asarray(jnp.stack([
+                    jnp.concatenate(loss_parts)[idx],
+                    jnp.concatenate(acc_parts)[idx],
+                ], axis=1))
                 for (loss_v, acc_v), i in zip(vals, printed):
                     print(
                         f"epoch [{self.epoch + 1}/{self.max_epoch}] "

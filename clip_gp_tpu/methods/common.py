@@ -173,51 +173,117 @@ def pad_batch(imgs: np.ndarray, batch_size: int) -> np.ndarray:
     return np.concatenate([imgs, pad], axis=0)
 
 
+def quiet_epochs_enabled(writer) -> bool:
+    """Quiet scanned epochs engage when no per-batch scalar sink needs the
+    eager loop (a live TensorBoard writer does). Tests force the eager path
+    via ``CLIP_GP_TPU_FORCE_EAGER_EPOCHS=1`` so scan-vs-eager parity never
+    silently degrades to scan-vs-scan on hosts without tensorboardX."""
+    if writer is not None:
+        return False
+    return os.environ.get("CLIP_GP_TPU_FORCE_EAGER_EPOCHS", "") != "1"
+
+
+def make_epoch_scan(step_fn, out_fn=None, n_streams=2, donate=(0, 1)):
+    """Build the jitted whole-epoch scan used by quiet training epochs.
+
+    ``step_fn(params, opt_state, *streams, *consts) -> (params, opt_state,
+    loss, logits)`` is the trainer's (unjitted) per-batch train step. The
+    first ``n_streams`` array arguments after ``(params, opt_state)`` ride
+    the scanned axis — by convention ``(feats, labels[, keys or per-batch
+    precomputed arrays])`` — and everything after them is constant across
+    the epoch (classifier weights, CLIP params, prompt parts: all explicit
+    jit arguments, never closure leaves). ``out_fn(loss, logits, labels)``
+    maps one step's results to its per-batch output row (default: the loss;
+    ``labels`` is stream #1 by the convention above).
+
+    Returns a jitted ``fn(params, opt_state, *stacked_streams, *consts) ->
+    (params, opt_state, outs)`` with (params, opt_state) donated.
+    """
+
+    def epoch_scan(params, opt_state, *args):
+        xs = args[:n_streams]
+        consts = args[n_streams:]
+
+        def body(carry, x):
+            params, opt_state = carry
+            params, opt_state, loss, logits = step_fn(
+                params, opt_state, *x, *consts
+            )
+            out = loss if out_fn is None else out_fn(loss, logits, x[1])
+            return (params, opt_state), out
+
+        (params, opt_state), outs = jax.lax.scan(
+            body, (params, opt_state), xs
+        )
+        return params, opt_state, outs
+
+    return jax.jit(epoch_scan, donate_argnums=donate)
+
+
 def quiet_epoch_advance(loader, encode, scan_full, step_one, losses,
-                        draw_key=None):
+                        draw_key=None, extra_fn=None):
     """Advance one quiet training epoch with a single scanned dispatch.
 
     Stream-encodes the augmented batches (image encode overlaps the loader's
     host decode), then advances all full-size batches as ONE scanned
     executable — per-batch eager stepping otherwise costs one dispatch
-    round-trip each (350 ms over a tunneled backend). Only the trailing
-    partial batch (drop_last=False) steps eagerly, so batch order is
-    preserved; steps draw no RNG beyond the explicit ``draw_key`` stream, so
-    the result matches the eager loop.
+    round-trip each (350 ms over a tunneled backend). Only a trailing
+    partial batch steps eagerly, so batch order is preserved; steps draw no
+    RNG beyond the explicit ``draw_key`` stream, so the result matches the
+    eager loop.
 
-    ``scan_full(feats_b [T,B,*], labels_b [T,B], keys_b [T,2]|None)`` runs
-    the scan and mutates trainer state via its closure, returning per-batch
-    device losses. ``step_one(feats, labels, key|None)`` steps one batch and
-    returns its loss. ``draw_key`` (optional) draws one training-stream key
-    per batch, consumed in batch order exactly as the eager loop would.
+    ``scan_full(feats_b [T,B,*], labels_b [T,B], keys_b [T,2]|None,
+    extras_b|None)`` runs the scan and mutates trainer state via its
+    closure, returning per-batch device losses. ``step_one(feats, labels,
+    key|None, extra|None)`` steps one batch and returns its loss.
+    ``draw_key`` (optional) draws one training-stream key per batch,
+    consumed in batch order exactly as the eager loop would. ``extra_fn``
+    (optional) computes one additional per-batch device array from
+    ``(feats, batch)`` — e.g. Tip-Adapter's frozen clip logits — stacked
+    onto the scanned axis alongside features and labels.
     """
     bs = loader.batch_size
-    feats_list, labels_list = [], []
+    feats_list, labels_list, extras_list = [], [], []
     for batch in loader:
         imgs = batch["img"]
         n = imgs.shape[0]
         imgs = pad_batch(imgs, bs)
-        feats_list.append(encode(jnp.asarray(imgs))[:n])
+        f = encode(jnp.asarray(imgs))[:n]
+        feats_list.append(f)
         labels_list.append(jnp.asarray(batch["label"].astype(np.int32)))
+        if extra_fn is not None:
+            extras_list.append(extra_fn(f, batch))
     n_full = sum(1 for f in feats_list if int(f.shape[0]) == bs)
+    # the scanned prefix slice assumes partial batches only ever trail
+    # (BatchLoader semantics: at most one short final batch). A sampler
+    # that interleaves short batches would otherwise scan out of order
+    # against the drawn key sequence — fail loudly instead.
+    assert all(
+        int(f.shape[0]) == bs for f in feats_list[:n_full]
+    ), "quiet_epoch_advance: partial batch before the end of the epoch"
     if n_full > 1:
         keys_b = (
             jnp.stack([draw_key() for _ in range(n_full)])
             if draw_key is not None
             else None
         )
+        extras_b = (
+            jnp.stack(extras_list[:n_full]) if extra_fn is not None else None
+        )
         losses_dev = scan_full(
             jnp.stack(feats_list[:n_full]),
             jnp.stack(labels_list[:n_full]),
             keys_b,
+            extras_b,
         )
         losses.update(losses_dev.mean(), n_full)
-        rest = zip(feats_list[n_full:], labels_list[n_full:])
+        tail = range(n_full, len(feats_list))
     else:
-        rest = zip(feats_list, labels_list)
-    for f, l in rest:
+        tail = range(len(feats_list))
+    for i in tail:
         key = draw_key() if draw_key is not None else None
-        losses.update(step_one(f, l, key))
+        extra = extras_list[i] if extra_fn is not None else None
+        losses.update(step_one(feats_list[i], labels_list[i], key, extra))
     return len(feats_list)
 
 

@@ -149,24 +149,15 @@ class Trainer(BaseTrainer):
         # dispatch round-trip each — 350 ms over a tunneled backend). The
         # step is deterministic (no in-step RNG), so scanning is the same
         # math as the eager loop.
-        def epoch_scan(clip_params, params, opt_state, feats_b, labels_b,
-                       prefix, suffix, eot):
-            def body(carry, xs):
-                params, opt_state = carry
-                f, l = xs
-                params, opt_state, loss, _ = train_step(
-                    clip_params, params, opt_state, f, l, prefix, suffix, eot
-                )
-                return (params, opt_state), loss
-
-            (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), (feats_b, labels_b)
+        def step_for_scan(params, opt_state, f, l, clip_params,
+                          prefix, suffix, eot):
+            return train_step(
+                clip_params, params, opt_state, f, l, prefix, suffix, eot
             )
-            return params, opt_state, losses
 
-        scan_jit = jax.jit(epoch_scan, donate_argnums=(1, 2))
+        scan_jit = common.make_epoch_scan(step_for_scan)
         self._epoch_scan = lambda params, opt_state, fb, lb: scan_jit(
-            self._clip_params, params, opt_state, fb, lb,
+            params, opt_state, fb, lb, self._clip_params,
             self.token_prefix, self.token_suffix, self._eot,
         )
 
@@ -220,14 +211,15 @@ class Trainer(BaseTrainer):
         self.num_batches = len(loader)
         verbose = self.epoch == 0 or (self.epoch + 1) % 10 == 0
         bs = loader.batch_size
-        if not verbose and self._writer is None and self.num_batches > 1:
-            def scan_full(fb, lb, _keys):
+        if (not verbose and self.num_batches > 1
+                and common.quiet_epochs_enabled(self._writer)):
+            def scan_full(fb, lb, _keys, _extras):
                 self.params, self.opt_state, losses_dev = self._epoch_scan(
                     self.params, self.opt_state, fb, lb
                 )
                 return losses_dev
 
-            def step_one(f, l, _key):
+            def step_one(f, l, _key, _extra):
                 self.params, self.opt_state, loss, _ = self._train_step(
                     self.params, self.opt_state, f, l
                 )

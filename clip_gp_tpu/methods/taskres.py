@@ -101,22 +101,9 @@ class Trainer(BaseTrainer):
 
         # quiet epochs advance every full-size batch as ONE scanned
         # executable (common.quiet_epoch_advance); the step is deterministic,
-        # so scanning is the same math as the eager loop.
-        def epoch_scan(params, opt_state, feats_b, labels_b, base):
-            def body(carry, xs):
-                params, opt_state = carry
-                f, l = xs
-                params, opt_state, loss, _ = train_step(
-                    params, opt_state, f, l, base
-                )
-                return (params, opt_state), loss
-
-            (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), (feats_b, labels_b)
-            )
-            return params, opt_state, losses
-
-        self._epoch_scan = jax.jit(epoch_scan, donate_argnums=(0, 1))
+        # so scanning is the same math as the eager loop. base text features
+        # are the trailing epoch constant.
+        self._epoch_scan = common.make_epoch_scan(train_step)
 
     def _build_gp_train_fns(self):
         """Residuals train THROUGH per-step MC prototype samples like the
@@ -152,22 +139,11 @@ class Trainer(BaseTrainer):
 
         self._gp_train_step = jax.jit(train_step, donate_argnums=(0, 1))
 
-        def epoch_scan(params, opt_state, feats_b, labels_b, keys_b,
-                       gp_params, buffers):
-            def body(carry, xs):
-                params, opt_state = carry
-                f, l, key = xs
-                params, opt_state, loss, _ = train_step(
-                    params, opt_state, f, l, gp_params, buffers, key
-                )
-                return (params, opt_state), loss
+        def step_for_scan(params, opt_state, f, l, key, gp_params, buffers):
+            return train_step(params, opt_state, f, l, gp_params, buffers, key)
 
-            (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), (feats_b, labels_b, keys_b)
-            )
-            return params, opt_state, losses
-
-        self._gp_epoch_scan = jax.jit(epoch_scan, donate_argnums=(0, 1))
+        self._gp_epoch_scan = common.make_epoch_scan(step_for_scan,
+                                                     n_streams=3)
 
     # ------------------------------------------------------------------
     def predict_logits(self, features):
@@ -261,11 +237,12 @@ class Trainer(BaseTrainer):
         gp_path = self.gp_bundle is not None and bool(self.config.adapter.use_gp)
         if gp_path and not hasattr(self, "_gp_train_step"):
             self._build_gp_train_fns()
-        if not verbose and self._writer is None and self.num_batches > 1:
+        if (not verbose and self.num_batches > 1
+                and common.quiet_epochs_enabled(self._writer)):
             if gp_path:
                 _, gp_params, buffers = self.gp_bundle
 
-                def scan_full(fb, lb, keys_b):
+                def scan_full(fb, lb, keys_b, _extras):
                     self.params, self.opt_state, losses_dev = (
                         self._gp_epoch_scan(
                             self.params, self.opt_state, fb, lb, keys_b,
@@ -274,7 +251,7 @@ class Trainer(BaseTrainer):
                     )
                     return losses_dev
 
-                def step_one(f, l, key):
+                def step_one(f, l, key, _extra):
                     self.params, self.opt_state, loss, _ = self._gp_train_step(
                         self.params, self.opt_state, f, l,
                         gp_params, buffers, key,
@@ -283,14 +260,14 @@ class Trainer(BaseTrainer):
 
                 draw_key = self.keys.next
             else:
-                def scan_full(fb, lb, _keys):
+                def scan_full(fb, lb, _keys, _extras):
                     self.params, self.opt_state, losses_dev = self._epoch_scan(
                         self.params, self.opt_state, fb, lb,
                         self.base_text_features,
                     )
                     return losses_dev
 
-                def step_one(f, l, _key):
+                def step_one(f, l, _key, _extra):
                     self.params, self.opt_state, loss, _ = self._train_step(
                         self.params, self.opt_state, f, l,
                         self.base_text_features,

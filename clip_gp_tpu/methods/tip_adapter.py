@@ -30,6 +30,7 @@ from clip_gp_tpu.gp import svgp
 from clip_gp_tpu.methods import common, pre_stages
 from clip_gp_tpu.models import clip_model
 from clip_gp_tpu.ops.metrics import (
+    AverageMeter,
     compute_accuracy,
     compute_aece,
     compute_aece_with_bins,
@@ -257,25 +258,13 @@ class Trainer(BaseTrainer):
         # all full-size batches of an epoch advance as ONE scanned executable
         # (per-batch eager steps cost one dispatch round-trip each over a
         # tunneled backend); the step is deterministic, so scanning is the
-        # same math as eager stepping.
-        def epoch_scan(adapter_w, opt_state, feats_b, labels_b,
-                       clip_logits_b, cache_vals):
-            def body(carry, xs):
-                adapter_w, opt_state = carry
-                f, l, cl = xs
-                adapter_w, opt_state, loss, tip = step(
-                    adapter_w, opt_state, f, l, cl, cache_vals
-                )
-                correct = (tip.argmax(axis=1) == l).sum()
-                return (adapter_w, opt_state), (loss, correct)
-
-            (adapter_w, opt_state), (losses, corrects) = jax.lax.scan(
-                body, (adapter_w, opt_state),
-                (feats_b, labels_b, clip_logits_b),
-            )
-            return adapter_w, opt_state, losses.sum(), corrects.sum()
-
-        jit_epoch_scan = jax.jit(epoch_scan, donate_argnums=(0, 1))
+        # same math as eager stepping. Streams: (feats, labels, clip_logits);
+        # cache_vals is the trailing epoch constant.
+        jit_epoch_scan = common.make_epoch_scan(
+            step,
+            out_fn=lambda loss, tip, l: (loss, (tip.argmax(axis=1) == l).sum()),
+            n_streams=3,
+        )
 
         # per-epoch best-state keep runs device-side: the test tip-logits,
         # finite guard, and accuracy compare all stay on device, so tracking
@@ -309,44 +298,42 @@ class Trainer(BaseTrainer):
         # reported eval in train() still draws its own samples)
         test_clip_logits = self._clip_logits(test_feats_j)
         for epoch in range(epochs):
-            bs = self.train_loader_x.batch_size
-            feats_list, labels_list, clip_list = [], [], []
-            for batch in self.train_loader_x:
-                imgs = batch["img"]
-                n = imgs.shape[0]
-                imgs = common.pad_batch(imgs, bs)
-                feats = self._encode_norm(jnp.asarray(imgs))[:n]
-                feats_list.append(feats)
-                labels_list.append(jnp.asarray(batch["label"].astype(np.int32)))
-                clip_list.append(self._clip_logits(feats))
-            n_full = sum(1 for f in feats_list if int(f.shape[0]) == bs)
-            total = sum(int(f.shape[0]) for f in feats_list)
-            correct = 0
-            loss_sum = 0.0
-            if n_full > 1:
-                adapter_w, opt_state, loss_sum, correct = jit_epoch_scan(
-                    adapter_w, opt_state,
-                    jnp.stack(feats_list[:n_full]),
-                    jnp.stack(labels_list[:n_full]),
-                    jnp.stack(clip_list[:n_full]),
-                    self.cache_vals,
+            losses_m = AverageMeter()
+            corrects, totals = [], []  # device scalars / host ints
+
+            def extra_fn(feats, batch):
+                totals.append(int(feats.shape[0]))
+                return self._clip_logits(feats)
+
+            def scan_full(fb, lb, _keys, clb):
+                nonlocal adapter_w, opt_state
+                adapter_w, opt_state, (losses_dev, corrects_dev) = (
+                    jit_epoch_scan(
+                        adapter_w, opt_state, fb, lb, clb, self.cache_vals
+                    )
                 )
-                rest = zip(feats_list[n_full:], labels_list[n_full:],
-                           clip_list[n_full:])
-            else:
-                rest = zip(feats_list, labels_list, clip_list)
-            for f, l, cl in rest:
+                corrects.append(corrects_dev.sum())
+                return losses_dev
+
+            def step_one(f, l, _key, cl):
+                nonlocal adapter_w, opt_state
                 adapter_w, opt_state, loss, tip = jit_step(
                     adapter_w, opt_state, f, l, cl
                 )
                 # device-side correct-count: no per-batch host sync
-                correct += (tip.argmax(axis=1) == l).sum()
-                loss_sum += loss
+                corrects.append((tip.argmax(axis=1) == l).sum())
+                return loss
+
+            common.quiet_epoch_advance(
+                self.train_loader_x, self._encode_norm, scan_full, step_one,
+                losses_m, extra_fn=extra_fn,
+            )
             if epoch == 0 or (epoch + 1) % 10 == 0:
                 print(
                     f"epoch [{epoch + 1}/{epochs}] "
-                    f"loss {float(loss_sum) / max(1, n_batches):.4f} "
-                    f"acc_train {100.0 * float(correct) / max(1, total):.4f}"
+                    f"loss {float(losses_m.avg):.4f} "
+                    f"acc_train "
+                    f"{100.0 * float(sum(corrects)) / max(1, sum(totals)):.4f}"
                 )
             best_acc, best_w = jit_eval_best(
                 adapter_w, best_acc, best_w, test_feats_j,

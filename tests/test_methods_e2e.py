@@ -240,10 +240,15 @@ def test_final_model_best_val(tmp_path, capfd):
 
 def _quiet_vs_eager_params(tmp_path, trainer_name, param_key,
                            **adapter_overrides):
-    """Train twice — quiet-scan mode vs TB-forced eager mode — and return
-    the trained parameter from each (the step has no in-step RNG beyond the
+    """Train twice — quiet-scan mode vs forced-eager mode — and return the
+    trained parameter from each (the step has no in-step RNG beyond the
     explicit key stream; scanned vs unrolled XLA executables may reassociate
-    floats, hence callers assert allclose, not bit-equal)."""
+    floats, hence callers assert allclose, not bit-equal).
+
+    Eagerness is forced via CLIP_GP_TPU_FORCE_EAGER_EPOCHS rather than
+    enabling TensorBoard: on a host without tensorboardX the writer init
+    silently no-ops and a TB-based 'eager' run would quietly take the scan
+    path too, making the parity assertion vacuous."""
     cfg_scan = make_config(tmp_path / "scan", trainer_name, **adapter_overrides)
     cfg_scan.adapter.clip_adapter_epochs = 4
     cfg_scan.adapter.taskres_epochs = 4
@@ -255,8 +260,11 @@ def _quiet_vs_eager_params(tmp_path, trainer_name, param_key,
     cfg_eager.adapter.clip_adapter_epochs = 4
     cfg_eager.adapter.taskres_epochs = 4
     cfg_eager.optim.max_epoch = 4
-    cfg_eager.train.enable_tensorboard = True
-    t_eager, _ = _run(cfg_eager)
+    os.environ["CLIP_GP_TPU_FORCE_EAGER_EPOCHS"] = "1"
+    try:
+        t_eager, _ = _run(cfg_eager)
+    finally:
+        del os.environ["CLIP_GP_TPU_FORCE_EAGER_EPOCHS"]
 
     return (
         np.asarray(t_scan.params[param_key]),
@@ -289,23 +297,25 @@ def test_cocoop_quiet_scan_matches_eager(tmp_path):
 
 
 def test_coop_quiet_scan_matches_eager(tmp_path):
-    """Quiet CoOp epochs advance as one scanned executable; enabling
-    TensorBoard forces the per-batch eager loop. Trained ctx must agree
-    across modes (the step has no in-step RNG; scanned vs unrolled XLA
-    executables may reassociate floats, hence allclose not bit-equal)."""
-    cfg_scan = make_config(tmp_path / "scan", "Adapter-CoOp")
-    cfg_scan.adapter.clip_adapter_epochs = 4
-    cfg_scan.optim.max_epoch = 4
-    t_scan, _ = _run(cfg_scan)
+    got, want = _quiet_vs_eager_params(tmp_path, "Adapter-CoOp", "ctx")
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
 
-    cfg_eager = make_config(tmp_path / "eager", "Adapter-CoOp")
-    cfg_eager.adapter.clip_adapter_epochs = 4
-    cfg_eager.optim.max_epoch = 4
-    cfg_eager.train.enable_tensorboard = True
-    t_eager, _ = _run(cfg_eager)
 
-    np.testing.assert_allclose(
-        np.asarray(t_scan.params["ctx"]),
-        np.asarray(t_eager.params["ctx"]),
-        rtol=1e-3, atol=1e-5,
+def test_coop_tensorboard_forces_eager(tmp_path):
+    """A live TensorBoard writer needs per-batch scalars, so it must force
+    the eager loop — and the writer must actually initialize (if
+    tensorboardX were missing, init silently no-ops and the run would take
+    the scan path, which this test exists to catch)."""
+    cfg = make_config(tmp_path, "Adapter-CoOp")
+    cfg.adapter.clip_adapter_epochs = 2
+    cfg.optim.max_epoch = 2
+    cfg.train.enable_tensorboard = True
+    _run(cfg)
+    # the writer is closed (and nulled) in after_train, so assert on its
+    # side effect: per-batch train/loss scalars in the event files
+    tb_dir = os.path.join(cfg.output_dir, "tensorboard")
+    events = [f for f in os.listdir(tb_dir) if "events" in f]
+    assert events, "tensorboardX writer never initialized (no event files)"
+    assert any(
+        os.path.getsize(os.path.join(tb_dir, f)) > 0 for f in events
     )
