@@ -73,6 +73,9 @@ def _config(root: str):
 
 
 def main():
+    from clip_gp_tpu.runtime.backend_guard import wait_for_backend
+
+    wait_for_backend()
     from clip_gp_tpu.core.registry import build_trainer
     from clip_gp_tpu.core.seeding import set_random_seed
     from clip_gp_tpu.data.datasets.synthetic import (
