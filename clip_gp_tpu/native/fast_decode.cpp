@@ -345,6 +345,14 @@ extern "C" {
 // default; tests turn it off to prove bit-parity against the full decode.
 void set_partial_decode(int enabled) { g_partial_decode = enabled; }
 
+// 1 when the libjpeg-turbo partial-decompression entry points resolved at
+// runtime (jpeg_crop_scanline + jpeg_skip_scanlines), 0 when the build is
+// degrading to full decodes. Lets tests assert the windowed path actually
+// engages instead of passing vacuously on parity alone.
+int partial_decode_supported(void) {
+  return (get_crop_fn() != nullptr && get_skip_fn() != nullptr) ? 1 : 0;
+}
+
 // Read only the JPEG header; writes original width/height. 0 on success.
 int jpeg_dims(const uint8_t* data, long size, int* width, int* height) {
   jpeg_decompress_struct cinfo;

@@ -84,6 +84,8 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     ]
     lib.set_partial_decode.restype = None
     lib.set_partial_decode.argtypes = [ctypes.c_int]
+    lib.partial_decode_supported.restype = ctypes.c_int
+    lib.partial_decode_supported.argtypes = []
     return lib
 
 
@@ -136,6 +138,15 @@ def set_partial_decode(enabled: bool) -> None:
     lib = _get_lib()
     if lib is not None:
         lib.set_partial_decode(1 if enabled else 0)
+
+
+def partial_decode_supported() -> bool:
+    """True when libjpeg-turbo's partial-decompression entry points resolved
+    (jpeg_crop_scanline + jpeg_skip_scanlines); False when decode_rrc is
+    silently degrading to full decodes. Lets the bit-parity test assert the
+    windowed path actually engaged instead of passing vacuously."""
+    lib = _get_lib()
+    return lib is not None and bool(lib.partial_decode_supported())
 
 
 def decode_rrc(

@@ -37,29 +37,61 @@ def _host_fingerprint() -> str:
     return platform.machine() or "unknown"
 
 
+def _accelerator_plugin_present() -> bool:
+    """Whether any PJRT accelerator plugin is even installed — checked
+    WITHOUT initializing a backend (initializing the tunneled TPU plugin can
+    hang while the tunnel is wedged). When no plugin exists, jax's default
+    backend can only ever be CPU, so the process must use the
+    host-namespaced cache even though nothing forced ``jax_platforms``."""
+    env = os.environ.get("JAX_PLATFORMS", "")
+    if env and not env.startswith("cpu"):
+        return True  # e.g. JAX_PLATFORMS=axon on the tunneled-TPU image
+    try:
+        from importlib import metadata
+
+        if any(True for _ in metadata.entry_points(group="jax_plugins")):
+            return True
+    except Exception:
+        pass
+    import importlib.util
+
+    for mod in ("jax_plugins", "libtpu"):
+        try:
+            if importlib.util.find_spec(mod) is not None:
+                return True
+        except (ImportError, ValueError):
+            pass
+    return False
+
+
 def enable(min_compile_secs: float = 0.5) -> None:
     """Point jax at the shared on-disk compilation cache (best-effort)."""
     if os.environ.get("CLIP_GP_TPU_NO_COMPILE_CACHE") == "1":
         return
     import jax
 
-    # CPU-forced processes (tests, virtual-mesh children) namespace by host
-    # CPU features — XLA:CPU AOT executables are feature-specific and risk
-    # SIGILL when loaded on a different host. Accelerator-path processes
-    # share one dir: TPU executables are host-CPU-independent, and splitting
-    # them would forfeit the warm start (20-40 s/compile over the tunnel)
-    # whenever the image moves hosts.
+    # CPU processes namespace by host CPU features — XLA:CPU AOT executables
+    # are feature-specific and risk SIGILL when loaded on a different host.
+    # "CPU process" means jax_platforms forced to cpu (tests, virtual-mesh
+    # children) OR no accelerator plugin installed at all (a host where the
+    # unforced default backend silently falls back to CPU). Accelerator-path
+    # processes share one dir: TPU executables are host-CPU-independent, and
+    # splitting them would forfeit the warm start (20-40 s/compile over the
+    # tunnel) whenever the image moves hosts.
     try:
         forced_cpu = (jax.config.jax_platforms or "").startswith("cpu")
     except Exception:
         forced_cpu = False
-    subdir = _host_fingerprint() if forced_cpu else "accel"
-    cache_dir = os.environ.get(
+    cpu_process = forced_cpu or not _accelerator_plugin_present()
+    subdir = _host_fingerprint() if cpu_process else "accel"
+    # an explicit override relocates the cache ROOT; the safety subdir still
+    # applies underneath it (a flat relocated dir shared between
+    # heterogeneous hosts would reintroduce the SIGILL loads)
+    root = os.environ.get(
         "CLIP_GP_TPU_COMPILE_CACHE_DIR",
-        os.path.join(
-            os.path.expanduser("~/.cache/clip_gp_tpu/xla"), subdir
-        ),
+        os.path.expanduser("~/.cache/clip_gp_tpu/xla"),
     )
+    cache_dir = os.path.join(root, subdir)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update(

@@ -41,6 +41,13 @@ os.environ.setdefault("CLIP_GP_TPU_ALLOW_RANDOM_WEIGHTS", "1")
 os.environ["CLIP_GP_TPU_COMPILE_CACHE_DIR"] = tempfile.mkdtemp(
     prefix="bench_coop_xla_"
 )
+import atexit  # noqa: E402
+import shutil  # noqa: E402
+
+atexit.register(
+    shutil.rmtree, os.environ["CLIP_GP_TPU_COMPILE_CACHE_DIR"],
+    ignore_errors=True,
+)
 from clip_gp_tpu.runtime import compile_cache  # noqa: E402
 
 compile_cache.enable()
@@ -89,6 +96,7 @@ def main():
     import clip_gp_tpu.methods  # noqa: F401
 
     tmp = tempfile.mkdtemp(prefix="bench_coop_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     generate_synthetic_imagefolder(
         tmp, num_classes=CLASSES, images_per_class=36, image_size=224,
         seed=0, fmt="jpg",
@@ -123,6 +131,7 @@ def main():
         cfg = copy.deepcopy(config)
         cfg.seed = seed
         cfg.output_dir = tempfile.mkdtemp(prefix="bench_coop_run_")
+        atexit.register(shutil.rmtree, cfg.output_dir, ignore_errors=True)
         set_random_seed(cfg.seed)
         dm = build_data_manager(cfg)
         t0 = time.time()
