@@ -117,11 +117,14 @@ def test_checkpoint_roundtrip(tmp_path):
     )
 
 
-def test_run_reproducibility_and_rng_stream_parity(tmp_path):
+def test_run_reproducibility_and_rng_stream_parity(tmp_path, monkeypatch):
     """Two invariants:
     1. same config + seed + mode → bit-identical trained params;
-    2. quiet-scan and eager (TB-attached) modes consume the training RNG
-       stream identically (logging must not desync randomness).
+    2. quiet-scan and forced-eager modes consume the training RNG stream
+       identically (logging/dispatch mode must not desync randomness).
+       Eagerness is forced via CLIP_GP_TPU_FORCE_EAGER_EPOCHS — a TB-based
+       eager leg silently scans on hosts without tensorboardX, making the
+       cross-mode comparison vacuous.
 
     Exact-params equality ACROSS modes is not required: scanned vs unrolled
     epochs are different XLA executables and sparsemax support flips make the
@@ -129,9 +132,13 @@ def test_run_reproducibility_and_rng_stream_parity(tmp_path):
     """
     import jax
 
-    def run(root, tb):
+    def run(root, eager):
+        if eager:
+            monkeypatch.setenv("CLIP_GP_TPU_FORCE_EAGER_EPOCHS", "1")
+        else:
+            monkeypatch.delenv("CLIP_GP_TPU_FORCE_EAGER_EPOCHS",
+                               raising=False)
         config = make_config(root, use_gp=True, gp_pca_dim=8)
-        config.train.enable_tensorboard = tb
         return _run(config)
 
     t1 = run(tmp_path / "a", False)
