@@ -277,6 +277,15 @@ def test_clip_adapter_quiet_scan_matches_eager(tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
 
 
+def test_clip_adapter_gp_quiet_scan_matches_eager(tmp_path):
+    """The GP classifier path trains through the no-renorm logits via its
+    own scanned executable; parity must hold there too."""
+    got, want = _quiet_vs_eager_params(
+        tmp_path, "CLIP-Adapter", "fc1", use_gp=True, gp_pca_dim=8
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+
 def test_taskres_quiet_scan_matches_eager(tmp_path):
     got, want = _quiet_vs_eager_params(tmp_path, "TaskRes", "residuals")
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
