@@ -34,7 +34,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import jax
 
-from clip_gp_tpu.runtime import compile_cache
+from clip_gp_tpu.runtime import benchchain, compile_cache
 
 compile_cache.enable()
 import jax.numpy as jnp
@@ -72,9 +72,8 @@ def measure(batch: int, int8: bool = False) -> float:
                 params, arch, images, compute_dtype=jnp.bfloat16
             )
         # derive the next input from this output: forces every iteration to
-        # really execute, in order, uncached
-        delta = (jnp.abs(out).sum() > -1.0).astype(jnp.uint8)
-        return x ^ delta, out
+        # really execute, in order, with a fresh (executable, args) pair
+        return benchchain.advance_uint8(x, out), out
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(

@@ -58,10 +58,15 @@ def generate_synthetic_imagefolder(
 
     dataset_root = os.path.join(root, "synthetic")
     image_dir = os.path.join(dataset_root, "images")
+    # the marker must encode EVERY parameter that shapes the tree — a
+    # seed-7 request finding a seed-0 marker must regenerate, not silently
+    # hand back someone else's pixels (default-parameter spellings stay
+    # suffix-free so pre-existing trees remain valid)
     marker = os.path.join(
         image_dir,
         f".done_{num_classes}_{images_per_class}_{image_size}"
-        + ("" if fmt == "png" else f"_{fmt}"),
+        + ("" if fmt == "png" else f"_{fmt}")
+        + ("" if seed == 0 else f"_s{seed}"),
     )
     if os.path.exists(marker):
         return image_dir

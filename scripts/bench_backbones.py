@@ -20,7 +20,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 
-from clip_gp_tpu.runtime import compile_cache
+from clip_gp_tpu.runtime import benchchain, compile_cache
 
 compile_cache.enable()
 import jax.numpy as jnp
@@ -48,8 +48,7 @@ def measure(backbone: str, batch: int) -> float:
         out = clip_model.encode_image(
             params, arch, images, compute_dtype=jnp.bfloat16
         )
-        delta = (jnp.abs(out).sum() > -1.0).astype(jnp.uint8)
-        return x ^ delta, out
+        return benchchain.advance_uint8(x, out), out
 
     rng = np.random.default_rng(0)
     res = int(arch.image_resolution)
@@ -67,6 +66,9 @@ def measure(backbone: str, batch: int) -> float:
 
 
 def main(argv=None):
+    from clip_gp_tpu.runtime.backend_guard import wait_for_backend
+
+    wait_for_backend()
     ap = argparse.ArgumentParser()
     ap.add_argument("--backbones", default=",".join(DEFAULT_BACKBONES))
     ap.add_argument("--batches", default=",".join(map(str, DEFAULT_BATCHES)))

@@ -81,6 +81,9 @@ def measure(budget, feats, labels):
 
 
 def main():
+    from clip_gp_tpu.runtime.backend_guard import wait_for_backend
+
+    wait_for_backend()
     rng = np.random.default_rng(0)
     d = 512  # ViT-B/16 embed dim
     feats = rng.normal(size=(B, d)).astype(np.float32)
@@ -98,7 +101,7 @@ def main():
                     ms_default, 1
                 ),
                 "cocoop_step_ms_fully_batched": round(ms_batched, 1),
-                "default_vs_batched": round(ms_batched / ms_default, 2),
+                "batched_over_default_ratio": round(ms_batched / ms_default, 2),
                 "shape": f"K={K} B={B} n_ctx={N_CTX} ViT-B/16 text tower",
                 "backend": jax.default_backend(),
             }

@@ -41,6 +41,9 @@ EPOCHS = 100
 
 
 def main():
+    from clip_gp_tpu.runtime.backend_guard import wait_for_backend
+
+    wait_for_backend()
     cfg = types.SimpleNamespace(
         adapter=types.SimpleNamespace(
             gp_pca_dim=256, gp_kernel_type="rbf", gp_prior_temp=1.0,
@@ -59,7 +62,11 @@ def main():
     tx = optax.adamw(1e-3)
     opt_state = tx.init(full)
 
-    def step(full, opt_state, key):
+    # feats/labels/buffers are explicit jit arguments, never closure leaves —
+    # closed-over arrays become HLO constants (~17 MB here), the exact
+    # failure mode CLAUDE.md's hard rule exists to prevent on tunneled
+    # remote-compile backends
+    def step(full, opt_state, feats, labels, buffers, key):
         def loss_fn(p):
             projected = feats @ p["visual_proj"].T
             f_norm = common.l2_normalize(projected)
@@ -75,14 +82,20 @@ def main():
         updates, opt_state = tx.update(grads, opt_state, full)
         return optax.apply_updates(full, updates), opt_state, loss
 
-    step_jit = jax.jit(step, donate_argnums=(0, 1))
+    step_raw = jax.jit(step, donate_argnums=(0, 1))
 
-    def evaluate(full, key):
+    def step_jit(full, opt_state, key):
+        return step_raw(full, opt_state, feats, labels, buffers, key)
+
+    def evaluate(full, test_feats, buffers, key):
         protos, _ = svgp.sample_prototypes(static, full["gp"], buffers, key, S_EVAL)
         projected = test_feats @ full["visual_proj"].T
         return common.cosine_logits(projected, protos, 100.0)
 
-    eval_jit = jax.jit(evaluate)
+    eval_raw = jax.jit(evaluate)
+
+    def eval_jit(full, key):
+        return eval_raw(full, test_feats, buffers, key)
 
     # NOTE on timing: the steps already form a dependency chain (each step
     # consumes the previous params/opt_state), so materializing the final

@@ -20,7 +20,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 
-from clip_gp_tpu.runtime import compile_cache
+from clip_gp_tpu.runtime import benchchain, compile_cache
 
 compile_cache.enable()
 import jax.numpy as jnp
@@ -46,8 +46,7 @@ def measure(arch_name: str, use_int8: bool) -> float:
         @jax.jit
         def step(tower, x):
             out = quantized.encode_image_q8(tower, arch, device_preprocess(x))
-            delta = (jnp.abs(out).sum() > -1.0).astype(jnp.uint8)
-            return x ^ delta, out
+            return benchchain.advance_uint8(x, out), out
     else:
         tower = params
 
@@ -56,8 +55,7 @@ def measure(arch_name: str, use_int8: bool) -> float:
             out = clip_model.encode_image(
                 tower, arch, device_preprocess(x), compute_dtype=jnp.bfloat16
             )
-            delta = (jnp.abs(out).sum() > -1.0).astype(jnp.uint8)
-            return x ^ delta, out
+            return benchchain.advance_uint8(x, out), out
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(

@@ -35,54 +35,75 @@ ITERS = 20
 WINDOWS = 3
 
 
-def _bench(step, x):
-    x = step(x)
-    jnp.sum(x == 0).block_until_ready()  # compile + settle
+def _bench(step, a, i):
+    """Time ``step`` over a counter-carried dependency chain.
+
+    Each call consumes the previous call's output AND an incrementing
+    on-device counter, so no two timed calls can ever present the same
+    ``(executable, args)`` pair — the remote execution cache cannot answer
+    any of them. (The original chains here reached a fixed point within a
+    few iterations: int8 collapsed to all-zeros via ``& 7`` on a constant
+    Gram, bf16/f32 underflowed to zero by repeated squaring — found in
+    review, 2026-08-18.)
+    """
+    a, i = step(a, i)
+    jnp.sum(a == 0).block_until_ready()  # compile + settle
     best = float("inf")
     for _ in range(WINDOWS):
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            x = step(x)
-        float(jnp.sum(x == 0))  # materialize the whole chain
+            a, i = step(a, i)
+        float(jnp.sum(a == 0))  # materialize the whole chain
         best = min(best, time.perf_counter() - t0)
     return 2 * N * N * N * ITERS / best / 1e12  # TOPS
 
 
 def bench_bf16():
     @jax.jit
-    def step(a):
+    def step(a, i):
         c = lax.dot_general(
             a, a, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        # derive the next input from this output (forces real execution)
-        return (c * 1e-3).astype(jnp.bfloat16)
+        # renormalize so operand entries stay O(1) (repeated squaring would
+        # underflow to zero); the counter term keeps every input fresh even
+        # if the normalized iteration settled into a fixed point
+        s = jnp.abs(c).mean() + 1e-30
+        a_next = (c / s + (i % 7).astype(jnp.float32) * 1e-2)
+        return a_next.astype(jnp.bfloat16), i + 1
 
-    a0 = jnp.full((N, N), 0.01, jnp.bfloat16)
-    return _bench(step, a0)
+    a0 = jax.random.normal(jax.random.key(0), (N, N), jnp.bfloat16)
+    return _bench(step, a0, jnp.uint32(0))
 
 
 def bench_int8():
     @jax.jit
-    def step(a):
+    def step(a, i):
         c = lax.dot_general(
             a, a, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        return (c & 7).astype(jnp.int8)  # cheap derivation, keeps values tiny
+        # fold the int32 accumulator down with a shift (not a tiny mask,
+        # which zeroed a constant Gram); wrap-around cast spreads values
+        # over the full int8 range and + i keeps every input fresh
+        a_next = ((c >> 8) + i.astype(jnp.int32)).astype(jnp.int8)
+        return a_next, i + 1
 
-    a0 = jnp.full((N, N), 3, jnp.int8)
-    return _bench(step, a0)
+    a0 = jax.random.randint(
+        jax.random.key(1), (N, N), -128, 128, jnp.int32
+    ).astype(jnp.int8)
+    return _bench(step, a0, jnp.uint32(0))
 
 
 def bench_f32():
     @jax.jit
-    def step(a):
+    def step(a, i):
         c = a @ a
-        return c * 1e-3
+        s = jnp.abs(c).mean() + 1e-30
+        return c / s + (i % 7).astype(jnp.float32) * 1e-2, i + 1
 
-    a0 = jnp.full((N, N), 0.01, jnp.float32)
-    return _bench(step, a0)
+    a0 = jax.random.normal(jax.random.key(2), (N, N), jnp.float32)
+    return _bench(step, a0, jnp.uint32(0))
 
 
 def main():

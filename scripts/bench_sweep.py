@@ -29,6 +29,9 @@ compile_cache.enable()
 
 
 def main():
+    from clip_gp_tpu.runtime.backend_guard import wait_for_backend
+
+    wait_for_backend()
     from clip_gp_tpu.core.config import Config
     from clip_gp_tpu.data.datasets.synthetic import generate_synthetic_imagefolder
     from clip_gp_tpu.parallel.trial_vmap import run_seed_vmapped_adapter

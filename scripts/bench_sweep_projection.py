@@ -50,6 +50,9 @@ N_CHIPS = 8
 
 
 def main():
+    from clip_gp_tpu.runtime.backend_guard import wait_for_backend
+
+    wait_for_backend()
     from clip_gp_tpu.core.config import Config
     from clip_gp_tpu.data.datasets.synthetic import (
         generate_synthetic_imagefolder,

@@ -26,6 +26,9 @@ os.environ.setdefault("CLIP_GP_TPU_ALLOW_RANDOM_WEIGHTS", "1")
 
 
 def main():
+    from clip_gp_tpu.runtime.backend_guard import wait_for_backend
+
+    wait_for_backend()
     from clip_gp_tpu.core.config import Config
     from clip_gp_tpu.core.registry import build_trainer
     from clip_gp_tpu.core.seeding import set_random_seed

@@ -177,6 +177,20 @@ def main(argv=None):
     if loader is not None:
         _, feats = trainer.encode_images_batched(loader)
         logits = np.asarray(trainer.predict_logits(jnp.asarray(feats)))
+    elif args.split == "train":
+        # serving must be deterministic: encode the train images under the
+        # EVAL transform. extract_features("train") applies the random
+        # training augmentation — right for training-feature parity (ref:
+        # trainers/adapter.py:886-926), wrong for predictions about the
+        # images themselves.
+        train_loader = BatchLoader(
+            source,
+            build_transform(config, is_train=False),
+            config.dataloader.batch_size_test,
+            num_workers=config.dataloader.num_workers,
+        )
+        _, feats = trainer.encode_images_batched(train_loader)
+        logits = np.asarray(trainer.predict_logits(jnp.asarray(feats)))
     else:
         # extract_features handles the split loaders AND the val/test
         # feature cache (a previously-encoded split is not re-run)

@@ -30,6 +30,9 @@ compile_cache.enable()
 
 
 def main():
+    from clip_gp_tpu.runtime.backend_guard import wait_for_backend
+
+    wait_for_backend()
     ap = argparse.ArgumentParser()
     ap.add_argument("--shots", type=int, default=4)
     ap.add_argument("--classes", type=int, default=100)
