@@ -13,9 +13,11 @@ to gpytorch (ref: trainers/gp_template_weigher.py):
     μ* = Aᵀ m + μ(x)
     Σ* = K_xx + jitter·I + Aᵀ (S − I) A,   S = tril(Lq) tril(Lq)ᵀ
     KL = ½ Σ_k [tr(S) + mᵀm − P − log det S]     (q(u) vs whitened N(0, I))
-- residual mean: frozen prior logits f0 = log softmax(cos(template, class
-  mean)/τ) + learnable per-class and per-template biases, tail-padded for
-  extra (visual-context) inputs (ref:225-244);
+- residual mean, reference-exact: gpytorch evaluates the mean module on
+  cat([inducing, x]) and slices past the M+1 inducing entries, so query
+  points always get the constant tail cls_bias + tmp_bias.mean() — the
+  frozen prior logits f0 (still computed and stored, for parity and
+  checkpoint-shape checks) never enter the predictive (see _mean_fn);
 - kernels: RBF (ARD, median-heuristic init, ScaleKernel), Matérn ν=½, Linear —
   softplus-constrained raw parameters with gpytorch-equivalent initialization;
 - MC sampling: reparameterized draws from q(f), sparsemax → convex weights,
@@ -137,8 +139,9 @@ def create_gp(
 
     buffers: Params = {
         "templates": jnp.asarray(E),  # [K,M,D] original space
+        # also serves as the M frozen inducing locations (inducing_points());
+        # storing a second copy doubled device memory per vmapped trial
         "templates_red": jnp.asarray(templates_red),  # [K,M,d]
-        "inducing_frozen": jnp.asarray(templates_red),  # first M inducing locs
         "pca_mean": jnp.asarray(mu),
         "pca_W": jnp.asarray(W),
         "f0": jnp.asarray(f0),
@@ -157,70 +160,39 @@ def pca_project(buffers: Params, x: jnp.ndarray) -> jnp.ndarray:
     return (x - buffers["pca_mean"]) @ buffers["pca_W"]
 
 
-def safe_cholesky(
-    a: jnp.ndarray, base_jitter: float, max_tries: int = 5
-) -> jnp.ndarray:
-    """PSD-safe batched Cholesky with per-matrix jitter escalation.
+def safe_cholesky(a: jnp.ndarray, base_jitter: float) -> jnp.ndarray:
+    """PSD-safe batched Cholesky with per-matrix jitter fallback.
 
     gpytorch escalates jitter on factorization failure
     (``psd_safe_cholesky``; ref: trainers/gp_template_weigher.py:110-126
-    delegates to it) — a badly-conditioned Gram (e.g. a tiny-lengthscale grid
+    delegates to it) — a badly-conditioned Gram (e.g. a huge-outputscale grid
     cell in a vmapped sweep) would otherwise NaN every co-trained trial.
 
-    jit-compatible: probe factorizations run on a stop-gradient copy to find
-    the smallest working jitter per batch element (first try = exactly
-    ``base_jitter``, preserving healthy-path numerics; escalations go ×10 and
-    are additionally scaled by the mean diagonal so huge-outputscale kernels
-    still regularize in float32). Only the final factorization is
-    differentiated, so no NaN leaks through ``where`` gradients.
+    jit- and vmap-compatible: one probe factorization on a stop-gradient
+    copy decides, per batch element, between exactly ``base_jitter``
+    (healthy path — bit-identical numerics) and a diagonal-scaled fallback
+    that is sufficient for any PSD matrix in float32. Only the final
+    factorization is differentiated, so no NaN leaks through ``where``
+    gradients.
     """
     n = a.shape[-1]
     eye = jnp.eye(n, dtype=a.dtype)
     a_ng = jax.lax.stop_gradient(a)
-    diag_scale = jnp.clip(
-        jnp.mean(jnp.diagonal(a_ng, axis1=-2, axis2=-1), axis=-1), 1.0, None
-    )  # [...batch]
-    batch_shape = diag_scale.shape
 
-    # one probe at the base jitter; the escalation ladder only executes when
-    # some matrix came back non-finite (scalar predicate -> lax.cond runs a
-    # single branch, so the healthy path pays 2 factorizations, not 6)
+    # one probe at exactly the base jitter: matrices it factorizes keep
+    # bit-identical healthy-path numerics. The rest jump straight to a
+    # single provably-sufficient fallback: for PSD A with max diagonal D,
+    # eigmin(A + 1e-2·D·I) >= 1e-2·D and cond <= 100·n + 1 — comfortably
+    # inside float32 Cholesky territory for every Gram size here. (An
+    # earlier revision picked the smallest working rung of a 5-step ladder
+    # behind lax.cond; under the vmapped sweep the batched predicate made
+    # cond execute BOTH branches, so every healthy step paid 7
+    # factorizations. This form pays exactly 2 under any transform.)
     probe0 = jnp.linalg.cholesky(a_ng + base_jitter * eye)
-    all_ok = jnp.all(jnp.isfinite(probe0))
-
-    def healthy(_):
-        return jnp.broadcast_to(
-            jnp.asarray(base_jitter, dtype=a.dtype), batch_shape
-        )
-
-    def escalate(_):
-        jitters = [
-            base_jitter * (10.0**i) * (diag_scale if i else 1.0)
-            for i in range(max_tries)
-        ]
-        oks = jnp.stack(
-            [
-                jnp.all(
-                    jnp.isfinite(
-                        jnp.linalg.cholesky(a_ng + j[..., None, None] * eye
-                                            if i else a_ng + j * eye)
-                    ),
-                    axis=(-1, -2),
-                )
-                for i, j in enumerate(jitters)
-            ]
-        )  # [tries, ...batch]
-        first = jnp.argmax(oks, axis=0)  # first True (or 0 if none)
-        first = jnp.where(jnp.any(oks, axis=0), first, max_tries - 1)
-        jit_stack = jnp.stack(
-            [
-                jnp.broadcast_to(j, batch_shape).astype(a.dtype)
-                for j in jitters
-            ]
-        )  # [tries, ...batch]
-        return jnp.take_along_axis(jit_stack, first[None], axis=0)[0]
-
-    chosen = jax.lax.cond(all_ok, healthy, escalate, None)
+    ok = jnp.all(jnp.isfinite(probe0), axis=(-1, -2))  # [...batch]
+    max_diag = jnp.max(jnp.diagonal(a_ng, axis1=-2, axis2=-1), axis=-1)
+    fallback = jnp.maximum(base_jitter * 10.0, 1e-2 * max_diag)
+    chosen = jnp.where(ok, jnp.asarray(base_jitter, a.dtype), fallback)
     return jnp.linalg.cholesky(a + chosen[..., None, None] * eye)
 
 
@@ -248,20 +220,31 @@ def _kernel(static: GPStatic, params: Params, x1: jnp.ndarray, x2: jnp.ndarray):
 
 
 def _mean_fn(static: GPStatic, params: Params, buffers: Params, n: int):
-    """ResidualMeanWithBias evaluated at n query points (ref:225-244)."""
-    base = buffers["f0"] + params["cls_bias"] + params["tmp_bias"]  # [K,M]
-    m = static.num_templates
-    if n == m:
-        return base
-    extra = n - m
+    """Prior mean at n QUERY points — reference-exact semantics.
+
+    The reference's ``ResidualMeanWithBias`` (ref:225-244) returns
+    ``[f0+biases (M), tail (N-M)]`` for N input rows, but gpytorch's
+    ``VariationalStrategy.forward`` evaluates the mean on
+    ``cat([inducing_points, x])`` and slices ``mean[..., num_induc:]``. With
+    M+1 inducing points the query slice starts at index M+1 — past the
+    entire M-wide base block — so every query point ALWAYS receives the
+    constant tail ``cls_bias + tmp_bias.mean()``, and ``f0`` never reaches
+    the predictive at all (it is constructed, printed, and unused there;
+    the intended prior-injection channel is the variational-mean warm
+    start, which the reference also breaks — quirk §2.3.4, fixed here in
+    :func:`initialize_from_weights`). An earlier revision of this file
+    evaluated the mean module directly at the queries (base = f0 + biases),
+    which silently diverged from every reference GP training trajectory.
+    """
     tail = params["cls_bias"] + params["tmp_bias"].mean(axis=1, keepdims=True)
-    tail = jnp.broadcast_to(tail, (static.num_classes, extra))
-    return jnp.concatenate([base, tail], axis=1)
+    return jnp.broadcast_to(tail, (static.num_classes, n))
 
 
 def inducing_points(params: Params, buffers: Params) -> jnp.ndarray:
     """[K, M+1, d]: frozen template locations + learnable token."""
-    return jnp.concatenate([buffers["inducing_frozen"], params["inducing_token"]], axis=1)
+    return jnp.concatenate(
+        [buffers["templates_red"], params["inducing_token"]], axis=1
+    )
 
 
 def gp_predictive(

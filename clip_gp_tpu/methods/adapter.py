@@ -281,6 +281,8 @@ class Trainer(BaseTrainer):
         "inducing_token", "variational_mean", "chol_variational_covar",
         "cls_bias", "raw_lengthscale", "raw_outputscale", "raw_variance",
     )
+    # "inducing_frozen" stays listed for checkpoints written before the
+    # buffer was deduplicated into templates_red (guarded by `in bufs`)
     _GP_BUF_PER_CLASS = ("templates", "templates_red", "inducing_frozen", "f0")
 
     def remap_trainable_state(self, state, extra, idx):
@@ -303,7 +305,8 @@ class Trainer(BaseTrainer):
                 )
             newb = {k: jnp.asarray(v) for k, v in bufs.items()}
             for name in self._GP_BUF_PER_CLASS:
-                newb[name] = take(bufs[name])
+                if name in bufs:
+                    newb[name] = take(bufs[name])
             if int(newb["f0"].shape[1]) != self.gp_static.num_templates:
                 raise ValueError(
                     "checkpoint template count "

@@ -143,11 +143,12 @@ def multi_head_attention(
     num_heads: int,
     mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Batched MHA core. q: [B,Nq,D], k/v: [B,Nk,D]; softmax in fp32.
+    """Batched MHA core, pure XLA. q: [B,Nq,D], k/v: [B,Nk,D]; fp32 softmax.
 
-    Self-attention (Nq == Nk) dispatches to the fused Pallas kernel on TPU;
-    cross-attention (the 1-query attention pool) and non-TPU backends use the
-    XLA path.
+    This is the fallback/attention-pool path only: on TPU the transformer
+    blocks dispatch at the BLOCK level to the fused Pallas kernels
+    (``fused_ln_attention_block`` + ``fused_ln_mlp`` in
+    ``residual_attention_block``), which never reach this function.
     """
     b, nq, d = q.shape
     nk = k.shape[1]

@@ -66,6 +66,12 @@ def flash_attention(
     """Fused attention. q/k/v: [B, H, N, Dh]; optional additive mask [N, N].
 
     Returns [B, H, N, Dh] in q's dtype (softmax in fp32).
+
+    NOTE: not on the shipped encode path — the product dispatches at the
+    block level to ``fused_ln_attention_block``/``fused_ln_mlp`` (measured
+    faster end-to-end). This standalone kernel and ``fused_attention_block``
+    are retained as tested, simpler building blocks and as the benchmark
+    lineage for that decision (tests/test_flash_attention.py covers both).
     """
     b, h, n, dh = q.shape
     # off-TPU (tests, CPU fallbacks) the kernel runs in interpreter mode

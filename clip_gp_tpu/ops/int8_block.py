@@ -9,11 +9,17 @@ Without fusion the int8 win is eaten by losing the Pallas block kernels
 (scripts/bench_int8_encode.py: naive XLA-int8 tower = 0.82× on ViT-B/16);
 quantizing *inside* the fused kernel keeps both.
 
-Quantization recipe matches models/quantized.py exactly: per-output-channel
-symmetric int8 weights (quantized once up front), per-row (token) dynamic
-symmetric int8 activations computed on the VPU right after the fp32
-LayerNorm / GELU, fp32 rescale of the int32 accumulator. Attention core
-(scores, softmax, probs@v) stays bf16/fp32.
+Quantization recipe shares models/quantized.py's scheme (per-output-channel
+symmetric int8 weights quantized once up front, per-row dynamic symmetric
+int8 activations via `quantize_rows`, fp32 rescale of the int32
+accumulator), but the two towers are NOT bit-identical: this kernel
+quantizes the attention output per-head (one scale per [N, dh] row-slice)
+where the XLA path quantizes the merged [*, D] row, and it quantizes the
+fp32 LN/GELU output directly where the XLA path quantizes after the bf16
+cast. Features differ at the ~1e-4-cosine level (tests/test_quantized.py),
+which is why the feature cache keys the two paths separately (int8 vs
+int8xla) — never alias them. Attention core (scores, softmax, probs@v)
+stays bf16/fp32.
 
 Inference-only by design: the frozen-tower feature extraction never
 differentiates, and the bf16 path keeps the parity guarantees — so there is
@@ -40,9 +46,12 @@ def quantize_rows(x: jnp.ndarray):
     """Per-row (last-axis) symmetric int8 quantization on the VPU:
     float [..., I] -> (int8 [..., I], f32 scale [..., 1]).
 
-    The ONE activation-quantization recipe of the int8 path — used in-kernel
-    here and by the XLA int8 fallback (models/quantized.int8_linear), so the
-    two towers can never drift apart on this step."""
+    The shared activation-quantization recipe of the int8 path — used
+    in-kernel here and by the XLA int8 fallback
+    (models/quantized.int8_linear). Note the towers still differ on WHAT
+    they feed it (per-head vs merged attention rows, fp32 vs bf16-cast LN
+    output — see the module docstring), so sharing this function aligns the
+    recipe, not the bits."""
     x32 = x.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
     scale = jnp.maximum(absmax / 127.0, _EPS)
@@ -210,7 +219,9 @@ def _q8_mlp_kernel(x_ref, g_ref, b_ref, wfc_ref, sfc_ref, bfc_ref,
     o_ref[...] = (x32 + out).astype(o_ref.dtype)
 
 
-MLP_ROW_TILE = 512
+# single source of truth: the docstring below promises layout/padding
+# identical to the bf16 kernel, so retuning the tile there retunes this too
+from clip_gp_tpu.ops.flash_attention import MLP_ROW_TILE  # noqa: E402
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -49,16 +49,31 @@ def test_shapes_and_init(gp):
     np.testing.assert_allclose(np.asarray(svgp.kl_divergence(params)), 0.0, atol=1e-6)
 
 
-def test_predictive_at_init_is_prior(gp):
-    # whitened strategy with m=0, S=I: mean = mean_fn, cov = K_xx + jitter I
+def test_predictive_at_init_is_zero_mean(gp):
+    # whitened strategy with m=0, S=I: mean = tail(biases)=0, cov = K_xx +
+    # jitter I. Reference-exact: gpytorch slices the mean module's output
+    # past the M+1 inducing entries, so queries always get the constant
+    # tail — f0 NEVER enters the predictive (see svgp._mean_fn).
     static, params, buffers = gp
     x = buffers["templates_red"]
     mean, cov = svgp.gp_predictive(static, params, buffers, x)
-    expected_mean = buffers["f0"]  # cls_bias = tmp_bias = 0
-    np.testing.assert_allclose(np.asarray(mean), np.asarray(expected_mean), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mean), 0.0, atol=1e-6)
     k_xx = np.asarray(svgp._kernel(static, params, x, x))
     expected_cov = k_xx + static.jitter * np.eye(M)
     np.testing.assert_allclose(np.asarray(cov), expected_cov, atol=1e-4)
+
+
+def test_predictive_is_independent_of_f0(gp):
+    # pins the reference's executed semantics: perturbing the frozen prior
+    # logits must not move the predictive (the prior-injection channel is
+    # the variational-mean warm start instead)
+    static, params, buffers = gp
+    x = buffers["templates_red"]
+    mean0, cov0 = svgp.gp_predictive(static, params, buffers, x)
+    buffers2 = {**buffers, "f0": buffers["f0"] + 3.7}
+    mean1, cov1 = svgp.gp_predictive(static, params, buffers2, x)
+    np.testing.assert_array_equal(np.asarray(mean0), np.asarray(mean1))
+    np.testing.assert_array_equal(np.asarray(cov0), np.asarray(cov1))
 
 
 def test_predictive_matches_numpy_whitened_svgp(gp):
@@ -93,10 +108,13 @@ def test_predictive_matches_numpy_whitened_svgp(gp):
         a = np.linalg.solve(l, kzx)  # [P, M]
         m_k = np.asarray(params["variational_mean"])[k]
         s_k = np.tril(lq[k]) @ np.tril(lq[k]).T
-        mu_fn = (
-            np.asarray(buffers["f0"])[k]
-            + np.asarray(params["cls_bias"])[k]
-            + np.asarray(params["tmp_bias"])[0]
+        # reference-exact query mean: the constant tail (gpytorch evaluates
+        # the mean module on cat([inducing, x]) and slices past M+1 entries)
+        mu_fn = np.full(
+            (M,),
+            np.asarray(params["cls_bias"])[k, 0]
+            + np.asarray(params["tmp_bias"])[0].mean(),
+            dtype=np.float32,
         )
         expected_mean = a.T @ m_k + mu_fn
         expected_cov = (
