@@ -6,7 +6,13 @@ to gpytorch (ref: trainers/gp_template_weigher.py):
 - PCA via SVD of all K·M template embeddings to ``gp_pca_dim`` dims;
 - inducing points = PCA'd templates + one learnable per-class token (the first
   M inducing locations stay frozen — the reference achieves this with a
-  gradient-mask hook at ref:57-79; here the frozen block is simply a buffer);
+  gradient-mask hook at ref:57-79; here the frozen block is simply a buffer.
+  Known executed-semantics divergence under OPTIM.WEIGHT_DECAY > 0: torch's
+  hook masks only the gradient, and AdamW's decoupled decay still shrinks
+  the "frozen" rows every step, so the reference's template locations drift
+  toward zero; a true buffer never moves. Dead under every shipped config —
+  WEIGHT_DECAY is 0.0 in both repos' defaults and no experiment overrides
+  it);
 - whitened variational strategy (gpytorch ``VariationalStrategy`` semantics):
     L  = chol(K_zz + jitter·I)
     A  = L⁻¹ K_zx                               (interpolation term)

@@ -80,8 +80,12 @@ class Trainer(BaseTrainer):
             self.params["gp"] = gp_params
         elif train_tw and not use_linear:
             self.mode = "logits"
-            shape = (1, m) if config.adapter.shared_template_weights else (k, m)
-            self.params["template_logits"] = jnp.zeros(shape)
+            # always per-class [K,M]: shared_template_weights shares only
+            # the INITIALIZATION in the reference (the [1,M] mean row is
+            # copy_-broadcast into the always-[K,M] parameter, whose rows
+            # then receive per-class gradients and diverge;
+            # ref: adapter.py:174-176, 624-634)
+            self.params["template_logits"] = jnp.zeros((k, m))
         elif use_linear:
             self.mode = "linear"
             self.params["template_weight_linear"] = 0.01 * jax.random.normal(
@@ -174,14 +178,16 @@ class Trainer(BaseTrainer):
             )
             updates, opt_state = self.opt.update(grads, opt_state, params)
             params = jax.tree.map(lambda p, u: p + u, params, updates)
-            # "base" = every non-GP trainable (visual_proj + template
+            # "base" = every non-GP TRAINABLE (visual_proj + template
             # logits/linear head), matching the reference's two optimizer
-            # param groups (ref: trainers/adapter.py:298-311) — hardcoding
-            # visual_proj would show a frozen param's norm and hide the
-            # trained head's under freeze_visual_proj / logits mode
+            # param groups (ref: trainers/adapter.py:298-311): the reference
+            # group holds only requires_grad params, so under
+            # freeze_visual_proj its base norm reads 0.0 — a frozen param's
+            # raw gradient must not leak into the diagnostic
             base_leaves = [
                 leaf
-                for name2, sub in grads.items() if name2 != "gp"
+                for name2, sub in grads.items()
+                if name2 != "gp" and not (name2 == "visual_proj" and freeze_proj)
                 for leaf in jax.tree.leaves(sub)
             ]
             gnorms = {
@@ -331,34 +337,14 @@ class Trainer(BaseTrainer):
 
         self.labels_train, _, self.features_train = self.extract_features("train")
 
-        tw_feats, tw_labels = self.features_train, self.labels_train
-        if bool(getattr(self.config.adapter, "prefit_on_full_set", False)):
-            # score template weights on the full train split
-            # (ref: trainers/adapter.py:71-100)
-            try:
-                import copy as _copy
-
-                from clip_gp_tpu.data.pipeline import BatchLoader
-                from clip_gp_tpu.core.registry import build_dataset
-
-                cfg_full = _copy.deepcopy(self.config)
-                cfg_full.dataset.num_shots = 0
-                ds_full = build_dataset(cfg_full)
-                loader = BatchLoader(
-                    ds_full.train_x,
-                    self.dm.tfm_train,
-                    self.config.dataloader.batch_size_train,
-                    shuffle=False,
-                    drop_last=False,
-                    num_workers=self.config.dataloader.num_workers,
-                )
-                tw_labels, tw_feats = self.encode_images_batched(loader)
-                print(f"[INFO] Prefit on full set: {len(tw_feats)} samples used.")
-            except Exception as e:
-                print(
-                    f"[WARN] prefit_on_full_set failed ({e}); "
-                    "falling back to few-shot features."
-                )
+        # score template weights on the full train split when configured
+        # (ref: trainers/adapter.py:71-100; shared with the GP pre-stage
+        # warm starts of CLIP-Adapter / TaskRes / Tip-Adapter)
+        prefit = common.prefit_full_set_features(self.config, self)
+        if prefit is not None:
+            tw_feats, tw_labels = prefit
+        else:
+            tw_feats, tw_labels = self.features_train, self.labels_train
 
         template_weights = common.get_template_weights(
             self.config,
@@ -378,6 +364,13 @@ class Trainer(BaseTrainer):
                     logits_init, self.params["template_logits"].shape
                 )
             self.params["template_logits"] = logits_init
+        elif self.mode == "uniform":
+            # the non-trainable baseline's forward ignores these (reference
+            # executed behavior: the plain tensor fails the isinstance
+            # nn.Parameter check and forward falls back to the uniform mean,
+            # ref: adapter.py:215-226, 636) — kept ONLY for the
+            # finetune-on-test promotion (ref: adapter.py:978-981)
+            self._baseline_template_weights = template_weights
         elif self.mode == "gp":
             # GP warm start always gets per-class [K,M] weights — a shared
             # [1,M] row would desync variational_mean from the [K,P] optimizer
@@ -583,8 +576,25 @@ class Trainer(BaseTrainer):
     # ------------------------------------------------------------------
     def _finetune_on_test(self):
         """Sanity ceiling check: optimize only the weighting head on the test
-        set (ref: trainers/adapter.py:968-1065). Not for regular training."""
-        print("[SANITY] Template weights fine-tuning on TEST set")
+        set (ref: trainers/adapter.py:968-1065). Not for regular training.
+
+        Mirrors the reference's executed loop: mini-batches of
+        ``gp_test_batch_size`` (default test batch size) over the ONCE-shuffled
+        test features, 100 epochs, the configured lr scheduler stepped per
+        epoch, and a per-epoch test-accuracy print. In 'uniform' mode the
+        reference promotes the stored template-WEIGHTS tensor to a trainable
+        Parameter whose values the forward then treats as LOGITS
+        (ref: adapter.py:978-981 + 215-222) — reproduced here by switching to
+        the 'logits' head initialized with the weight VALUES (softmax of a
+        constant uniform row is uniform, so the starting point is unchanged).
+        """
+        if self.mode == "uniform":
+            tw = getattr(self, "_baseline_template_weights", None)
+            if tw is None:
+                k, m = self.text_embeddings.shape[:2]
+                tw = jnp.full((k, m), 1.0 / max(m, 1))
+            self.params["template_logits"] = jnp.asarray(tw)
+            self.mode = "logits"
         freeze = {"visual_proj"}
 
         def label_fn(params):
@@ -604,9 +614,24 @@ class Trainer(BaseTrainer):
             label_fn,
         )
         opt_state = opt.init(self.params)
-        features = self._test_features_dev()
-        labels = jnp.asarray(self.labels_test.astype(np.int32))
+        features_all = self._test_features_dev()
+        n = int(features_all.shape[0])
+        # one shuffle per run from the process-global numpy stream
+        # (ref: adapter.py:1020-1022 uses np.random.rand(N).argsort())
+        idx = np.random.rand(n).argsort(axis=0)
+        features_all = jnp.asarray(np.asarray(features_all)[idx])
+        labels_all = jnp.asarray(self.labels_test.astype(np.int32)[idx])
         scale = self.logit_scale
+        default_bs = int(self.config.dataloader.batch_size_test)
+        bs = max(1, int(
+            getattr(self.config.adapter, "gp_test_batch_size", 0) or default_bs
+        ))
+        num_batches = int(np.ceil(n / float(bs)))
+        num_epochs = 100
+        print(
+            "[SANITY] Template weights fine-tuning on TEST set: "
+            f"epochs={num_epochs} bs={bs} lr={float(self.config.optim.lr)}"
+        )
 
         def loss_fn(params, key, consts, features, labels):
             projected = features @ params["visual_proj"].T
@@ -634,17 +659,25 @@ class Trainer(BaseTrainer):
             updates, opt_state = opt.update(grads, opt_state, params)
             return jax.tree.map(lambda p, u: p + u, params, updates), opt_state, loss
 
-        for ep in range(100):
-            self.params, opt_state, loss = step(
-                self.params, opt_state, self.keys.next(), self._consts(),
-                features, labels,
+        # full-size batch prefix + one ragged tail (each batch shape compiles
+        # once; the reference's last short batch is preserved exactly)
+        consts = self._consts()
+        for ep in range(num_epochs):
+            opt_state = opt.set_epoch(opt_state, ep)
+            running = jnp.zeros(())
+            for b in range(num_batches):
+                b0, b1 = b * bs, min((b + 1) * bs, n)
+                self.params, opt_state, loss = step(
+                    self.params, opt_state, self.keys.next(), consts,
+                    features_all[b0:b1], labels_all[b0:b1],
+                )
+                running = running + loss * (b1 - b0)
+            logits = np.asarray(
+                self._eval_logits(self.params, features_all, self.keys.next())
             )
-            if (ep + 1) % 20 == 0:
-                logits = np.asarray(
-                    self._eval_logits(self.params, features, self.keys.next())
-                )
-                acc = compute_accuracy(logits, self.labels_test)[0]
-                print(
-                    f"[SANITY] epoch {ep + 1}/100: loss={float(loss):.4f} "
-                    f"acc_test={acc:.4f}"
-                )
+            acc = compute_accuracy(logits, self.labels_test[idx])[0]
+            print(
+                f"[SANITY] Template weights test fine-tune epoch "
+                f"{ep + 1}/{num_epochs}: loss={float(running) / n:.4f} "
+                f"acc_test={acc:.4f}"
+            )

@@ -186,6 +186,7 @@ class Trainer(BaseTrainer):
             tr_labels, tr_feats = self.encode_images_batched(self.train_loader_x)
             from clip_gp_tpu.gp import svgp
 
+            prefit = common.prefit_full_set_features(self.config, self)
             self.gp_bundle, _ = pre_stages.train_gp_stage(
                 self.config,
                 self.text_embeddings,
@@ -193,6 +194,8 @@ class Trainer(BaseTrainer):
                 tr_labels,
                 self.keys,
                 warm_start_scale=self.logit_scale,
+                init_features=prefit[0] if prefit else None,
+                init_labels=prefit[1] if prefit else None,
             )
             # classifier = mean over S_eval NORMALIZED samples, kept
             # unnormalized: identical logits to the reference's per-forward

@@ -45,14 +45,19 @@ class Trainer(BaseTrainer):
         print("Building CoCoOp adapter")
         self.arch = arch
         self.logit_scale = float(np.exp(np.asarray(clip_params["logit_scale"])))
-        config.adapter.csc = False  # CoCoOp always uses shared context
         (
             ctx_vectors,
             self.token_prefix,
             self.token_suffix,
             self.tokenized,
             self.n_ctx,
-        ) = build_prompt_parts(config, classnames, clip_params, self.keys.next())
+        ) = build_prompt_parts(
+            config, classnames, clip_params, self.keys.next(),
+            # CoCoOp always uses shared context; the reference simply never
+            # reads csc here — mutating the config would misrecord the
+            # user's setting in metrics.json/config.json
+            force_shared_ctx=True,
+        )
         vis_dim = int(arch.embed_dim)
         ctx_dim = int(arch.transformer_width)
         hidden = max(1, vis_dim // 16)

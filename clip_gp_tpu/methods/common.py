@@ -76,6 +76,49 @@ def _template_scores(features, labels, text_embeddings, scale, num_classes):
     return sums / counts
 
 
+def prefit_full_set_features(config, trainer):
+    """Optional full-train-split features for template-weight scoring.
+
+    The reference's ``prefit_on_full_set`` branch lives INSIDE
+    ``_get_template_weights`` (ref: trainers/adapter.py:71-100), so it
+    applies to EVERY warm start — the Adapter's own init AND the GP
+    pre-stage warm starts of CLIP-Adapter / TaskRes / Tip-Adapter. When the
+    flag is set, the scoring features come from the full (num_shots=0)
+    train split encoded under the train transform; on failure the caller's
+    few-shot features are kept (same warn-and-fall-back contract).
+
+    Returns (features, labels) or None (flag unset / extraction failed).
+    """
+    if not bool(getattr(config.adapter, "prefit_on_full_set", False)):
+        return None
+    try:
+        import copy as _copy
+
+        from clip_gp_tpu.core.registry import build_dataset
+        from clip_gp_tpu.data.pipeline import BatchLoader
+
+        cfg_full = _copy.deepcopy(config)
+        cfg_full.dataset.num_shots = 0
+        ds_full = build_dataset(cfg_full)
+        loader = BatchLoader(
+            ds_full.train_x,
+            trainer.dm.tfm_train,
+            config.dataloader.batch_size_train,
+            shuffle=False,
+            drop_last=False,
+            num_workers=config.dataloader.num_workers,
+        )
+        labels, feats = trainer.encode_images_batched(loader)
+        print(f"[INFO] Prefit on full set: {len(feats)} samples used.")
+        return jnp.asarray(feats), jnp.asarray(labels)
+    except Exception as e:
+        print(
+            f"[WARN] prefit_on_full_set failed ({e}); "
+            "falling back to few-shot features."
+        )
+        return None
+
+
 def get_template_weights(
     config,
     text_embeddings: jnp.ndarray,
@@ -88,7 +131,11 @@ def get_template_weights(
 
     Methods: uniform | val_weighted | top3 | minmax — all non-uniform methods
     score templates by per-class few-shot accuracy, then map scores through
-    softmax(log(S+eps)).
+    softmax(log(S+eps)). NOTE: callers that can reach the
+    ``prefit_on_full_set`` path must swap in
+    :func:`prefit_full_set_features` first (the reference folds that branch
+    into this function; here it is separate because it needs the trainer's
+    encoder).
     """
     method = str(getattr(config.adapter, "template_init_method", "uniform")).lower()
     k, m = int(text_embeddings.shape[0]), int(text_embeddings.shape[1])

@@ -27,12 +27,16 @@ from clip_gp_tpu.runtime.optim import EpochOptimizer
 from clip_gp_tpu.runtime.trainer_base import BaseTrainer
 
 
-def build_prompt_parts(config, classnames, clip_params, key):
+def build_prompt_parts(config, classnames, clip_params, key, force_shared_ctx=False):
     """(ctx_vectors, token_prefix, token_suffix, tokenized) for prompt
-    learning (ref: adapter_coop.py:453-502)."""
+    learning (ref: adapter_coop.py:453-502).
+
+    ``force_shared_ctx`` ignores ``csc`` without mutating the config
+    (CoCoOp always uses shared context; the recorded config must still
+    reflect the user's setting)."""
     n_ctx = int(config.adapter.n_ctx)
     ctx_init = str(config.adapter.ctx_init or "")
-    use_csc = bool(config.adapter.csc)
+    use_csc = bool(config.adapter.csc) and not force_shared_ctx
     token_embedding = np.asarray(clip_params["token_embedding"])
     ctx_dim = token_embedding.shape[1]
 

@@ -38,14 +38,21 @@ def train_gp_stage(
     train_labels: np.ndarray,
     key_seq,
     warm_start_scale: Optional[float] = None,
+    init_features: Optional[jnp.ndarray] = None,
+    init_labels: Optional[jnp.ndarray] = None,
 ):
-    """Returns (gp bundle (static, params, buffers), mean prototypes [K,D])."""
+    """Returns (gp bundle (static, params, buffers), mean prototypes [K,D]).
+
+    ``init_features``/``init_labels`` override the warm-start SCORING
+    features only (the prefit_on_full_set path — the reference's
+    _get_template_weights swaps features internally, ref: adapter.py:71-100,
+    while GP training still runs on the few-shot set)."""
     static, params, buffers = svgp.create_gp(text_embeddings, config)
     init_w = common.get_template_weights(
         config,
         text_embeddings,
-        train_features,
-        jnp.asarray(train_labels),
+        init_features if init_features is not None else train_features,
+        jnp.asarray(init_labels if init_labels is not None else train_labels),
         warm_start_scale if warm_start_scale is not None else 100.0,
     )
     params = svgp.initialize_from_weights(params, init_w)

@@ -198,13 +198,20 @@ class Trainer(BaseTrainer):
         config = self.config
         if bool(config.adapter.use_gp):
             tr_labels, tr_feats = self.encode_images_batched(self.train_loader_x)
+            # the reference's TaskRes GP branch builds E with per-template
+            # L2 normalization (ref: taskres.py:234) — unlike CLIP-Adapter's
+            # raw E (ref: clip_adapter.py:239) and unlike TaskRes's own
+            # non-GP TW branch below, which keeps E raw (ref: taskres.py:317)
+            prefit = common.prefit_full_set_features(config, self)
             self.gp_bundle, mean_protos = pre_stages.train_gp_stage(
                 config,
-                self.text_embeddings,
+                common.l2_normalize(self.text_embeddings),
                 common.l2_normalize(jnp.asarray(tr_feats)),
                 tr_labels,
                 self.keys,
                 warm_start_scale=self.logit_scale,
+                init_features=prefit[0] if prefit else None,
+                init_labels=prefit[1] if prefit else None,
             )
             self.base_text_features = mean_protos
             print("[TaskRes] Using trained GP-based template weighter for prototypes.")

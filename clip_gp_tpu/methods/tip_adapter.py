@@ -123,16 +123,21 @@ class Trainer(BaseTrainer):
         tr_feats = tr_labels = None
         if use_gp or use_tw:
             tr_feats, tr_labels = self._extract_norm(self.train_loader_x)
-            # Tip (unlike clip_adapter/taskres) L2-normalizes each template
-            # embedding BEFORE the pre-stage (ref: tip_adapter.py:98-103)
+            # Tip L2-normalizes each template embedding BEFORE the pre-stage
+            # (ref: tip_adapter.py:98-103) — like TaskRes's GP branch
+            # (ref: taskres.py:234), unlike CLIP-Adapter's raw E
+            # (ref: clip_adapter.py:239)
             norm_embeddings = common.l2_normalize(self.text_embeddings)
             if use_gp:
+                prefit = common.prefit_full_set_features(config, self)
                 self.gp_bundle, mean_protos = pre_stages.train_gp_stage(
                     config,
                     norm_embeddings,
                     jnp.asarray(tr_feats),
                     tr_labels,
                     self.keys,
+                    init_features=prefit[0] if prefit else None,
+                    init_labels=prefit[1] if prefit else None,
                 )
                 print("[Tip-Adapter] Using trained GP-based template weighter for prototypes.")
             else:

@@ -88,9 +88,10 @@ def vmapped_gp_prestage(runner, feats_train, labels_train,
     scale 100 + β·KL, AdamW(gp_lr) + cosine over optim.max_epoch, per-trial
     template-weight warm start).
 
-    ``text_embeddings`` overrides the runner's (Tip normalizes per template
-    before the stage, ref: tip_adapter.py:98-103; clip_adapter/taskres use
-    raw embeddings).
+    ``text_embeddings`` overrides the runner's (Tip and TaskRes's GP branch
+    normalize per template before the stage, ref: tip_adapter.py:98-103,
+    taskres.py:234; CLIP-Adapter uses raw embeddings, ref:
+    clip_adapter.py:239).
 
     Returns (static, per-trial gp params [T,...], mean prototypes [T,K,D]
     L2-normalized). Buffers land in ``runner.shared["gp_buffers"]`` (text
@@ -469,8 +470,13 @@ class AdapterSpec(MethodSpec):
             )
         tw = jnp.stack(tw)  # [T,K,M]
         if self.use_gp:
+            # GP warm start keeps per-class [K,M] weights (methods/adapter.py)
             params["gp"] = jax.vmap(svgp.initialize_from_weights)(params["gp"], tw)
         else:
+            if bool(self.r.config.adapter.shared_template_weights):
+                # shared only at INIT: the mean row broadcast into the
+                # always-[K,M] parameter (ref: adapter.py:624-634)
+                tw = jnp.broadcast_to(tw.mean(axis=1, keepdims=True), tw.shape)
             params["template_logits"] = jnp.log(jnp.clip(tw, 1e-12, None))
         return params
 
@@ -700,8 +706,11 @@ class TaskResSpec(MethodSpec):
             self.r.config.adapter.taskres_residual_scale,
         )}
         if self.use_gp:
+            # reference TaskRes builds the GP's E with per-template L2
+            # normalization (ref: taskres.py:234) — unlike its TW branch
             self.gp_static, gp_params, protos = vmapped_gp_prestage(
-                self.r, feats_train, labels_train
+                self.r, feats_train, labels_train,
+                text_embeddings=common.l2_normalize(self.r.text_embeddings),
             )
             consts["base_text"] = protos  # [T,K,D] GP-mean prototypes
             consts["gp"] = gp_params
@@ -1148,6 +1157,15 @@ class VmappedTrials:
         self.method = method or str(config.trainer_name)
         if self.method not in SPECS:
             raise ValueError(f"no vmapped spec for method {self.method!r}")
+        if bool(getattr(config.adapter, "prefit_on_full_set", False)):
+            # the vmapped warm start scores template weights on the per-trial
+            # few-shot features only; silently ignoring the flag would
+            # diverge from the in-process trainers (which swap in full-split
+            # features via common.prefit_full_set_features)
+            raise ValueError(
+                "not vmap-groupable: ADAPTER.PREFIT_ON_FULL_SET requires the "
+                "in-process backend"
+            )
         self.trial_overrides = (
             [dict(o) for o in trial_overrides]
             if trial_overrides is not None

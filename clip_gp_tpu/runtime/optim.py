@@ -96,11 +96,19 @@ def build_lr_schedule(config, warmup: bool = False) -> Callable[[int], float]:
     warmup_factor = float(getattr(config, "warmup_cons_lr", 1e-5)) / base_lr
 
     def with_warmup(e):
-        # reference WarmupWrapper semantics (ref: utils/optimization.py:
+        # reference WarmupWrapper INTENT (ref: utils/optimization.py:
         # 283-341, stepped AFTER each epoch): epoch 0 runs at BASE lr
         # (before any step), epochs 1..warmup_epochs-1 at the warmup factor,
         # and the inner scheduler only starts advancing once warmup ends —
-        # post-warmup epoch e runs at sched(e - warmup_epochs + 1)
+        # post-warmup epoch e runs at sched(e - warmup_epochs + 1).
+        # KNOWN DIVERGENCE from the torch-EXECUTED wrapper for
+        # warmup_epoch >= 2: torch's _warmup_step mutates group['lr'] and
+        # every torch scheduler's get_lr chains off the CURRENT group lr, so
+        # the executed first post-warmup epoch continues annealing from the
+        # warmup lr (e.g. 1e-5) and never returns to base. That executed
+        # behavior is almost certainly a bug (the run would train at ~0 lr
+        # forever); neither repo wires warmup into any trainer, so this
+        # resume-the-base-trajectory reading is the documented choice.
         if e == 0:
             return base_lr
         if e < warmup_epochs:

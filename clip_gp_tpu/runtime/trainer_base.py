@@ -76,7 +76,15 @@ def read_checkpoint_classnames(path) -> Optional[list]:
 
 
 def infer_method_name(config) -> str:
-    """Method tag for metrics.json (ref: utils/trainer.py:604-619)."""
+    """Method tag for metrics.json (ref: utils/trainer.py:604-619).
+
+    Deliberate divergence: the reference's mapping only knows the
+    'Adapter-*' spellings, so runs launched under the canonical names
+    ('Tip-Adapter', 'CLIP-Adapter', 'TaskRes' — reachable here via the
+    registry alias quirk-fix, COMPONENTS.md §2.3.1/2.3.2) would fall
+    through to 'gp'/'baseline' and aggregate into the wrong family; the
+    canonical spellings are mapped to the same tags as their 'Adapter-*'
+    aliases instead."""
     tname = getattr(config, "trainer_name", "")
     mapping = {
         "Adapter-TipA-F": "tipaf",

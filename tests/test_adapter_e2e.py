@@ -156,12 +156,26 @@ def test_run_reproducibility_and_rng_stream_parity(tmp_path, monkeypatch):
 
 def test_finetune_on_test_sanity_mode(tmp_path, capfd):
     """--finetune-on-test: the cheating ceiling diagnostic optimizes only the
-    weighting head on the test set, printing at a 20-epoch cadence
-    (ref: trainers/adapter.py:968-1065)."""
+    weighting head on mini-batches of the once-shuffled test set, printing
+    loss + test accuracy after EVERY epoch (ref: trainers/adapter.py:
+    968-1065; loop shape at :1026-1065)."""
     config = make_config(tmp_path)
     config.adapter.finetune_on_test = True
     _run(config)
     out = capfd.readouterr().out
     assert "[SANITY] Template weights fine-tuning on TEST set" in out
-    for ep in (20, 40, 60, 80, 100):
-        assert f"[SANITY] epoch {ep}/100" in out
+    for ep in (1, 50, 100):
+        assert f"[SANITY] Template weights test fine-tune epoch {ep}/100" in out
+    # the uniform baseline is promoted to a trainable head, so the sanity
+    # accuracy must actually move the loss (a frozen no-op would print a
+    # constant) — compare first vs last epoch loss
+    import re
+
+    losses = [
+        float(m.group(1))
+        for m in re.finditer(
+            r"test fine-tune epoch \d+/100: loss=([0-9.]+)", out
+        )
+    ]
+    assert len(losses) == 100
+    assert losses[-1] < losses[0]
