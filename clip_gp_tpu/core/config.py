@@ -136,10 +136,15 @@ class OptimConfig:
     lr: float = 0.01
     max_epoch: int = 300
     lr_scheduler: str = "cosine"
-    # scheduler-family knobs. The reference setattr's arbitrary OPTIM.* YAML
-    # keys onto its config (ref: utils/config.py:241) and reads these via
-    # getattr defaults (ref: utils/optimization.py:232-276); ``None`` means
-    # "use the reference's derived default" (step_size: max_epoch//3,
+    # scheduler-family knobs — a QUIRK FIX. The reference's scheduler
+    # builder reads these via getattr defaults (ref: utils/optimization.py:
+    # 232-276), but its config merge hasattr-guards every OPTIM.* key on
+    # BOTH the YAML path (ref: utils/config.py:239-241) and the OPTS path
+    # (ref: utils/config.py:520-522) and OptimConfig lacks the fields — so
+    # the executed reference silently DROPS a configured ETA_MIN/GAMMA/...
+    # and always runs with the derived defaults. Here they are typed fields
+    # that are honored (documented divergence, COMPONENTS.md); ``None``
+    # means "use the reference's derived default" (step_size: max_epoch//3,
     # gamma: 0.1 step/multistep or 0.95 exponential, milestones:
     # [E//2, 3E//4], total_iters: max_epoch)
     eta_min: float = 0.0  # cosine floor
@@ -189,6 +194,13 @@ class Config:
     no_train: bool = False
     no_test: bool = False
     final_model: str = "last"  # last | best_val
+
+    # the reference setattr's these onto the config when the CLI flags are
+    # given (ref: utils/config.py:441-444), so its metrics.json config block
+    # carries them; config_to_dict mirrors the presence semantics (key
+    # omitted when never set)
+    config_file: Optional[str] = None
+    dataset_config_file: Optional[str] = None
 
 
 # Section-name → sub-config attribute for YAML/OPTS addressing.
@@ -526,8 +538,10 @@ def parse_args_to_config(argv: Optional[List[str]] = None) -> Config:
     config = Config()
     if args.dataset_config_file:
         merge_config_from_file(config, args.dataset_config_file)
+        config.dataset_config_file = args.dataset_config_file
     if args.config_file:
         merge_config_from_file(config, args.config_file)
+        config.config_file = args.config_file
     for dest, path in _ARG_MAP.items():
         value = getattr(args, dest, None)
         if value is not None:
@@ -550,6 +564,12 @@ def config_to_dict(config) -> dict:
         return {
             f.name: config_to_dict(getattr(config, f.name))
             for f in dataclasses.fields(config)
+            # reference presence semantics: the file-path keys exist on its
+            # config object only when the CLI flags were passed
+            if not (
+                f.name in ("config_file", "dataset_config_file")
+                and getattr(config, f.name) is None
+            )
         }
     if isinstance(config, tuple):
         return list(config)

@@ -113,8 +113,15 @@ class BatchLoader:
             src.shuffle(order)
         # one deterministic augmentation seed per item, drawn sequentially
         # from the (run-seeded) stream BEFORE threading — worker-thread
-        # interleaving can no longer change augmentation draws between runs
-        item_seeds = [src.getrandbits(63) for _ in order]
+        # interleaving can no longer change augmentation draws between runs.
+        # Deterministic transforms (uses_rng=False: the eval/test path) draw
+        # NOTHING: in the reference, evaluation never consumes python
+        # `random`, so an extra eval pass must not shift later training
+        # augmentation draws (found in review, 2026-08-18).
+        if getattr(self.transform, "uses_rng", True):
+            item_seeds = [src.getrandbits(63) for _ in order]
+        else:
+            item_seeds = [0] * len(order)
         n_batches = len(self)
         with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
             for b in range(n_batches):

@@ -100,7 +100,11 @@ def resize_shortest(img: Image.Image, target: int, interpolation) -> Image.Image
     if short == target:
         return img
     new_short = target
-    new_long = int(round(target * long / short))
+    # torchvision's executed _compute_resized_output_size TRUNCATES the long
+    # side (int(size * long / short)), it does not round — int(round(...))
+    # shifted the resize (and the center crop behind it) by one pixel for
+    # roughly half of all aspect ratios on every eval image
+    new_long = int(target * long / short)
     nw, nh = (new_short, new_long) if width <= height else (new_long, new_short)
     return img.resize((nw, nh), interpolation)
 
@@ -176,7 +180,9 @@ def build_transform(config, is_train: bool = False) -> Callable[[Image.Image], n
                     if rng.random() < 0.5:
                         img = img.transpose(Image.FLIP_LEFT_RIGHT)
                 elif name == "random_rotation":
-                    img = img.rotate(rng.uniform(-15, 15), resample=Image.BILINEAR)
+                    # torchvision RandomRotation's executed default
+                    # interpolation is NEAREST, not bilinear
+                    img = img.rotate(rng.uniform(-15, 15), resample=Image.NEAREST)
                 elif name == "color_jitter":
                     img = color_jitter(img, rng=rng)
                 # "normalize" happens on device
@@ -201,6 +207,7 @@ def build_transform(config, is_train: bool = False) -> Callable[[Image.Image], n
                 "target": size[0],
                 "flip": "random_flip" in names,
             }
+        train_tfm.uses_rng = True
         return train_tfm
 
     def test_tfm(img: Image.Image, rng=None) -> np.ndarray:
@@ -208,6 +215,11 @@ def build_transform(config, is_train: bool = False) -> Callable[[Image.Image], n
         img = center_crop(img, size)
         return np.asarray(img.convert("RGB"), dtype=np.uint8)
 
+    # deterministic: the loader must NOT burn per-item seeds from the
+    # run-seeded stream for this transform — in the reference, evaluation
+    # never touches python `random`, so an eval pass (EVAL_FREQ,
+    # best_val tracking, predict) must not shift later training draws
+    test_tfm.uses_rng = False
     if size[0] == size[1] and config.input.interpolation == "bicubic":
         # deterministic square resize+crop: eligible for the native fused
         # JPEG decode path (see data/pipeline.py)

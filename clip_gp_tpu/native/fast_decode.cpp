@@ -425,10 +425,12 @@ int decode_resize_crop(const uint8_t* data, long size, int target,
   }
   std::vector<uint8_t>& pixels = pixels_vec;
 
-  // shortest-side resize. Rounding parity: the PIL path uses Python 3's
-  // round() = round-HALF-TO-EVEN (transforms.py resize_shortest /
-  // center_crop), so exact-.5 cases must not use lround (half-away-from-
-  // zero) or the crop window shifts by 1px vs the default path.
+  // shortest-side resize. Rounding parity with the PIL path
+  // (transforms.py resize_shortest), which mirrors torchvision's executed
+  // _compute_resized_output_size: the long side TRUNCATES
+  // (int(target * long / short)). The center crop below still rounds
+  // half-to-even (Python 3 round()), matching torchvision's
+  // int(round((h - th) / 2.0)).
   const auto round_half_even = [](double v) -> int {
     const double fl = std::floor(v);
     const double diff = v - fl;
@@ -440,10 +442,10 @@ int decode_resize_crop(const uint8_t* data, long size, int target,
   int rw, rh;
   if (sw <= sh) {
     rw = target;
-    rh = round_half_even(static_cast<double>(target) * sh / sw);
+    rh = static_cast<int>(static_cast<double>(target) * sh / sw);
   } else {
     rh = target;
-    rw = round_half_even(static_cast<double>(target) * sw / sh);
+    rw = static_cast<int>(static_cast<double>(target) * sw / sh);
   }
   std::vector<uint8_t> resized(static_cast<size_t>(rw) * rh * 3);
   resize_bicubic(pixels.data(), sh, sw, resized.data(), rh, rw);

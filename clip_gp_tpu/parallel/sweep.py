@@ -580,7 +580,10 @@ def main(argv=None):
 
     trials, meta = build_trials(cfg)
     todo = pending_trials(trials, skip_logged=not args.no_skip_logged)
-    devices = [d.strip() for d in (args.devices or "").split(",") if d.strip()]
+    # device hints: experiment-YAML key first, CLI flag as fallback
+    # (ref: utils/hparam_search.py:159 — cfg.get("devices") or cli_devices)
+    dev_str = cfg.get("devices") or args.devices or ""
+    devices = [d.strip() for d in str(dev_str).split(",") if d.strip()]
     if args.backend == "vmap":
         run_trials_vmapped(
             todo, strict=args.strict_vmap, group_parallel=args.group_parallel

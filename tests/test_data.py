@@ -224,3 +224,41 @@ def test_stale_split_caches_cleared_even_without_image_tree(synth_config):
         os.path.join(ds_root, "split_zhou_Synthetic.json")
     )
     assert not os.path.isdir(os.path.join(ds_root, "split_fewshot"))
+
+
+def test_resize_shortest_truncates_long_side():
+    """torchvision's executed _compute_resized_output_size TRUNCATES the
+    long side (int(size * long / short)) — 640x480 @ 224 must give 298,
+    not round's 299 (found in review, 2026-08-18)."""
+    from PIL import Image
+
+    from clip_gp_tpu.data.transforms import resize_shortest
+
+    img = Image.new("RGB", (640, 480))
+    out = resize_shortest(img, 224, Image.BICUBIC)
+    assert out.size == (298, 224)  # 224*640/480 = 298.67 -> 298
+    img = Image.new("RGB", (480, 640))
+    out = resize_shortest(img, 224, Image.BICUBIC)
+    assert out.size == (224, 298)
+
+
+def test_eval_loader_does_not_consume_global_random(synth_config):
+    """Evaluation must not shift the run-seeded python `random` stream — in
+    the reference, eval never touches it, so EVAL_FREQ / best_val / predict
+    passes must not change later training augmentation draws (found in
+    review, 2026-08-18). The train loader (random transform) MUST consume."""
+    import random
+
+    from clip_gp_tpu.data.pipeline import build_data_manager
+
+    dm = build_data_manager(synth_config)
+
+    random.seed(123)
+    state0 = random.getstate()
+    for _ in dm.test_loader:
+        pass
+    assert random.getstate() == state0, "eval pass consumed the global stream"
+
+    for _ in dm.train_loader_x:
+        break
+    assert random.getstate() != state0, "train pass must consume the stream"

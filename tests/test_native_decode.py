@@ -61,9 +61,10 @@ def test_invalid_data_returns_none():
 
 
 def test_half_case_rounding_matches_python_round():
-    """449x448 @ 224: the resized long side is exactly 224.5 — Python 3's
-    round() (banker's) gives 224 while lround gives 225 and a 1px crop
-    shift. High-contrast stripes make a shift show up as a huge diff."""
+    """449x448 @ 224: the resized long side is exactly 224.5 — torchvision's
+    executed truncation gives 224 while lround gives 225 and a 1px crop
+    shift (the center crop itself still rounds half-to-even). High-contrast
+    stripes make a shift show up as a huge diff."""
     w, h, target = 449, 448, 224
     img = np.zeros((h, w, 3), dtype=np.uint8)
     img[:, ::2] = 255  # vertical 1px stripes
