@@ -12,6 +12,7 @@
 // Build: g++ -O3 -shared -fPIC fast_decode.cpp -ljpeg -o libfastdecode.so
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <csetjmp>
 #include <cstdint>
@@ -43,7 +44,16 @@ skip_scanlines_fn get_skip_fn() {
   return fn;
 }
 
-int g_partial_decode = 1;  // set_partial_decode() toggles (exactness tests)
+// set_partial_decode() toggles (exactness tests). Atomic: the toggle may be
+// written while BatchLoader pool workers are decoding — a plain int read
+// concurrently with the write is a C++ data race. Do not toggle while
+// decodes are in flight if the windowed/full choice must stay consistent
+// within a batch.
+std::atomic<int> g_partial_decode{1};
+
+// Refuse absurd decode/resize allocations instead of letting std::bad_alloc
+// (or a 10+ GB buffer for a 65535x1 degenerate JPEG) take the process down.
+constexpr size_t kMaxBufferBytes = size_t{1} << 30;  // 1 GiB per buffer
 
 struct ErrorMgr {
   jpeg_error_mgr pub;
@@ -199,24 +209,26 @@ void resize_bicubic(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
 // filter support plus an iMCU of slack — the resampler never reads the
 // boundary-adjacent region. ``col_off``/``row_off`` report the decoded
 // sub-image's origin in (DCT-scaled) output coordinates.
-int decode_pixels(const uint8_t* data, long size, float region_short,
-                  int target, std::vector<uint8_t>* pixels, int* out_sw,
-                  int* out_sh, float* fx, float* fy,
-                  const float* box = nullptr, int* col_off = nullptr,
-                  int* row_off = nullptr, int* full_w_out = nullptr,
-                  int* full_h_out = nullptr) {
+// Implementation frame: contains the setjmp and NO C++ objects of its own.
+// The vectors live in the CALLER's frame and arrive as pointers (unmodified
+// after setjmp), so a longjmp out of jpeg_read_scanlines can neither skip a
+// destructor nor leave an automatic C++ object's value indeterminate
+// (C11 7.13.2.1 — a non-volatile local modified after setjmp is
+// indeterminate after longjmp; their heap effects are committed memory
+// writes and stay valid). `cinfo` itself follows libjpeg's canonical
+// example.c error idiom: its address escapes to the library, and the error
+// branch only hands it back to jpeg_destroy_decompress.
+int decode_pixels_impl(const uint8_t* data, long size, float region_short,
+                       int target, std::vector<uint8_t>* pixels,
+                       std::vector<uint8_t>* rowbuf, int* out_sw, int* out_sh,
+                       float* fx, float* fy, const float* box, int* col_off,
+                       int* row_off, int* full_w_out, int* full_h_out) {
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
-  // declared BEFORE setjmp: a longjmp from inside jpeg_read_scanlines must
-  // not skip a destructor of an object constructed after the setjmp (UB +
-  // heap leak per failed decode) — the error branch clears it explicitly
-  std::vector<uint8_t> rowbuf;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
   if (setjmp(jerr.setjmp_buffer)) {
     jpeg_destroy_decompress(&cinfo);
-    rowbuf.clear();
-    rowbuf.shrink_to_fit();
     return 1;
   }
   jpeg_create_decompress(&cinfo);
@@ -258,8 +270,8 @@ int decode_pixels(const uint8_t* data, long size, float region_short,
   int xoff_applied = 0;
   int rows_skipped = 0;
   int rows_keep_hi = full_sh;
-  if (g_partial_decode && box != nullptr && !cinfo.progressive_mode &&
-      full_sh > 0 && full_sw > 0) {
+  if (g_partial_decode.load(std::memory_order_relaxed) && box != nullptr &&
+      !cinfo.progressive_mode && full_sh > 0 && full_sw > 0) {
     const float fxs = static_cast<float>(full_sw) / orig_w;
     const float fys = static_cast<float>(full_sh) / orig_h;
     const float bx = box[0] * fxs;
@@ -304,18 +316,26 @@ int decode_pixels(const uint8_t* data, long size, float region_short,
     jpeg_destroy_decompress(&cinfo);
     return 4;
   }
+  if (static_cast<size_t>(sw) * rows_kept * 3 > kMaxBufferBytes) {
+    // degenerate aspect ratios (e.g. 65535x1) explode the decode buffer;
+    // refuse and let the caller fall back to PIL rather than bad_alloc
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 5;
+  }
   pixels->resize(static_cast<size_t>(sw) * rows_kept * 3);
-  rowbuf.resize(static_cast<size_t>(sw) * channels);
+  rowbuf->resize(static_cast<size_t>(sw) * channels);
   while (static_cast<int>(cinfo.output_scanline) < rows_keep_hi) {
-    uint8_t* rowptr = rowbuf.data();
+    uint8_t* rowptr = rowbuf->data();
     jpeg_read_scanlines(&cinfo, &rowptr, 1);
     uint8_t* dst_row = &(*pixels)[static_cast<size_t>(
                            cinfo.output_scanline - 1 - rows_skipped) * sw * 3];
     if (channels == 3) {
-      std::memcpy(dst_row, rowbuf.data(), static_cast<size_t>(sw) * 3);
+      std::memcpy(dst_row, rowbuf->data(), static_cast<size_t>(sw) * 3);
     } else {  // grayscale → RGB
       for (int x = 0; x < sw; ++x) {
-        dst_row[x * 3] = dst_row[x * 3 + 1] = dst_row[x * 3 + 2] = rowbuf[x];
+        dst_row[x * 3] = dst_row[x * 3 + 1] = dst_row[x * 3 + 2] =
+            (*rowbuf)[x];
       }
     }
   }
@@ -335,6 +355,20 @@ int decode_pixels(const uint8_t* data, long size, float region_short,
   if (full_w_out != nullptr) *full_w_out = full_sw;
   if (full_h_out != nullptr) *full_h_out = full_sh;
   return 0;
+}
+
+int decode_pixels(const uint8_t* data, long size, float region_short,
+                  int target, std::vector<uint8_t>* pixels, int* out_sw,
+                  int* out_sh, float* fx, float* fy,
+                  const float* box = nullptr, int* col_off = nullptr,
+                  int* row_off = nullptr, int* full_w_out = nullptr,
+                  int* full_h_out = nullptr) {
+  // owns the scanline buffer so the setjmp frame (the impl) holds no C++
+  // objects of its own
+  std::vector<uint8_t> rowbuf;
+  return decode_pixels_impl(data, size, region_short, target, pixels,
+                            &rowbuf, out_sw, out_sh, fx, fy, box, col_off,
+                            row_off, full_w_out, full_h_out);
 }
 
 }  // namespace
@@ -383,7 +417,7 @@ int jpeg_dims(const uint8_t* data, long size, int* width, int* height) {
 // DCT-domain scaling is applied when the crop is comfortably larger than the
 // target; box coordinates are rescaled to match.
 int decode_rrc(const uint8_t* data, long size, float x, float y, float w,
-               float h, int target, int flip, uint8_t* out) {
+               float h, int target, int flip, uint8_t* out) try {
   std::vector<uint8_t> pixels;
   int sw, sh;
   float fx, fy;
@@ -405,13 +439,17 @@ int decode_rrc(const uint8_t* data, long size, float x, float y, float w,
     }
   }
   return 0;
+} catch (...) {
+  // an exception must never cross the ctypes FFI boundary (std::terminate
+  // would take the training process down); nonzero = caller falls back
+  return 9;
 }
 
 // Decode a JPEG byte buffer, resize shortest side to `target`, center-crop to
 // target×target; writes target*target*3 uint8 RGB into `out`.
 // Returns 0 on success, nonzero on failure (caller falls back to PIL).
 int decode_resize_crop(const uint8_t* data, long size, int target,
-                       uint8_t* out) {
+                       uint8_t* out) try {
   std::vector<uint8_t> pixels_vec;
   int sw, sh;
   float fx, fy;
@@ -447,6 +485,10 @@ int decode_resize_crop(const uint8_t* data, long size, int target,
     rh = target;
     rw = static_cast<int>(static_cast<double>(target) * sw / sh);
   }
+  if (rw <= 0 || rh <= 0 ||
+      static_cast<size_t>(rw) * rh * 3 > kMaxBufferBytes) {
+    return 6;  // degenerate aspect ratio (e.g. 65535x1) — PIL fallback
+  }
   std::vector<uint8_t> resized(static_cast<size_t>(rw) * rh * 3);
   resize_bicubic(pixels.data(), sh, sw, resized.data(), rh, rw);
 
@@ -460,8 +502,10 @@ int decode_resize_crop(const uint8_t* data, long size, int target,
                 static_cast<size_t>(target) * 3);
   }
   return 0;
+} catch (...) {
+  // an exception must never cross the ctypes FFI boundary (std::terminate
+  // would take the training process down); nonzero = caller falls back
+  return 9;
 }
 
-// Batch variant: decode `n` JPEGs (concatenated buffer + offsets) into a
-// contiguous [n, target, target, 3] output. Returns number of failures.
 }  // extern "C"

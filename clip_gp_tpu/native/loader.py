@@ -12,6 +12,8 @@ import ctypes
 import hashlib
 import os
 import subprocess
+import sys
+import threading
 from pathlib import Path
 from typing import Optional
 
@@ -20,6 +22,7 @@ import numpy as np
 _SRC = Path(__file__).parent / "fast_decode.cpp"
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
+_BUILD_LOCK = threading.Lock()
 
 
 def _build_and_load() -> Optional[ctypes.CDLL]:
@@ -38,10 +41,15 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib_path = cache_dir / f"libfastdecode-{tag}.so"
     if not lib_path.exists():
         cache_dir.mkdir(parents=True, exist_ok=True)
-        # per-process tmp name: the sweep's subprocess backend can cold-build
-        # from N children at once, and a shared tmp would let one child's
-        # linker interleave into another's output before the atomic rename
-        tmp = lib_path.with_suffix(f".so.tmp.{os.getpid()}")
+        # per-process AND per-thread tmp name: the sweep's subprocess backend
+        # can cold-build from N children at once, and the first native call
+        # usually happens inside BatchLoader's ThreadPoolExecutor workers —
+        # a pid-only tmp would let two in-process threads' linkers interleave
+        # writes into one file and rename a corrupt .so into the hash-keyed
+        # cache, permanently (it would never be rebuilt)
+        tmp = lib_path.with_suffix(
+            f".so.tmp.{os.getpid()}.{threading.get_ident()}"
+        )
         cmd = [
             "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
             str(_SRC), "-ljpeg", "-ldl", "-o", str(tmp),
@@ -50,8 +58,21 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
             tmp.replace(lib_path)
         except Exception as e:
-            print(f"[native] fast_decode build failed ({e}); using PIL path")
+            detail = ""
+            stderr = getattr(e, "stderr", None)
+            if stderr:
+                if isinstance(stderr, bytes):
+                    stderr = stderr.decode(errors="replace")
+                detail = f"\n[native] compiler said: {stderr[-500:]}"
+            # stderr, not stdout: bench.py's stdout contract is one JSON line
+            print(
+                f"[native] fast_decode build failed ({e}); using PIL path"
+                f"{detail}",
+                file=sys.stderr,
+            )
             return None
+        finally:
+            tmp.unlink(missing_ok=True)  # failed/timed-out partial object
     try:
         lib = ctypes.CDLL(str(lib_path))
     except OSError:
@@ -92,7 +113,11 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
 def _get_lib() -> Optional[ctypes.CDLL]:
     global _LIB
     if _LIB is None and not _TRIED:
-        _LIB = _build_and_load()
+        # first use typically comes from several pool workers at once; only
+        # one may build (the others wait, then read the cached result)
+        with _BUILD_LOCK:
+            if _LIB is None and not _TRIED:
+                _LIB = _build_and_load()
     return _LIB
 
 

@@ -239,3 +239,14 @@ def test_partial_decode_bit_identical_to_full():
                     assert np.array_equal(a, b), (w, h, box, flip)
     finally:
         loader.set_partial_decode(True)
+
+
+def test_degenerate_aspect_ratio_refused_not_bad_alloc():
+    """A valid 16000x2 JPEG would need a ~1.2 GB resize buffer (224*16000/2
+    wide); the native path must refuse with nonzero (PIL fallback) instead
+    of letting std::bad_alloc cross the ctypes boundary and abort the
+    process (found in review, 2026-08-18)."""
+    img = np.zeros((2, 16000, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=50)
+    assert decode_resize_crop(buf.getvalue(), 224) is None
