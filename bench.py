@@ -99,9 +99,44 @@ def measure(batch: int, int8: bool = False) -> float:
 
 from clip_gp_tpu.runtime.backend_guard import wait_for_backend  # noqa: E402
 
+# Last successful measurement, persisted so a wedged tunnel at driver time
+# still yields an artifact (clearly marked stale) instead of a hang. The
+# tunneled backend has wedged for 10+ hour stretches; the wait budget can't
+# always outlast one.
+LAST_GOOD_PATH = Path(__file__).resolve().parent / "BENCH_LAST_GOOD.json"
+
+
+def load_stale_fallback(path: Path = LAST_GOOD_PATH) -> dict | None:
+    """Last-good payload marked stale, or None if never measured."""
+    try:
+        payload = json.loads(path.read_text())
+    except (OSError, ValueError):
+        return None
+    payload["stale"] = True
+    payload["stale_note"] = (
+        "backend wedged past BENCH_BACKEND_WAIT_S; this is the last "
+        f"SUCCESSFUL measurement (measured_at_utc="
+        f"{payload.get('measured_at_utc', 'unknown')}), not a fresh run"
+    )
+    return payload
+
+
+def save_last_good(payload: dict, path: Path = LAST_GOOD_PATH) -> None:
+    record = dict(payload)
+    record["measured_at_utc"] = time.strftime(
+        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+    )
+    path.write_text(json.dumps(record, indent=1) + "\n")
+
 
 def main():
-    wait_for_backend()
+    if not wait_for_backend():
+        stale = load_stale_fallback(LAST_GOOD_PATH)
+        if stale is not None:
+            print(json.dumps(stale))
+            return
+        # never measured successfully: proceed (may hang) — no honest
+        # number exists to fall back on
     by_batch = {str(b): round(measure(b), 1) for b in BATCHES}
     best_batch = max(by_batch, key=by_batch.get)
     imgs_per_sec = by_batch[best_batch]
@@ -109,26 +144,24 @@ def main():
     # Pallas int8 kernels) at the winning batch. The HEADLINE stays bf16 —
     # that is the default path and the one carrying the parity guarantees.
     int8_imgs_per_sec = round(measure(int(best_batch), int8=True), 1)
-    print(
-        json.dumps(
-            {
-                "metric": "vitb16_feature_extract_imgs_per_sec_per_chip",
-                "value": imgs_per_sec,
-                "unit": "imgs/s",
-                "vs_baseline": round(
-                    imgs_per_sec / REFERENCE_TORCH_V100_IMGS_PER_SEC, 2
-                ),
-                "batch": int(best_batch),
-                "by_batch": by_batch,
-                "int8_imgs_per_sec": int8_imgs_per_sec,
-                "baseline_note": (
-                    "reference publishes no numbers; denominator is a "
-                    "documented ESTIMATE of torch fp32 ViT-B/16 on one V100 "
-                    "(~325 imgs/s) - see bench.py docstring"
-                ),
-            }
-        )
-    )
+    payload = {
+        "metric": "vitb16_feature_extract_imgs_per_sec_per_chip",
+        "value": imgs_per_sec,
+        "unit": "imgs/s",
+        "vs_baseline": round(
+            imgs_per_sec / REFERENCE_TORCH_V100_IMGS_PER_SEC, 2
+        ),
+        "batch": int(best_batch),
+        "by_batch": by_batch,
+        "int8_imgs_per_sec": int8_imgs_per_sec,
+        "baseline_note": (
+            "reference publishes no numbers; denominator is a "
+            "documented ESTIMATE of torch fp32 ViT-B/16 on one V100 "
+            "(~325 imgs/s) - see bench.py docstring"
+        ),
+    }
+    save_last_good(payload, LAST_GOOD_PATH)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

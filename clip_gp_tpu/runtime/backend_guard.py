@@ -72,7 +72,15 @@ def probe_device_count(
     return None
 
 
-def wait_for_backend() -> None:
+def wait_for_backend() -> bool:
+    """Block until the backend answers a probe; bounded by the budget.
+
+    Returns ``True`` when the backend answered (or failed fast with a real
+    error the caller should surface by proceeding), ``False`` when the
+    budget ran out on probe timeouts — i.e. the backend is wedged and any
+    device work the caller dispatches next will likely hang. Callers with a
+    stale-but-honest fallback (bench.py) should take it on ``False``.
+    """
     budget = float(os.environ.get("BENCH_BACKEND_WAIT_S", "2700"))
     deadline = time.monotonic() + budget
     attempt = 0
@@ -90,7 +98,7 @@ def wait_for_backend() -> None:
                 if attempt > 1:
                     print(f"[bench] backend recovered (probe {attempt})",
                           file=sys.stderr)
-                return
+                return True
             # non-timeout failure: the backend answered with an error, not a
             # wedge — waiting out the budget would just delay the same crash
             fast_failures += 1
@@ -105,17 +113,17 @@ def wait_for_backend() -> None:
                     "real error surfaces downstream",
                     file=sys.stderr,
                 )
-                return
+                return True
         except subprocess.TimeoutExpired:
             pass
         remaining = deadline - time.monotonic()
         if remaining <= 0:
             print(
                 "[bench] backend probe never succeeded within "
-                f"{budget:.0f}s; proceeding anyway (may hang)",
+                f"{budget:.0f}s; backend is wedged",
                 file=sys.stderr,
             )
-            return
+            return False
         print(
             f"[bench] backend not answering (probe {attempt}); retrying, "
             f"{remaining:.0f}s left in budget",

@@ -1,0 +1,52 @@
+"""bench.py must produce an artifact even when the tunneled backend is
+wedged past the wait budget: the last SUCCESSFUL measurement is persisted
+and replayed with an explicit ``stale`` marker (wedges of 10+ hours have
+been observed; the driver runs bench.py unconditionally at round end)."""
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import bench  # noqa: E402
+
+
+def test_last_good_round_trip(tmp_path):
+    path = tmp_path / "BENCH_LAST_GOOD.json"
+    payload = {"metric": "m", "value": 123.4, "unit": "imgs/s"}
+    bench.save_last_good(payload, path)
+
+    saved = json.loads(path.read_text())
+    assert saved["value"] == 123.4
+    assert "measured_at_utc" in saved
+
+    stale = bench.load_stale_fallback(path)
+    assert stale["stale"] is True
+    assert saved["measured_at_utc"] in stale["stale_note"]
+    assert stale["value"] == 123.4
+    # save_last_good must not mutate the caller's payload
+    assert "measured_at_utc" not in payload
+
+
+def test_fallback_missing_or_corrupt(tmp_path):
+    assert bench.load_stale_fallback(tmp_path / "absent.json") is None
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    assert bench.load_stale_fallback(bad) is None
+
+
+def test_main_emits_stale_line_when_wedged(tmp_path, monkeypatch, capsys):
+    path = tmp_path / "BENCH_LAST_GOOD.json"
+    bench.save_last_good({"metric": "m", "value": 99.0}, path)
+    monkeypatch.setattr(bench, "LAST_GOOD_PATH", path)
+    monkeypatch.setattr(bench, "wait_for_backend", lambda: False)
+    # measure() must never run on the wedged path
+    monkeypatch.setattr(
+        bench, "measure", lambda *a, **k: (_ for _ in ()).throw(AssertionError)
+    )
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1  # the one-JSON-line driver contract
+    rec = json.loads(out[0])
+    assert rec["stale"] is True and rec["value"] == 99.0
