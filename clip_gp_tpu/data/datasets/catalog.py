@@ -404,8 +404,10 @@ class ImageNet(DatasetBase):
                 train = cached[0]
             else:
                 train = self.generate_fewshot_dataset(train, num_shots=num_shots)
+                # {"train"}-only pickle, byte-schema-identical to the
+                # reference's ImageNet cache (ref: datasets/imagenet.py:36-45)
                 self.save_fewshot(
-                    self.split_fewshot_dir, num_shots, config.seed, train, []
+                    self.split_fewshot_dir, num_shots, config.seed, train, None
                 )
 
         subsample = getattr(config.dataset, "subsample_classes", "all")

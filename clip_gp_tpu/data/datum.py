@@ -121,12 +121,17 @@ class DatasetBase:
         num_shots: int,
         seed: int,
         train: List[Datum],
-        val: List[Datum],
+        val: Optional[List[Datum]],
     ) -> None:
+        """``val=None`` writes a ``{"train"}``-only pickle — the exact
+        artifact the reference's ImageNet loader produces (ref:
+        datasets/imagenet.py:36-45); every other catalog stores both keys
+        (ref: datasets/oxford_pets.py:54-60)."""
         mkdir_if_missing(split_fewshot_dir)
         path = Path(split_fewshot_dir) / f"shot_{num_shots}-seed_{seed}.pkl"
+        payload = {"train": train} if val is None else {"train": train, "val": val}
         with path.open("wb") as f:
-            pickle.dump({"train": train, "val": val}, f, protocol=pickle.HIGHEST_PROTOCOL)
+            pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
 
     @staticmethod
     def read_json(file_path: str) -> Any:

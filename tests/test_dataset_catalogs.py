@@ -246,14 +246,15 @@ def build_imagenetv2(root):
             "test_only": True}
 
 
-def _build_variant(root, dataset_dir, image_subdir):
+def _build_variant(root, dataset_dir, image_subdir, readme=True):
     d = root / dataset_dir
     os.makedirs(d, exist_ok=True)
     wn = [("n01440764", "tench"), ("n01443537", "goldfish")]
     _imagenet_classnames(d / "classnames.txt", wn)
     for wnid, _ in wn:
         _write_images(d / image_subdir / wnid, [f"{wnid}_{i}.jpg" for i in range(3)])
-    (d / image_subdir / "README.txt").write_text("ignored\n")
+    if readme:
+        (d / image_subdir / "README.txt").write_text("ignored\n")
     return {"dir": d, "classnames": {"tench", "goldfish"}, "k": 2,
             "test_only": True}
 
@@ -267,7 +268,11 @@ def build_imagenet_r(root):
 
 
 def build_imagenet_sketch(root):
-    return _build_variant(root, "imagenet-sketch", "images")
+    # no stray README here: the real imagenet-sketch archive has none, and
+    # only the A/R reference loaders filter TO_BE_IGNORED (ref:
+    # datasets/imagenet_a.py:7, imagenet_sketch.py:29-35 crashes on one) —
+    # our uniform is_dir/README filtering is a robustness superset
+    return _build_variant(root, "imagenet-sketch", "images", readme=False)
 
 
 BUILDERS = {
