@@ -129,14 +129,8 @@ def save_last_good(payload: dict, path: Path = LAST_GOOD_PATH) -> None:
     path.write_text(json.dumps(record, indent=1) + "\n")
 
 
-def main():
-    if not wait_for_backend():
-        stale = load_stale_fallback(LAST_GOOD_PATH)
-        if stale is not None:
-            print(json.dumps(stale))
-            return
-        # never measured successfully: proceed (may hang) — no honest
-        # number exists to fall back on
+def compute_payload() -> dict:
+    """The full measurement: batch sweep + int8 secondary, as one payload."""
     by_batch = {str(b): round(measure(b), 1) for b in BATCHES}
     best_batch = max(by_batch, key=by_batch.get)
     imgs_per_sec = by_batch[best_batch]
@@ -144,7 +138,7 @@ def main():
     # Pallas int8 kernels) at the winning batch. The HEADLINE stays bf16 —
     # that is the default path and the one carrying the parity guarantees.
     int8_imgs_per_sec = round(measure(int(best_batch), int8=True), 1)
-    payload = {
+    return {
         "metric": "vitb16_feature_extract_imgs_per_sec_per_chip",
         "value": imgs_per_sec,
         "unit": "imgs/s",
@@ -160,6 +154,90 @@ def main():
             "(~325 imgs/s) - see bench.py docstring"
         ),
     }
+
+
+_CHILD_ENV = "CLIP_GP_TPU_BENCH_CHILD"
+
+
+def run_measurement_child(timeout_s: float) -> dict | None:
+    """Run ``compute_payload`` in a killable subprocess.
+
+    The backend can wedge MID-measurement — after the health probe
+    succeeded — and a wedged device call never returns, so the measurement
+    itself must be boundable. Returns the payload, or None when the child
+    timed out or died (its stderr is forwarded either way)."""
+    import os
+    import subprocess
+
+    env = dict(os.environ, **{_CHILD_ENV: "1"})
+    try:
+        proc = subprocess.run(
+            [sys.executable, str(Path(__file__).resolve())],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired as e:
+        stderr = e.stderr
+        if isinstance(stderr, bytes):
+            stderr = stderr.decode(errors="replace")
+        sys.stderr.write(stderr or "")
+        print(
+            f"[bench] measurement child exceeded {timeout_s:.0f}s "
+            "(backend wedged mid-run?); killed",
+            file=sys.stderr,
+        )
+        return None
+    sys.stderr.write(proc.stderr)
+    if proc.returncode != 0:
+        print(
+            f"[bench] measurement child failed (rc={proc.returncode})",
+            file=sys.stderr,
+        )
+        return None
+    try:
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+    except (ValueError, IndexError):
+        print("[bench] measurement child printed no JSON", file=sys.stderr)
+        return None
+
+
+def main():
+    import os
+
+    if os.environ.get(_CHILD_ENV) == "1":
+        # child: the parent already probed backend health and bounds us
+        print(json.dumps(compute_payload()))
+        return
+    if not wait_for_backend():
+        stale = load_stale_fallback(LAST_GOOD_PATH)
+        if stale is not None:
+            print(json.dumps(stale))
+            return
+        # never measured successfully: try anyway (the child below is
+        # time-bounded) — no honest number exists to fall back on
+    timeout_s = float(os.environ.get("BENCH_RUN_TIMEOUT_S", "2400"))
+    payload = run_measurement_child(timeout_s)
+    if payload is None:
+        stale = load_stale_fallback(LAST_GOOD_PATH)
+        if stale is not None:
+            print(json.dumps(stale))
+            return
+        print(
+            json.dumps(
+                {
+                    "metric": "vitb16_feature_extract_imgs_per_sec_per_chip",
+                    "value": None,
+                    "unit": "imgs/s",
+                    "error": (
+                        "backend wedged mid-measurement and no prior "
+                        "successful measurement exists to fall back on"
+                    ),
+                }
+            )
+        )
+        return
     save_last_good(payload, LAST_GOOD_PATH)
     print(json.dumps(payload))
 

@@ -50,3 +50,58 @@ def test_main_emits_stale_line_when_wedged(tmp_path, monkeypatch, capsys):
     assert len(out) == 1  # the one-JSON-line driver contract
     rec = json.loads(out[0])
     assert rec["stale"] is True and rec["value"] == 99.0
+
+
+def test_main_success_path_persists_last_good(tmp_path, monkeypatch, capsys):
+    path = tmp_path / "BENCH_LAST_GOOD.json"
+    monkeypatch.setattr(bench, "LAST_GOOD_PATH", path)
+    monkeypatch.setattr(bench, "wait_for_backend", lambda: True)
+    payload = {"metric": "m", "value": 123.0, "unit": "imgs/s"}
+    monkeypatch.setattr(bench, "run_measurement_child", lambda t: dict(payload))
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    assert json.loads(out[0])["value"] == 123.0
+    assert json.loads(path.read_text())["value"] == 123.0  # persisted
+
+
+def test_main_midrun_wedge_falls_back_to_stale(tmp_path, monkeypatch, capsys):
+    """The backend can wedge AFTER the health probe succeeded; a timed-out
+    measurement child must yield the stale line, not a hang."""
+    path = tmp_path / "BENCH_LAST_GOOD.json"
+    bench.save_last_good({"metric": "m", "value": 88.0}, path)
+    monkeypatch.setattr(bench, "LAST_GOOD_PATH", path)
+    monkeypatch.setattr(bench, "wait_for_backend", lambda: True)
+    monkeypatch.setattr(bench, "run_measurement_child", lambda t: None)
+    bench.main()
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["stale"] is True and rec["value"] == 88.0
+
+
+def test_main_midrun_wedge_without_stale_reports_error(
+    tmp_path, monkeypatch, capsys
+):
+    monkeypatch.setattr(bench, "LAST_GOOD_PATH", tmp_path / "absent.json")
+    monkeypatch.setattr(bench, "wait_for_backend", lambda: True)
+    monkeypatch.setattr(bench, "run_measurement_child", lambda t: None)
+    bench.main()
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["value"] is None and "wedged" in rec["error"]
+
+
+def test_child_mode_prints_payload_directly(monkeypatch, capsys):
+    monkeypatch.setenv(bench._CHILD_ENV, "1")
+    monkeypatch.setattr(bench, "compute_payload", lambda: {"value": 7.0})
+    # neither the probe nor the subprocess runner may be touched in a child
+    monkeypatch.setattr(
+        bench,
+        "wait_for_backend",
+        lambda: (_ for _ in ()).throw(AssertionError),
+    )
+    monkeypatch.setattr(
+        bench,
+        "run_measurement_child",
+        lambda t: (_ for _ in ()).throw(AssertionError),
+    )
+    bench.main()
+    assert json.loads(capsys.readouterr().out.strip())["value"] == 7.0
