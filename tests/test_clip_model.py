@@ -142,6 +142,40 @@ def test_parity_with_torch_reference(arch):
                                atol=2e-5)
 
 
+@needs_reference
+def test_load_torch_checkpoint_torchscript_and_state_dict(tmp_path):
+    """Real OpenAI checkpoints are TorchScript archives; the loader must
+    ingest both that form (``torch.jit.load`` branch) and a plain torch-saved
+    state_dict, yielding the identical pytree as direct conversion
+    (ref: clip/clip.py:82-130 — the JIT-or-state-dict load path)."""
+    import torch
+
+    from clip_gp_tpu.models.clip_loader import load_torch_checkpoint
+
+    model = _build_reference_clip(TINY_VIT)
+    sd_np = {k: v.float().numpy() for k, v in model.state_dict().items()}
+    want_arch, want_params = convert_torch_state_dict(sd_np)
+
+    img = torch.randn(1, 3, TINY_VIT.image_resolution, TINY_VIT.image_resolution)
+    txt = torch.randint(0, 100, (1, TINY_VIT.context_length))
+    with torch.no_grad():
+        traced = torch.jit.trace(model, (img, txt))
+    jit_path = tmp_path / "jit_archive.pt"
+    traced.save(str(jit_path))
+
+    sd_path = tmp_path / "state_dict.pt"
+    torch.save(model.state_dict(), str(sd_path))
+
+    for path in (jit_path, sd_path):
+        arch, params = load_torch_checkpoint(str(path))
+        assert arch == want_arch, path.name
+        flat_want = jax.tree.leaves(want_params)
+        flat_got = jax.tree.leaves(params)
+        assert len(flat_want) == len(flat_got)
+        for a, b in zip(flat_want, flat_got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_npz_roundtrip(tmp_path):
     params = init_clip_params(jax.random.key(0), TINY_VIT)
     path = tmp_path / "weights.npz"
