@@ -32,14 +32,6 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-import jax
-
-from clip_gp_tpu.runtime import benchchain, compile_cache
-
-compile_cache.enable()
-import jax.numpy as jnp
-import numpy as np
-
 REFERENCE_TORCH_V100_IMGS_PER_SEC = 325.0
 
 BATCHES = (128, 256, 384, 512)
@@ -48,6 +40,15 @@ WINDOWS = 3  # best-of windows: tunneled-backend RTT varies minute to minute
 
 
 def measure(batch: int, int8: bool = False) -> float:
+    # jax and the compile cache load lazily: only the measurement child ever
+    # touches the backend — the parent just probes, spawns, and prints
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from clip_gp_tpu.runtime import benchchain, compile_cache
+
+    compile_cache.enable()
     from clip_gp_tpu.data.transforms import device_preprocess
     from clip_gp_tpu.models import clip_model, quantized
     from clip_gp_tpu.models.clip_loader import init_clip_params
@@ -106,27 +107,37 @@ from clip_gp_tpu.runtime.backend_guard import wait_for_backend  # noqa: E402
 LAST_GOOD_PATH = Path(__file__).resolve().parent / "BENCH_LAST_GOOD.json"
 
 
-def load_stale_fallback(path: Path = LAST_GOOD_PATH) -> dict | None:
+def load_stale_fallback(
+    path: Path = LAST_GOOD_PATH,
+    reason: str = "backend wedged past BENCH_BACKEND_WAIT_S",
+) -> dict | None:
     """Last-good payload marked stale, or None if never measured."""
     try:
         payload = json.loads(path.read_text())
     except (OSError, ValueError):
         return None
+    if not isinstance(payload, dict):
+        return None
     payload["stale"] = True
     payload["stale_note"] = (
-        "backend wedged past BENCH_BACKEND_WAIT_S; this is the last "
-        f"SUCCESSFUL measurement (measured_at_utc="
-        f"{payload.get('measured_at_utc', 'unknown')}), not a fresh run"
+        f"{reason}; this is the last SUCCESSFUL measurement "
+        f"(measured_at_utc={payload.get('measured_at_utc', 'unknown')}), "
+        "not a fresh run"
     )
     return payload
 
 
 def save_last_good(payload: dict, path: Path = LAST_GOOD_PATH) -> None:
+    import os
+
     record = dict(payload)
     record["measured_at_utc"] = time.strftime(
         "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
     )
-    path.write_text(json.dumps(record, indent=1) + "\n")
+    # atomic: a driver-level kill mid-write must not destroy the fallback
+    tmp = path.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps(record, indent=1) + "\n")
+    os.replace(tmp, path)
 
 
 def compute_payload() -> dict:
@@ -159,13 +170,15 @@ def compute_payload() -> dict:
 _CHILD_ENV = "CLIP_GP_TPU_BENCH_CHILD"
 
 
-def run_measurement_child(timeout_s: float) -> dict | None:
+def run_measurement_child(timeout_s: float) -> tuple[str, dict | None]:
     """Run ``compute_payload`` in a killable subprocess.
 
     The backend can wedge MID-measurement — after the health probe
     succeeded — and a wedged device call never returns, so the measurement
-    itself must be boundable. Returns the payload, or None when the child
-    timed out or died (its stderr is forwarded either way)."""
+    itself must be boundable. Returns (status, payload): status is "ok"
+    (payload set), "timeout" (likely a mid-run wedge), or "crash" (the
+    child died or printed no payload — a code bug, NOT a wedge). The
+    child's stderr is forwarded either way."""
     import os
     import subprocess
 
@@ -188,19 +201,40 @@ def run_measurement_child(timeout_s: float) -> dict | None:
             "(backend wedged mid-run?); killed",
             file=sys.stderr,
         )
-        return None
+        return "timeout", None
     sys.stderr.write(proc.stderr)
     if proc.returncode != 0:
         print(
             f"[bench] measurement child failed (rc={proc.returncode})",
             file=sys.stderr,
         )
-        return None
-    try:
-        return json.loads(proc.stdout.strip().splitlines()[-1])
-    except (ValueError, IndexError):
-        print("[bench] measurement child printed no JSON", file=sys.stderr)
-        return None
+        return "crash", None
+    # the payload is the last stdout line that is a JSON object carrying
+    # "metric" — stray trailing prints from libraries must not eat it
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            candidate = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(candidate, dict) and "metric" in candidate:
+            return "ok", candidate
+    print("[bench] measurement child printed no JSON payload", file=sys.stderr)
+    return "crash", None
+
+
+def _emit_stale_or(fallback: dict, reason: str) -> None:
+    """Print the stale last-good line, or ``fallback`` when none exists."""
+    stale = load_stale_fallback(LAST_GOOD_PATH, reason=reason)
+    print(json.dumps(stale if stale is not None else fallback))
+
+
+def _error_payload(error: str) -> dict:
+    return {
+        "metric": "vitb16_feature_extract_imgs_per_sec_per_chip",
+        "value": None,
+        "unit": "imgs/s",
+        "error": error,
+    }
 
 
 def main():
@@ -218,28 +252,37 @@ def main():
         # never measured successfully: try anyway (the child below is
         # time-bounded) — no honest number exists to fall back on
     timeout_s = float(os.environ.get("BENCH_RUN_TIMEOUT_S", "2400"))
-    payload = run_measurement_child(timeout_s)
-    if payload is None:
-        stale = load_stale_fallback(LAST_GOOD_PATH)
-        if stale is not None:
-            print(json.dumps(stale))
-            return
+    status, payload = run_measurement_child(timeout_s)
+    if status == "timeout":
+        # a timed-out child is the mid-run-wedge signature: the stale
+        # last-good number is the honest artifact
+        _emit_stale_or(
+            _error_payload(
+                "backend wedged mid-measurement and no prior successful "
+                "measurement exists to fall back on"
+            ),
+            reason=f"measurement child exceeded BENCH_RUN_TIMEOUT_S={timeout_s:.0f}s",
+        )
+        return
+    if status == "crash":
+        # a crashed child is a CODE bug, not a wedge — surface it rather
+        # than masking it behind the stale number forever
         print(
             json.dumps(
-                {
-                    "metric": "vitb16_feature_extract_imgs_per_sec_per_chip",
-                    "value": None,
-                    "unit": "imgs/s",
-                    "error": (
-                        "backend wedged mid-measurement and no prior "
-                        "successful measurement exists to fall back on"
-                    ),
-                }
+                _error_payload(
+                    "measurement child crashed (see stderr); this is a "
+                    "bench bug, not a backend wedge"
+                )
             )
         )
         return
-    save_last_good(payload, LAST_GOOD_PATH)
+    # print first, persist best-effort: a failed write must not destroy a
+    # successful measurement or the one-JSON-line contract
     print(json.dumps(payload))
+    try:
+        save_last_good(payload, LAST_GOOD_PATH)
+    except OSError as e:
+        print(f"[bench] could not persist last-good: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -34,6 +34,10 @@ def test_fallback_missing_or_corrupt(tmp_path):
     bad = tmp_path / "bad.json"
     bad.write_text("{not json")
     assert bench.load_stale_fallback(bad) is None
+    # valid JSON but not an object: also rejected
+    nondict = tmp_path / "nondict.json"
+    nondict.write_text("[1, 2]")
+    assert bench.load_stale_fallback(nondict) is None
 
 
 def test_main_emits_stale_line_when_wedged(tmp_path, monkeypatch, capsys):
@@ -57,7 +61,9 @@ def test_main_success_path_persists_last_good(tmp_path, monkeypatch, capsys):
     monkeypatch.setattr(bench, "LAST_GOOD_PATH", path)
     monkeypatch.setattr(bench, "wait_for_backend", lambda: True)
     payload = {"metric": "m", "value": 123.0, "unit": "imgs/s"}
-    monkeypatch.setattr(bench, "run_measurement_child", lambda t: dict(payload))
+    monkeypatch.setattr(
+        bench, "run_measurement_child", lambda t: ("ok", dict(payload))
+    )
     bench.main()
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 1
@@ -67,15 +73,19 @@ def test_main_success_path_persists_last_good(tmp_path, monkeypatch, capsys):
 
 def test_main_midrun_wedge_falls_back_to_stale(tmp_path, monkeypatch, capsys):
     """The backend can wedge AFTER the health probe succeeded; a timed-out
-    measurement child must yield the stale line, not a hang."""
+    measurement child must yield the stale line (with a note naming the
+    run timeout, not the probe budget), not a hang."""
     path = tmp_path / "BENCH_LAST_GOOD.json"
     bench.save_last_good({"metric": "m", "value": 88.0}, path)
     monkeypatch.setattr(bench, "LAST_GOOD_PATH", path)
     monkeypatch.setattr(bench, "wait_for_backend", lambda: True)
-    monkeypatch.setattr(bench, "run_measurement_child", lambda t: None)
+    monkeypatch.setattr(
+        bench, "run_measurement_child", lambda t: ("timeout", None)
+    )
     bench.main()
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["stale"] is True and rec["value"] == 88.0
+    assert "BENCH_RUN_TIMEOUT_S" in rec["stale_note"]
 
 
 def test_main_midrun_wedge_without_stale_reports_error(
@@ -83,10 +93,54 @@ def test_main_midrun_wedge_without_stale_reports_error(
 ):
     monkeypatch.setattr(bench, "LAST_GOOD_PATH", tmp_path / "absent.json")
     monkeypatch.setattr(bench, "wait_for_backend", lambda: True)
-    monkeypatch.setattr(bench, "run_measurement_child", lambda t: None)
+    monkeypatch.setattr(
+        bench, "run_measurement_child", lambda t: ("timeout", None)
+    )
     bench.main()
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["value"] is None and "wedged" in rec["error"]
+
+
+def test_main_child_crash_surfaces_error_not_stale(
+    tmp_path, monkeypatch, capsys
+):
+    """A crashed child is a bench BUG: it must surface as an error line,
+    never be masked by replaying the stale number as if wedged."""
+    path = tmp_path / "BENCH_LAST_GOOD.json"
+    bench.save_last_good({"metric": "m", "value": 88.0}, path)
+    monkeypatch.setattr(bench, "LAST_GOOD_PATH", path)
+    monkeypatch.setattr(bench, "wait_for_backend", lambda: True)
+    monkeypatch.setattr(
+        bench, "run_measurement_child", lambda t: ("crash", None)
+    )
+    bench.main()
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["value"] is None and "bench bug" in rec["error"]
+    assert "stale" not in rec
+
+
+def test_run_measurement_child_parses_payload_amid_noise(monkeypatch):
+    """The payload is the last JSON OBJECT carrying 'metric'; stray
+    trailing stdout lines (even valid JSON scalars) must not eat it."""
+    import subprocess
+    from types import SimpleNamespace
+
+    def fake_run(*a, **k):
+        return SimpleNamespace(
+            returncode=0,
+            stderr="",
+            stdout='{"metric": "m", "value": 5.0}\nnot json\n0\n',
+        )
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    status, payload = bench.run_measurement_child(10.0)
+    assert status == "ok" and payload["value"] == 5.0
+
+    def fake_run_nojson(*a, **k):
+        return SimpleNamespace(returncode=0, stderr="", stdout="42\n")
+
+    monkeypatch.setattr(subprocess, "run", fake_run_nojson)
+    assert bench.run_measurement_child(10.0) == ("crash", None)
 
 
 def test_child_mode_prints_payload_directly(monkeypatch, capsys):
