@@ -237,6 +237,20 @@ def _error_payload(error: str) -> dict:
     }
 
 
+def _wait_for_other_bench(max_wait_s: float = 3600.0) -> None:
+    """Block while another bench run marks itself active.
+
+    The bench host has ONE core and serves one chip; concurrent benches
+    contend and distort each other (CLAUDE.md bench discipline). The
+    re-measure queue touches ``/tmp/bench_running`` around its runs; honor
+    it (bounded) so a driver-invoked bench.py doesn't overlap it."""
+    flag = Path("/tmp/bench_running")
+    deadline = time.monotonic() + max_wait_s
+    while flag.exists() and time.monotonic() < deadline:
+        print("[bench] another bench is running; waiting", file=sys.stderr)
+        time.sleep(30)
+
+
 def main():
     import os
 
@@ -244,6 +258,7 @@ def main():
         # child: the parent already probed backend health and bounds us
         print(json.dumps(compute_payload()))
         return
+    _wait_for_other_bench()
     if not wait_for_backend():
         stale = load_stale_fallback(LAST_GOOD_PATH)
         if stale is not None:
