@@ -49,3 +49,25 @@ def test_custom_templates_match_reference_source():
 
     ref = _extract_assign(REFERENCE / "utils" / "trainer.py", "CUSTOM_TEMPLATES")
     assert CUSTOM_TEMPLATES == ref
+
+
+def test_grouped_imagenet_templates_match_reference_literal():
+    """Ours derives the 8x10 grouping by slicing; the reference writes it
+    out literally (ref: datasets/imagenet_templates.py:96) — they must be
+    the same grouping."""
+    from clip_gp_tpu.data.template_banks import GROUPED_IMAGENET_TEMPLATES
+
+    src = REFERENCE / "datasets" / "imagenet_templates.py"
+    assert GROUPED_IMAGENET_TEMPLATES == _extract_assign(
+        src, "GROUPED_IMAGENET_TEMPLATES"
+    )
+
+
+def test_single_templates_match_reference_source():
+    """The TaskRes per-dataset single-template dict (ref: trainers/
+    taskres.py:16-32) keyed by our registry names."""
+    from clip_gp_tpu.data.template_banks import SINGLE_TEMPLATES
+
+    ref = _extract_assign(REFERENCE / "trainers" / "taskres.py", "CUSTOM_TEMPLATES")
+    assert set(SINGLE_TEMPLATES) == set(ref)
+    assert SINGLE_TEMPLATES == ref
