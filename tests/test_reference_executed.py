@@ -311,6 +311,15 @@ def _walk_compare(ours, ref, path=""):
             continue
         if isinstance(ov, (tuple, list)) and isinstance(rv, (tuple, list)):
             ov, rv = list(ov), list(rv)
+        if (
+            f.name in ("config_file", "dataset_config_file")
+            and ov is None
+            and rv == ""
+        ):
+            # deliberate: ours stores None when the flag was absent so the
+            # metrics.json config block can reproduce the reference's
+            # key-present-only-when-passed behavior (COMPONENTS.md)
+            continue
         if ov != rv:
             mismatches.append(f"{path}{f.name}: ours={ov!r} ref={rv!r}")
     return mismatches
@@ -341,6 +350,89 @@ def test_yaml_merge_matches_executed_reference(ref_config, relpath):
 
     mismatches = _walk_compare(our_cfg, ref_cfg)
     assert not mismatches, f"{relpath}:\n" + "\n".join(mismatches)
+
+
+# ---------------------------------------------------------------------------
+# CLI flag surface
+# ---------------------------------------------------------------------------
+
+CLI_CASES = [
+    ("minimal", []),
+    (
+        "dataset-model-env",
+        [
+            "--root", "/tmp/x", "--dataset", "Caltech101", "--shots", "4",
+            "--backbone", "RN50", "--seed", "3", "--output-dir", "/tmp/o",
+        ],
+    ),
+    (
+        "optim-adapter",
+        [
+            "--lr", "0.02", "--epochs", "7", "--batch-size", "16",
+            "--optimizer", "adamw", "--num-templates", "8",
+            "--l2-lambda", "0.25", "--template-init-method", "top3",
+            "--train-template-weights", "--shared-template-weights",
+        ],
+    ),
+    (
+        "gp",
+        [
+            "--use-gp", "--gp-kernel-type", "rbf", "--gp-lr", "0.1",
+            "--gp-beta", "0.05", "--gp-num-mc-samples-train", "4",
+            "--gp-num-mc-samples-eval", "8", "--gp-pca-dim", "16",
+            "--learn-token-lambda", "0.3",
+        ],
+    ),
+    (
+        "coop-clip-adapter",
+        [
+            "--n-ctx", "4", "--ctx-init", "a photo of a", "--csc",
+            "--clip-adapter-reduction", "8", "--clip-adapter-ratio", "0.3",
+        ],
+    ),
+    (
+        "eval-flags",
+        [
+            "--eval-only", "--model-dir", "/tmp/m", "--load-epoch", "5",
+            "--no-train", "--resume", "/tmp/ck",
+        ],
+    ),
+    (
+        "yaml-cli-opts-order",
+        [
+            "--config-file", str(REFERENCE / "configs" / "trainers" / "gp.yaml"),
+            "--lr", "0.5",
+            "TRAINER.ADAPTER.USE_GP", "False", "OPTIM.WEIGHT_DECAY", "0.01",
+        ],
+    ),
+    (
+        "lists",
+        ["--transforms", "random_flip", "normalize",
+         "--source-domains", "a", "b"],
+    ),
+]
+
+
+@needs_reference
+@pytest.mark.parametrize("case_id,argv", CLI_CASES, ids=[c[0] for c in CLI_CASES])
+def test_cli_parse_matches_executed_reference(
+    ref_config, monkeypatch, case_id, argv
+):
+    """Running the same command line through both argparse surfaces yields
+    the same config values for every shared field — flags, YAML+CLI+OPTS
+    merge ORDER included (ref: utils/config.py:266-468)."""
+    from clip_gp_tpu.core import config as ours_config
+
+    import warnings
+
+    monkeypatch.setattr(sys, "argv", ["train.py"] + list(argv))
+    ref_cfg = ref_config.parse_args_to_config()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        our_cfg = ours_config.parse_args_to_config(list(argv))
+
+    mismatches = _walk_compare(our_cfg, ref_cfg)
+    assert not mismatches, f"{case_id}:\n" + "\n".join(mismatches)
 
 
 # ---------------------------------------------------------------------------
