@@ -32,9 +32,6 @@ is ever replaced by stub math.
 
 from __future__ import annotations
 
-import importlib
-import sys
-import types
 from pathlib import Path
 from types import SimpleNamespace
 
@@ -55,86 +52,13 @@ import jax.numpy as jnp  # noqa: E402
 from clip_gp_tpu.methods import common  # noqa: E402
 
 
-def _stub(*args, **kwargs):
-    raise AssertionError(
-        "stubbed third-party dependency was executed — the golden would "
-        "no longer be testing reference math"
-    )
+from _reference_harness import build_tiny_torch_clip, reference_env
 
 
 @pytest.fixture(scope="module")
 def ref_env():
-    """Import the reference's trainers.adapter + utils packages.
-
-    Installs minimal import-time stubs, loads the reference as real
-    packages from /root/reference (bypassing the broken
-    trainers/__init__.py), and removes everything again on teardown.
-    """
-    saved_modules = dict(sys.modules)
-    sys.path.insert(0, str(REFERENCE))
-    # The reference's top-level package names must resolve to ITS modules.
-    for name in list(sys.modules):
-        root = name.split(".")[0]
-        if root in ("utils", "datasets", "clip", "trainers"):
-            del sys.modules[name]
-
-    ftfy = types.ModuleType("ftfy")
-    ftfy.fix_text = lambda s: s  # identity on well-formed text (mojibake only)
-    entmax = types.ModuleType("entmax")
-    entmax.sparsemax = _stub
-    tv = types.ModuleType("torchvision")
-    tvt = types.ModuleType("torchvision.transforms")
-    for n in (
-        "Compose", "Resize", "CenterCrop", "ToTensor", "Normalize",
-        "RandomResizedCrop", "RandomHorizontalFlip", "ColorJitter",
-        "RandAugment",
-    ):
-        setattr(tvt, n, _stub)
-    tv.transforms = tvt
-    gpy = types.ModuleType("gpytorch")
-    # class-definition bases only; GP paths are never exercised here
-    gpy.models = SimpleNamespace(ApproximateGP=type("ApproximateGP", (), {}))
-    gpy.means = SimpleNamespace(Mean=type("Mean", (torch.nn.Module,), {}))
-    for sub in ("variational", "kernels", "likelihoods", "distributions",
-                "settings"):
-        setattr(gpy, sub, SimpleNamespace())
-    sys.modules.update(
-        {
-            "ftfy": ftfy,
-            "entmax": entmax,
-            "torchvision": tv,
-            "torchvision.transforms": tvt,
-            "gpytorch": gpy,
-        }
-    )
-    trainers_pkg = types.ModuleType("trainers")
-    trainers_pkg.__path__ = [str(REFERENCE / "trainers")]
-    sys.modules["trainers"] = trainers_pkg
-    try:
-        adapter = importlib.import_module("trainers.adapter")
-        trainer_mod = importlib.import_module("utils.trainer")
-        config_mod = importlib.import_module("utils.config")
-        clip_model_mod = importlib.import_module("clip.model")
-        yield SimpleNamespace(
-            adapter=adapter,
-            trainer=trainer_mod,
-            config=config_mod,
-            clip_model=clip_model_mod,
-        )
-    finally:
-        sys.path.remove(str(REFERENCE))
-        # Surgical cleanup: only touch the reference/stub namespaces. A
-        # blanket "delete everything new" would evict unrelated modules
-        # lazily imported during these tests (e.g. jax.experimental.pallas,
-        # whose re-import re-registers jax config options and crashes).
-        _OURS = ("utils", "datasets", "clip", "trainers",
-                 "ftfy", "entmax", "torchvision", "gpytorch")
-        for name in list(sys.modules):
-            if name.split(".")[0] in _OURS and name not in saved_modules:
-                del sys.modules[name]
-        for name, mod in saved_modules.items():
-            if name.split(".")[0] in _OURS and sys.modules.get(name) is not mod:
-                sys.modules[name] = mod
+    with reference_env(trainer_modules=("adapter",)) as env:
+        yield env
 
 
 @pytest.fixture(scope="module")
@@ -142,17 +66,7 @@ def tiny_clip(ref_env):
     """Reference torch CLIP (TEST-ViT-shaped) + our converted params."""
     from clip_gp_tpu.models.clip_loader import convert_torch_state_dict
 
-    torch.manual_seed(0)
-    model = (
-        ref_env.clip_model.CLIP(
-            embed_dim=32, image_resolution=32, vision_layers=2,
-            vision_width=64, vision_patch_size=8, context_length=77,
-            vocab_size=49408, transformer_width=64, transformer_heads=1,
-            transformer_layers=2,
-        )
-        .float()
-        .eval()
-    )
+    model = build_tiny_torch_clip(ref_env)
     sd = {k: v.float().numpy() for k, v in model.state_dict().items()}
     arch, params = convert_torch_state_dict(sd)
     return model, arch, params
