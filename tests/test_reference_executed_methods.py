@@ -25,6 +25,11 @@ end to end, not just the forward math:
   features + logits those prompts produce (ref: trainers/adapter_coop.py:
   14-89) vs ``build_prompt_parts``/``assemble_prompts`` +
   ``text_features_from_embeddings``
+- CoCoOp: ctx_init context pin, injected meta-net, per-image shifted
+  prompts through each side's text tower (reference python loop vs our
+  chunked compiled map) — logits AND prompt-learner gradient norms
+  (ref: trainers/adapter_cocoop.py:14-84) vs our ``predict_logits`` /
+  ``_logits_fn`` under ``jax.grad``
 """
 
 from __future__ import annotations
@@ -52,7 +57,7 @@ from _reference_harness import build_tiny_torch_clip, reference_env  # noqa: E40
 def ref_env():
     with reference_env(
         trainer_modules=("clip_adapter", "taskres", "tip_adapter",
-                         "adapter_coop")
+                         "adapter_coop", "adapter_cocoop")
     ) as env:
         yield env
 
@@ -400,3 +405,91 @@ def test_coop_text_features_and_logits_match_executed_reference(
         common.cosine_logits(jnp.asarray(feats), text, scale)
     )
     _scaled_allclose(ours, ref_logits, atol=1e-4)
+
+# ---------------------------------------------------------------------------
+# CoCoOp meta-net conditioned prompts
+# ---------------------------------------------------------------------------
+
+
+def _inject_cocoop_meta(custom, trainer, vis_dim, hidden, ctx_dim, rng):
+    """Identical meta-net weights on both sides (torch Linear stores
+    [out, in]; ours stores [in, out])."""
+    w1 = rng.normal(scale=0.3, size=(hidden, vis_dim)).astype(np.float32)
+    b1 = rng.normal(scale=0.1, size=(hidden,)).astype(np.float32)
+    w2 = rng.normal(scale=0.3, size=(ctx_dim, hidden)).astype(np.float32)
+    b2 = rng.normal(scale=0.1, size=(ctx_dim,)).astype(np.float32)
+    with torch.no_grad():
+        custom.prompt_learner.meta_net[0].weight.copy_(torch.tensor(w1))
+        custom.prompt_learner.meta_net[0].bias.copy_(torch.tensor(b1))
+        custom.prompt_learner.meta_net[2].weight.copy_(torch.tensor(w2))
+        custom.prompt_learner.meta_net[2].bias.copy_(torch.tensor(b2))
+    trainer.params["meta_fc1"] = {"w": jnp.asarray(w1.T),
+                                  "b": jnp.asarray(b1)}
+    trainer.params["meta_fc2"] = {"w": jnp.asarray(w2.T),
+                                  "b": jnp.asarray(b2)}
+
+
+def test_cocoop_matches_executed_reference(ref_env, tiny_clip, tmp_path,
+                                           monkeypatch):
+    """Full CoCoOp forward on injected raw features: deterministic ctx_init
+    context + injected meta-net, per-image shifted prompts re-encode through
+    each side's text tower (ref: adapter_cocoop.py:47-84 — the per-image
+    python loop vs our chunked compiled map) and produce the same logits;
+    the prompt-learner gradient norms agree through the text-tower backward."""
+    import jax
+
+    from clip_gp_tpu.methods import common
+
+    monkeypatch.setenv("CLIP_GP_TPU_ALLOW_RANDOM_WEIGHTS", "1")
+    trainer = _build_our_trainer(
+        "Adapter-CoCoOp", tmp_path, tiny_clip.npz, ctx_init="a photo of a"
+    )
+    classnames = list(trainer.dm.dataset.classnames)
+
+    cfg = _ref_config(ref_env, ctx_init="a photo of a")
+    custom = ref_env.adapter_cocoop.CustomCLIP(
+        cfg, classnames, tiny_clip.model
+    )
+    custom.image_encoder = _IdentityEncoder()
+    assert custom.prompt_learner.n_ctx == 4
+    # deterministic ctx_init context: same phrase embedding on both sides
+    _scaled_allclose(trainer.params["ctx"],
+                     custom.prompt_learner.ctx.detach().numpy(), atol=1e-6)
+
+    vis_dim = int(tiny_clip.arch.embed_dim)
+    ctx_dim = int(tiny_clip.arch.transformer_width)
+    hidden = max(1, vis_dim // 16)
+    rng = np.random.default_rng(31)
+    _inject_cocoop_meta(custom, trainer, vis_dim, hidden, ctx_dim, rng)
+
+    feats = rng.normal(size=(5, vis_dim)).astype(np.float32)
+    labels = rng.integers(0, len(classnames), 5)
+    custom.eval()
+    ref_logits = custom(torch.tensor(feats))
+    ours = np.asarray(trainer.predict_logits(jnp.asarray(feats)))
+    _scaled_allclose(ours, ref_logits.detach().numpy(), atol=2e-4)
+
+    # gradient-norm pin through the text-tower backward (nothing else
+    # compares cross-framework gradients through the chunked text encode)
+    loss_ref = torch.nn.functional.cross_entropy(
+        ref_logits, torch.tensor(labels, dtype=torch.int64)
+    )
+    loss_ref.backward()
+    ref_sq = sum(
+        float(p.grad.pow(2).sum())
+        for p in custom.prompt_learner.parameters()
+        if p.grad is not None
+    )
+
+    feats_n = np.asarray(feats / np.linalg.norm(feats, axis=-1,
+                                                keepdims=True))
+
+    def our_loss(params):
+        logits = trainer._logits_fn(params, jnp.asarray(feats_n))
+        return common.cross_entropy(logits,
+                                    jnp.asarray(labels.astype(np.int32)))
+
+    loss_ours, grads = jax.value_and_grad(our_loss)(trainer.params)
+    np.testing.assert_allclose(float(loss_ours), float(loss_ref), rtol=1e-4)
+    our_sq = sum(float((g ** 2).sum()) for g in jax.tree.leaves(grads))
+    np.testing.assert_allclose(np.sqrt(our_sq), np.sqrt(ref_sq), rtol=1e-3)
