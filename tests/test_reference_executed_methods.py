@@ -56,7 +56,7 @@ from _reference_harness import build_tiny_torch_clip, reference_env  # noqa: E40
 @pytest.fixture(scope="module")
 def ref_env():
     with reference_env(
-        trainer_modules=("clip_adapter", "taskres", "tip_adapter",
+        trainer_modules=("adapter", "clip_adapter", "taskres", "tip_adapter",
                          "adapter_coop", "adapter_cocoop")
     ) as env:
         yield env
@@ -493,3 +493,86 @@ def test_cocoop_matches_executed_reference(ref_env, tiny_clip, tmp_path,
     np.testing.assert_allclose(float(loss_ours), float(loss_ref), rtol=1e-4)
     our_sq = sum(float((g ** 2).sum()) for g in jax.tree.leaves(grads))
     np.testing.assert_allclose(np.sqrt(our_sq), np.sqrt(ref_sq), rtol=1e-3)
+
+# ---------------------------------------------------------------------------
+# finetune_on_test sanity loop — full 100-epoch trajectory
+# ---------------------------------------------------------------------------
+
+
+def _parse_sanity_lines(text):
+    """[(loss, acc)] from the per-epoch '[SANITY] ... loss=X acc_test=Y'."""
+    import re
+
+    out = []
+    for line in text.splitlines():
+        m = re.search(r"fine-tune epoch \d+/\d+: loss=([\d.]+) "
+                      r"acc_test=([\d.]+)", line)
+        if m:
+            out.append((float(m.group(1)), float(m.group(2))))
+    return out
+
+
+def test_finetune_on_test_trajectory_matches_executed_reference(
+    ref_env, tiny_clip, tmp_path, monkeypatch, capfd
+):
+    """Run BOTH implementations' full _finetune_on_test sanity loops (100
+    epochs, once-shuffled test mini-batches, per-epoch scheduler step) on
+    identical injected state and require the per-epoch printed loss/accuracy
+    trajectories to agree (ref: trainers/adapter.py:968-1065). This executes
+    the reference's uniform-mode promotion quirk — the stored template-weight
+    VALUES become trainable logits (ref: adapter.py:978-981 + 215-222) —
+    against our mode switch."""
+    monkeypatch.setenv("CLIP_GP_TPU_ALLOW_RANDOM_WEIGHTS", "1")
+    trainer = _build_our_trainer(
+        "Adapter", tmp_path, tiny_clip.npz, train_template_weights=False
+    )
+    trainer.config.optim.name = "sgd"
+    trainer.config.optim.lr = 0.05
+    trainer.config.optim.weight_decay = 0.0
+    trainer.config.optim.lr_scheduler = "cosine"
+    trainer.config.optim.max_epoch = 100
+    classnames = list(trainer.dm.dataset.classnames)
+    K, M, D = (int(s) for s in trainer.text_embeddings.shape)
+
+    rng = np.random.default_rng(41)
+    E = rng.normal(size=(K, M, D)).astype(np.float32)
+    feats = rng.normal(size=(24, D)).astype(np.float32)
+    labels = rng.integers(0, K, 24)
+
+    # ---- reference side ----
+    cfg = _ref_config(ref_env, train_template_weights=False)
+    cfg.optim.name = "sgd"
+    cfg.optim.lr = 0.05
+    cfg.optim.weight_decay = 0.0
+    cfg.optim.lr_scheduler = "cosine"
+    cfg.optim.max_epoch = 100
+    cfg.dataloader.batch_size_test = 8  # the sanity loop's mini-batch size
+    custom = ref_env.adapter.CustomCLIP(cfg, classnames, tiny_clip.model)
+    custom.text_embeddings = torch.tensor(E)
+    # non-trainable baseline state as train() leaves it: a plain tensor the
+    # sanity loop promotes to a trainable Parameter (values become logits)
+    custom.template_weights = torch.full((K, M), 1.0 / M)
+    ref_t = ref_env.adapter.Trainer.__new__(ref_env.adapter.Trainer)
+    ref_t.config = cfg
+    ref_t.model = custom
+    ref_t.device = torch.device("cpu")
+    ref_t.features_test = torch.tensor(feats)
+    ref_t.labels_test = torch.tensor(labels, dtype=torch.int64)
+    np.random.seed(123)  # the once-per-run shuffle draws from global numpy
+    ref_t._finetune_on_test()
+    ref_traj = _parse_sanity_lines(capfd.readouterr().out)
+
+    # ---- our side ----
+    trainer.text_embeddings = jnp.asarray(E)
+    trainer.logit_scale = float(custom.logit_scale.detach().exp())
+    trainer._build_jitted_fns()
+    trainer.features_test = feats
+    trainer.labels_test = labels.astype(np.int64)
+    np.random.seed(123)
+    trainer._finetune_on_test()
+    our_traj = _parse_sanity_lines(capfd.readouterr().out)
+
+    assert len(ref_traj) == len(our_traj) == 100
+    ref_arr, our_arr = np.asarray(ref_traj), np.asarray(our_traj)
+    np.testing.assert_allclose(our_arr[:, 0], ref_arr[:, 0], atol=2e-3)
+    np.testing.assert_array_equal(our_arr[:, 1], ref_arr[:, 1])
