@@ -104,3 +104,39 @@ def test_dryrun_multichip_direct_when_devices_exist():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+def test_entry_falls_back_to_cpu_when_backend_wedged(monkeypatch):
+    """A wedged tunnel must not leave the driver's compile check with a bare
+    error when the process can still retarget to the CPU platform: entry()
+    forces jax_platforms=cpu (backend not yet initialized) and returns the
+    same jittable program. The heavyweight ViT-B/16 arch is swapped for the
+    tiny test arch — the branch under test is the platform fallback, not the
+    tower."""
+    import jax
+
+    import __graft_entry__ as g
+    import clip_gp_tpu.models.clip_model as cm
+    import clip_gp_tpu.runtime.backend_guard as bg
+
+    monkeypatch.setattr(bg, "wait_for_backend", lambda: False)
+    monkeypatch.setattr(g, "_backend_initialized", lambda: False)
+    monkeypatch.setitem(
+        cm.ARCHITECTURES, "ViT-B/16", cm.ARCHITECTURES["TEST-ViT"]
+    )
+    fn, args = g.entry()
+    assert jax.config.jax_platforms == "cpu"
+    logits = jax.jit(fn)(*args)
+    assert logits.shape[0] == args[-1].shape[0]
+
+
+def test_entry_raises_when_wedged_and_backend_already_up(monkeypatch):
+    import __graft_entry__ as g
+    import clip_gp_tpu.runtime.backend_guard as bg
+
+    monkeypatch.setattr(bg, "wait_for_backend", lambda: False)
+    monkeypatch.setattr(g, "_backend_initialized", lambda: True)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="wedged"):
+        g.entry()

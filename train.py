@@ -28,6 +28,13 @@ def main(argv=None):
     device = os.environ.get("CLIP_GP_TPU_DEVICE")
     if device:
         os.environ.setdefault("TPU_VISIBLE_DEVICES", device)
+    # The axon TPU plugin ignores JAX_PLATFORMS, and initializing a wedged
+    # tunnel hangs forever — this is the supported way to pin the CLI to the
+    # host CPU (jax.config must be set before the backend initializes).
+    if os.environ.get("CLIP_GP_TPU_FORCE_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     # persistent XLA compile cache (measured 3-4x faster warm starts)
     from clip_gp_tpu.runtime import compile_cache
 
