@@ -132,7 +132,18 @@ def create_gp(
             - 2 * flat @ flat.T
         )
         pdist = np.sqrt(np.clip(d2, 0, None))
-        ls = float(np.median(pdist[pdist > 0])) if (pdist > 0).any() else 1.0
+        # exact-zero self-distances: expansion noise otherwise leaks ~1e-7
+        # diagonal values through the >0 filter (torch.cdist zeroes them),
+        # shifting the median index
+        np.fill_diagonal(pdist, 0.0)
+        vals = np.sort(pdist[pdist > 0])
+        # torch.median returns the LOWER of the two middle elements for even
+        # counts (np.median averages them) — and the reference's median runs
+        # over an even-count multiset (each pairwise distance appears twice
+        # in the full cdist matrix), so the conventions genuinely diverge
+        # (caught by tests/test_reference_executed_gp.py).
+        # ref: trainers/gp_template_weigher.py:103-108
+        ls = float(vals[(vals.size - 1) // 2]) if vals.size else 1.0
         params["raw_lengthscale"] = jnp.full((K, 1, red_dim), inv_softplus(ls))
         # gpytorch ScaleKernel: raw init 0 -> outputscale softplus(0)=0.6931
         params["raw_outputscale"] = jnp.zeros((K,))
@@ -217,6 +228,12 @@ def _kernel(static: GPStatic, params: Params, x1: jnp.ndarray, x2: jnp.ndarray):
         - 2 * jnp.einsum("knd,kmd->knm", a, b)
     )
     d2 = jnp.maximum(d2, 0.0)
+    if x1 is x2:
+        # exact self-distances: the MXU-friendly expansion form leaves
+        # ~1e-6 float32 cancellation noise on the diagonal, which the
+        # Matérn sqrt amplifies to ~1e-3 in exp(-d); gpytorch likewise
+        # zeroes the self-gram diagonal (Kernel.covar_dist with x1_eq_x2).
+        d2 = d2 * (1.0 - jnp.eye(d2.shape[-1], dtype=d2.dtype))
     if kt == "rbf":
         out = softplus(params["raw_outputscale"])[:, None, None]
         return out * jnp.exp(-0.5 * d2)

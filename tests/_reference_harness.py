@@ -37,7 +37,7 @@ def _stub(*args, **kwargs):
 
 
 @contextlib.contextmanager
-def reference_env(trainer_modules=("adapter",)):
+def reference_env(trainer_modules=("adapter",), functional_gp=False):
     """Import the reference's trainer modules + utils/config/clip packages.
 
     Yields a namespace with one attribute per requested trainer module
@@ -46,6 +46,10 @@ def reference_env(trainer_modules=("adapter",)):
     Everything is removed from sys.modules again on exit — surgically, so
     unrelated modules lazily imported meanwhile (e.g. jax.experimental
     submodules whose re-import re-registers config options) survive.
+
+    With ``functional_gp=True`` the gpytorch/entmax stubs are replaced by
+    the working torch implementations in tests/_gpytorch_shim.py, so the
+    reference's GP template weighter actually RUNS (executed GP goldens).
     """
     import torch
 
@@ -68,13 +72,21 @@ def reference_env(trainer_modules=("adapter",)):
     ):
         setattr(tvt, n, _stub)
     tv.transforms = tvt
-    gpy = types.ModuleType("gpytorch")
-    # class-definition bases only; GP paths are never exercised in goldens
-    gpy.models = SimpleNamespace(ApproximateGP=type("ApproximateGP", (), {}))
-    gpy.means = SimpleNamespace(Mean=type("Mean", (torch.nn.Module,), {}))
-    for sub in ("variational", "kernels", "likelihoods", "distributions",
-                "settings"):
-        setattr(gpy, sub, SimpleNamespace())
+    if functional_gp:
+        import _gpytorch_shim
+
+        gpy = _gpytorch_shim.build_gpytorch_module()
+        entmax = _gpytorch_shim.build_entmax_module()
+    else:
+        gpy = types.ModuleType("gpytorch")
+        # class-definition bases only; GP paths never exercised in goldens
+        gpy.models = SimpleNamespace(
+            ApproximateGP=type("ApproximateGP", (), {})
+        )
+        gpy.means = SimpleNamespace(Mean=type("Mean", (torch.nn.Module,), {}))
+        for sub in ("variational", "kernels", "likelihoods", "distributions",
+                    "settings"):
+            setattr(gpy, sub, SimpleNamespace())
     sys.modules.update(
         {
             "ftfy": ftfy,

@@ -95,15 +95,15 @@ def test_predictive_matches_numpy_whitened_svgp(gp):
 
     z = np.asarray(svgp.inducing_points(params, buffers))
     for k in range(K):
+        # pass the SAME object for self-grams so _kernel applies its
+        # exact-zero self-distance diagonal (x1 is x2), like gp_predictive
+        zk = jnp.asarray(z[k : k + 1])
+        xk = x[k : k + 1]
         kzz = np.asarray(
-            svgp._kernel(static, params, jnp.asarray(z[k : k + 1]), jnp.asarray(z[k : k + 1]))
+            svgp._kernel(static, params, zk, zk)
         )[0] + static.jitter * np.eye(M + 1)
-        kzx = np.asarray(
-            svgp._kernel(static, params, jnp.asarray(z[k : k + 1]), x[k : k + 1])
-        )[0]
-        kxx = np.asarray(
-            svgp._kernel(static, params, x[k : k + 1], x[k : k + 1])
-        )[0]
+        kzx = np.asarray(svgp._kernel(static, params, zk, xk))[0]
+        kxx = np.asarray(svgp._kernel(static, params, xk, xk))[0]
         l = np.linalg.cholesky(kzz)
         a = np.linalg.solve(l, kzx)  # [P, M]
         m_k = np.asarray(params["variational_mean"])[k]
