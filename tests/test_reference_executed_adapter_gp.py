@@ -52,7 +52,9 @@ BETA, L2_LAMBDA, SHOTS = 0.3, 0.1, 4
 
 @pytest.fixture(scope="module")
 def ref_env():
-    with reference_env(trainer_modules=("adapter",), functional_gp=True) as env:
+    with reference_env(
+        trainer_modules=("adapter", "taskres"), functional_gp=True
+    ) as env:
         yield env
 
 
@@ -282,3 +284,102 @@ def test_gp_loss_single_sample_falls_back_to_forward(ref_env, gp_setup):
     np.testing.assert_allclose(
         float(ce + kl + l2), float(loss_ref.detach()), rtol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# TaskRes with GP: residuals added to each MC prototype sample
+# ---------------------------------------------------------------------------
+
+
+class _IdentityEncoder(torch.nn.Module):
+    """Stand-in image tower: forwards injected features unchanged so the
+    reference's real ``forward`` runs on controlled inputs."""
+
+    def forward(self, x):
+        return x
+
+
+def test_taskres_gp_forward_matched_noise(ref_env, tmp_path, monkeypatch):
+    """TaskRes GP inference, executed (ref: trainers/taskres.py:101-116):
+    per-sample NORMALIZED prototypes get the α-scaled residual added, are
+    renormalized, and the logits are MC-averaged. Our trainer's real
+    ``_gp_logits_raw`` must agree draw-for-draw."""
+    import _gpytorch_shim
+
+    monkeypatch.setenv("CLIP_GP_TPU_ALLOW_RANDOM_WEIGHTS", "1")
+    from clip_gp_tpu.core.config import Config
+    from clip_gp_tpu.core.registry import build_trainer
+    from clip_gp_tpu.core.seeding import set_random_seed
+    from clip_gp_tpu.data.pipeline import build_data_manager
+    import clip_gp_tpu.data.datasets  # noqa: F401
+    import clip_gp_tpu.methods  # noqa: F401
+
+    alpha, s_eval = 0.7, 5
+
+    config = Config()
+    config.trainer_name = "TaskRes"
+    config.dataset.name = "Synthetic"
+    config.dataset.root = str(tmp_path / "data")
+    config.dataset.num_shots = 4
+    config.model.backbone_name = "TEST-ViT"
+    config.input.size = (32, 32)
+    config.dataloader.batch_size_train = 8
+    config.dataloader.batch_size_test = 8
+    config.dataloader.num_workers = 2
+    config.adapter.num_templates = M
+    config.adapter.taskres_residual_scale = alpha
+    config.output_dir = str(tmp_path / "out")
+    config.seed = 1
+    set_random_seed(config.seed)
+    dm = build_data_manager(config)
+    trainer = build_trainer(config, dm)
+    trainer.build_model()
+    classnames = list(dm.dataset.classnames)
+
+    cfg_ref = ref_env.config.Config()
+    cfg_ref.adapter.num_templates = M
+    cfg_ref.adapter.use_gp = True
+    cfg_ref.adapter.taskres_residual_scale = alpha
+    cfg_ref.adapter.gp_pca_dim = PCA
+    cfg_ref.adapter.gp_kernel_type = "rbf"
+    cfg_ref.adapter.gp_num_mc_samples_eval = s_eval
+    model = build_tiny_torch_clip(ref_env)
+    custom = ref_env.taskres.CustomCLIP(cfg_ref, classnames, model)
+    # the reference attaches the weighter during the train() pre-stage
+    # (ref: taskres.py:237-238); attach the same class directly here
+    rng = np.random.default_rng(41)
+    e = rng.normal(size=(K, M, D)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=-1, keepdims=True)
+    torch.manual_seed(0)
+    custom.gp_weighter = ref_env.taskres.GaussianProcessTemplateWeighter(
+        torch.tensor(e), cfg_ref
+    )
+    static, params, buffers = perturb_and_inject(
+        custom.gp_weighter, "rbf", e, gp_cfg("rbf", PCA), seed=23
+    )
+
+    residuals = rng.normal(scale=0.1, size=(K, D)).astype(np.float32)
+    with torch.no_grad():
+        custom.taskres_learner.text_feature_residuals.copy_(
+            torch.tensor(residuals)
+        )
+    custom.image_encoder = _IdentityEncoder()
+    custom.eval()
+
+    feats = rng.normal(size=(7, D)).astype(np.float32)
+    torch.manual_seed(11)
+    with torch.no_grad():
+        ref_logits = custom(torch.tensor(feats)).numpy()
+    eps = _gpytorch_shim.MultivariateNormal.last_base_samples.numpy()
+    assert eps.shape == (s_eval, K, M)
+
+    protos, _ = prototypes_with_eps(
+        static, params, buffers, buffers["templates_red"], eps
+    )
+    ours = np.asarray(
+        trainer._gp_logits_raw(
+            {"residuals": jnp.asarray(residuals)}, jnp.asarray(feats), protos
+        )
+    )
+    scale = max(np.abs(ref_logits).max(), 1e-12)
+    np.testing.assert_allclose(ours / scale, ref_logits / scale, atol=1e-4)
