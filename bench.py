@@ -106,6 +106,10 @@ from clip_gp_tpu.runtime.backend_guard import wait_for_backend  # noqa: E402
 # always outlast one.
 LAST_GOOD_PATH = Path(__file__).resolve().parent / "BENCH_LAST_GOOD.json"
 
+# Marker another bench process (the re-measure queue) holds while running;
+# module-level so tests never wait on a real flag left in /tmp.
+RUNNING_FLAG_PATH = Path("/tmp/bench_running")
+
 
 def load_stale_fallback(
     path: Path = LAST_GOOD_PATH,
@@ -243,8 +247,16 @@ def _wait_for_other_bench(max_wait_s: float = 3600.0) -> None:
     The bench host has ONE core and serves one chip; concurrent benches
     contend and distort each other (CLAUDE.md bench discipline). The
     re-measure queue touches ``/tmp/bench_running`` around its runs; honor
-    it (bounded) so a driver-invoked bench.py doesn't overlap it."""
-    flag = Path("/tmp/bench_running")
+    it (bounded) so a driver-invoked bench.py doesn't overlap it.
+
+    The flag's OWNER (the queue runs bench.py itself, under its own flag)
+    sets ``BENCH_OWNS_RUNNING_FLAG=1`` to skip this wait — otherwise it
+    would stall an hour on its own marker."""
+    import os
+
+    if os.environ.get("BENCH_OWNS_RUNNING_FLAG") == "1":
+        return
+    flag = RUNNING_FLAG_PATH
     deadline = time.monotonic() + max_wait_s
     while flag.exists() and time.monotonic() < deadline:
         print("[bench] another bench is running; waiting", file=sys.stderr)

@@ -9,7 +9,18 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+import pytest  # noqa: E402
+
 import bench  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _isolated_running_flag(tmp_path, monkeypatch):
+    """Never let these tests block on a real /tmp/bench_running left by the
+    re-measure queue (main() honors it for up to an hour)."""
+    monkeypatch.setattr(
+        bench, "RUNNING_FLAG_PATH", tmp_path / "bench_running"
+    )
 
 
 def test_last_good_round_trip(tmp_path):
@@ -159,3 +170,32 @@ def test_child_mode_prints_payload_directly(monkeypatch, capsys):
     )
     bench.main()
     assert json.loads(capsys.readouterr().out.strip())["value"] == 7.0
+
+
+def test_wait_for_other_bench_blocks_until_flag_clears(monkeypatch):
+    """main() defers to a flagged concurrent bench, polling until it ends."""
+    flag = bench.RUNNING_FLAG_PATH
+    flag.write_text("")
+    sleeps = []
+
+    def fake_sleep(s):
+        sleeps.append(s)
+        flag.unlink()  # the other bench finishes during our first poll
+
+    monkeypatch.setattr(bench.time, "sleep", fake_sleep)
+    bench._wait_for_other_bench(max_wait_s=120.0)
+    assert sleeps  # it did wait at least once
+
+
+def test_flag_owner_skips_the_wait(monkeypatch):
+    """The re-measure queue runs bench.py under its OWN flag; the owner
+    env var must bypass the wait or the queue stalls an hour on itself."""
+    bench.RUNNING_FLAG_PATH.write_text("")
+    monkeypatch.setenv("BENCH_OWNS_RUNNING_FLAG", "1")
+    monkeypatch.setattr(
+        bench.time,
+        "sleep",
+        lambda s: (_ for _ in ()).throw(AssertionError("must not wait")),
+    )
+    bench._wait_for_other_bench(max_wait_s=120.0)
+    bench.RUNNING_FLAG_PATH.unlink()
