@@ -103,6 +103,8 @@ class DatasetBase:
         try:
             with path.open("rb") as f:
                 data = pickle.load(f)
+            # same log line as the reference (ref: datasets/oxford_pets.py:41)
+            print(f"Loading preprocessed few-shot data from {path}")
             # reference ImageNet caches store {"train"} ONLY
             # (ref: datasets/imagenet.py:36-45) — a missing "val" key is a
             # valid reference artifact, not corruption; deleting it here
@@ -129,6 +131,8 @@ class DatasetBase:
         (ref: datasets/oxford_pets.py:54-60)."""
         mkdir_if_missing(split_fewshot_dir)
         path = Path(split_fewshot_dir) / f"shot_{num_shots}-seed_{seed}.pkl"
+        # same log line as the reference (ref: datasets/oxford_pets.py:58)
+        print(f"Saving preprocessed few-shot data to {path}")
         payload = {"train": train} if val is None else {"train": train, "val": val}
         with path.open("wb") as f:
             pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
@@ -160,6 +164,9 @@ class DatasetBase:
                 for impath, label, classname in items
             ]
 
+        # same log line as the reference (ref: datasets/oxford_pets.py:137,
+        # utils/dataset_base.py:154)
+        print(f"Reading split from {split_path}")
         split = DatasetBase.read_json(split_path)
         return convert(split["train"]), convert(split["val"]), convert(split["test"])
 
@@ -184,6 +191,9 @@ class DatasetBase:
             {"train": extract(train), "val": extract(val), "test": extract(test)},
             split_path,
         )
+        # same log line as the reference (ref: datasets/oxford_pets.py:125,
+        # utils/dataset_base.py:182)
+        print(f"Saved split to {split_path}")
 
     @staticmethod
     def subsample_classes(

@@ -64,8 +64,9 @@ def _load_one(item: Datum, transform, rng=None) -> np.ndarray:
                 if out is not None:
                     return out
                 img = Image.open(item.impath).convert("RGB")
-                img = img.resize((t, t), Image.BICUBIC,
-                                 box=(x, y, x + w, y + h))
+                # crop-then-resize like torchvision (see transforms.py)
+                img = img.crop((x, y, x + w, y + h)).resize(
+                    (t, t), Image.BICUBIC)
                 if flip:
                     img = img.transpose(Image.FLIP_LEFT_RIGHT)
                 return np.asarray(img, dtype=np.uint8)

@@ -80,17 +80,24 @@ def random_resized_crop(
 ) -> Image.Image:
     width, height = img.size
     x, y, w, h = sample_rrc_box(width, height, scale, ratio, rng)
+    # torchvision crops FIRST, then resizes: the resample filter clamps at
+    # the window edge. PIL's one-pass resize(box=) instead lets the taps
+    # read neighboring full-image pixels, shifting window-border outputs by
+    # up to ~10 gray levels (pinned by the executed-reference golden,
+    # tests/test_reference_executed_transforms.py).
     # size is (h, w) like every transform here; PIL resize wants (w, h)
-    return img.resize(
-        (size[1], size[0]), interpolation, box=(x, y, x + w, y + h)
-    )
+    return img.crop((x, y, x + w, y + h)).resize((size[1], size[0]), interpolation)
 
 
 def center_crop(img: Image.Image, size: Tuple[int, int]) -> Image.Image:
     width, height = img.size
     th, tw = size
-    x = int(round((width - tw) / 2.0))
-    y = int(round((height - th) / 2.0))
+    # torchvision zero-pads undersized inputs floor-half on the left/top
+    # (executed F.center_crop semantics); int(round(...)) would put the
+    # extra row/column on the other side for odd deficits. PIL's
+    # out-of-bounds crop fills zeros, so one crop call does both cases.
+    x = -((tw - width) // 2) if tw > width else int(round((width - tw) / 2.0))
+    y = -((th - height) // 2) if th > height else int(round((height - th) / 2.0))
     return img.crop((x, y, x + tw, y + th))
 
 

@@ -77,7 +77,10 @@ inline float cubic(float x) {
 // Separable bicubic resize with PIL-style antialiasing: on downscale the
 // kernel is stretched by the scale factor (support 2*scale), matching
 // Pillow's ImagingResample weight computation. Resamples from a float source
-// box (x0, y0, w, h) — PIL's resize(box=...) convention — so cropping is free.
+// box (x0, y0, w, h) so cropping is free. The filter taps CLAMP AT THE BOX
+// EDGES — crop-then-resize semantics, like torchvision's RandomResizedCrop
+// (PIL's resize(box=) would instead read neighboring full-image pixels,
+// shifting window-border outputs; pinned by the executed-reference golden).
 //
 // ``src`` may be a partial-decode WINDOW of the full image: (src_x0, src_y0)
 // is the window origin and (full_w, full_h) the full image dims. Tap centers,
@@ -99,7 +102,11 @@ void resize_bicubic_box(const uint8_t* src, int sh, int sw, int src_x0,
     int max_taps;
   };
 
-  auto build_taps = [](int in_size, int out_size, float scale, float offset) {
+  // lo/hi clamp the tap range to the crop box (crop-then-resize semantics);
+  // weights are normalized over the clamped range exactly like PIL does for
+  // a resize of the cropped image.
+  auto build_taps = [](int out_size, float scale, float offset, int lo,
+                       int hi) {
     Taps t;
     const float filterscale = std::max(scale, 1.0f);
     const float support = 2.0f * filterscale;
@@ -111,8 +118,8 @@ void resize_bicubic_box(const uint8_t* src, int sh, int sw, int src_x0,
       const float center = offset + (o + 0.5f) * scale;
       int xmin = static_cast<int>(center - support + 0.5f);
       int xmax = static_cast<int>(center + support + 0.5f);
-      xmin = std::max(xmin, 0);
-      xmax = std::min(xmax, in_size);
+      xmin = std::max(xmin, lo);
+      xmax = std::min(xmax, hi);
       float wsum = 0.0f;
       float* w = &t.weights[static_cast<size_t>(o) * t.max_taps];
       for (int x = xmin; x < xmax; ++x) {
@@ -128,8 +135,17 @@ void resize_bicubic_box(const uint8_t* src, int sh, int sw, int src_x0,
     return t;
   };
 
-  const Taps tx = build_taps(full_w, dw, scale_x, box_x);
-  const Taps ty = build_taps(full_h, dh, scale_y, box_y);
+  // box edges in (possibly DCT-scaled) source pixels; integral for an
+  // unscaled RandomResizedCrop window, where the clamp is exactly
+  // torchvision's crop edge
+  const int box_x_lo = std::max(0, static_cast<int>(std::floor(box_x)));
+  const int box_x_hi =
+      std::min(full_w, static_cast<int>(std::ceil(box_x + box_w)));
+  const int box_y_lo = std::max(0, static_cast<int>(std::floor(box_y)));
+  const int box_y_hi =
+      std::min(full_h, static_cast<int>(std::ceil(box_y + box_h)));
+  const Taps tx = build_taps(dw, scale_x, box_x, box_x_lo, box_x_hi);
+  const Taps ty = build_taps(dh, scale_y, box_y, box_y_lo, box_y_hi);
 
   // the vertical pass only reads rows inside the crop box's filter support
   // — restrict the horizontal pass to that range (a small RandomResizedCrop
@@ -278,11 +294,11 @@ int decode_pixels_impl(const uint8_t* data, long size, float region_short,
     const float by = box[1] * fys;
     const float bw = box[2] * fxs;
     const float bh = box[3] * fys;
-    // resampler filter support (kernel stretched by the downscale factor)
-    // + an iMCU (16 px) of slack for crop-boundary chroma-upsampling edges
-    const float scale = std::max(bw, bh) / static_cast<float>(std::max(target, 1));
-    const int margin =
-        static_cast<int>(std::ceil(2.0f * std::max(scale, 1.0f))) + 18;
+    // the resampler taps clamp at the box edge (crop-then-resize), so the
+    // decode window needs no filter-support margin — only an iMCU (16 px)
+    // of slack, because pixels within a couple px of a windowed-decode
+    // boundary can differ from a full decode (chroma-upsampling edges)
+    const int margin = 18;
     crop_scanline_fn crop_fn = get_crop_fn();
     if (crop_fn != nullptr) {
       const int x_lo = std::max(0, static_cast<int>(std::floor(bx)) - margin);

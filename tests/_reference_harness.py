@@ -37,7 +37,8 @@ def _stub(*args, **kwargs):
 
 
 @contextlib.contextmanager
-def reference_env(trainer_modules=("adapter",), functional_gp=False):
+def reference_env(trainer_modules=("adapter",), functional_gp=False,
+                  functional_transforms=False):
     """Import the reference's trainer modules + utils/config/clip packages.
 
     Yields a namespace with one attribute per requested trainer module
@@ -50,6 +51,10 @@ def reference_env(trainer_modules=("adapter",), functional_gp=False):
     With ``functional_gp=True`` the gpytorch/entmax stubs are replaced by
     the working torch implementations in tests/_gpytorch_shim.py, so the
     reference's GP template weighter actually RUNS (executed GP goldens).
+    With ``functional_transforms=True`` the torchvision stubs are replaced
+    by tests/_torchvision_shim.py, so the reference's transform pipeline
+    (utils/transforms.py, utils/data_manager.py, clip/clip.py:_transform)
+    actually RUNS.
     """
     import torch
 
@@ -63,15 +68,20 @@ def reference_env(trainer_modules=("adapter",), functional_gp=False):
     ftfy.fix_text = lambda s: s  # identity on well-formed text (mojibake only)
     entmax = types.ModuleType("entmax")
     entmax.sparsemax = _stub
-    tv = types.ModuleType("torchvision")
-    tvt = types.ModuleType("torchvision.transforms")
-    for n in (
-        "Compose", "Resize", "CenterCrop", "ToTensor", "Normalize",
-        "RandomResizedCrop", "RandomHorizontalFlip", "ColorJitter",
-        "RandAugment",
-    ):
-        setattr(tvt, n, _stub)
-    tv.transforms = tvt
+    if functional_transforms:
+        import _torchvision_shim
+
+        tv, tvt = _torchvision_shim.build_torchvision_module()
+    else:
+        tv = types.ModuleType("torchvision")
+        tvt = types.ModuleType("torchvision.transforms")
+        for n in (
+            "Compose", "Resize", "CenterCrop", "ToTensor", "Normalize",
+            "RandomResizedCrop", "RandomHorizontalFlip", "ColorJitter",
+            "RandAugment",
+        ):
+            setattr(tvt, n, _stub)
+        tv.transforms = tvt
     if functional_gp:
         import _gpytorch_shim
 

@@ -110,7 +110,7 @@ def test_jpeg_dims():
 
 
 @pytest.mark.parametrize("flip", [False, True])
-def test_decode_rrc_matches_pil_box_resize(flip):
+def test_decode_rrc_matches_pil_crop_resize(flip):
     from clip_gp_tpu.native import decode_rrc
 
     jpeg = _jpeg_bytes(400, 300, seed=3)
@@ -121,8 +121,8 @@ def test_decode_rrc_matches_pil_box_resize(flip):
 
     img = Image.open(io.BytesIO(jpeg)).convert("RGB")
     x, y, w, h = box
-    ref = img.resize((target, target), Image.BICUBIC,
-                     box=(x, y, x + w, y + h))
+    ref = img.crop((x, y, x + w, y + h)).resize((target, target),
+                                                Image.BICUBIC)
     if flip:
         ref = ref.transpose(Image.FLIP_LEFT_RIGHT)
     ref = np.asarray(ref, dtype=np.uint8)
@@ -140,7 +140,8 @@ def test_decode_rrc_dct_scaled_large_crop():
     img = Image.open(io.BytesIO(jpeg)).convert("RGB")
     x, y, w, h = box
     ref = np.asarray(
-        img.resize((224, 224), Image.BICUBIC, box=(x, y, x + w, y + h)),
+        img.crop((int(x), int(y), int(x + w), int(y + h))).resize(
+            (224, 224), Image.BICUBIC),
         dtype=np.uint8,
     )
     diff = np.abs(ours.astype(np.int16) - ref.astype(np.int16))
