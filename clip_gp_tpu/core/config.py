@@ -360,7 +360,16 @@ def _parse_opt_value(value: str):
         try:
             return ast.literal_eval(value)
         except (ValueError, SyntaxError):
-            pass
+            if value.endswith("]"):
+                # bare identifiers (INPUT.TRANSFORMS "[normalize, random_flip]")
+                # are not python literals; split them as strings rather than
+                # silently leaving a bracketed string on a List[str] field
+                inner = value[1:-1].strip()
+                return (
+                    [v.strip().strip("'\"") for v in inner.split(",")]
+                    if inner
+                    else []
+                )
     try:
         return int(value)
     except ValueError:
