@@ -112,10 +112,22 @@ def main():
         build_data_manager(cfg)
 
     # ---- vmapped group: T seeds as one program --------------------------
+    # Timed twice: the cold pass pays the one-off XLA compile of the group
+    # executable; the warm pass is the steady state every later
+    # (dataset, shots) cell of a real sweep runs at (the compiled
+    # executables persist in-process and on disk). A sweep with G cells
+    # costs cold + (G-1)*warm, so BOTH numbers matter — cold for tiny
+    # sweeps, warm for the 55-cell BASELINE shape.
     feature_cache.memo_clear()
     t0 = time.time()
     results = run_vmapped_trials(config, SEEDS, method="Adapter-CoOp")
     vmap_s = time.time() - t0
+    assert len(results) == len(SEEDS)
+
+    feature_cache.memo_clear()
+    t0 = time.time()
+    results = run_vmapped_trials(config, SEEDS, method="Adapter-CoOp")
+    vmap_warm_s = time.time() - t0
     assert len(results) == len(SEEDS)
 
     # ---- in-process: cold trial + (T-1) x warm trial ---------------------
@@ -148,12 +160,16 @@ def main():
         "classes": CLASSES,
         "epochs": EPOCHS,
         "vmapped_group_s": round(vmap_s, 1),
+        "vmapped_group_warm_s": round(vmap_warm_s, 1),
         "inprocess_trial_cold_s": round(cold_s, 1),
         "inprocess_trial_warm_s": round(warm_s, 1),
         "inprocess_group_s": round(group_inproc_s, 1),
         "speedup": round(group_inproc_s / vmap_s, 2),
+        "speedup_warm": round(warm_s * len(SEEDS) / vmap_warm_s, 2),
         "baseline_note": "group modeled as cold + (T-1)*warm trials; "
-                         "conservative (see docstring)",
+                         "speedup_warm compares steady states (warm vmapped "
+                         "group vs T warm sequential trials) — the regime "
+                         "every later cell of a multi-cell sweep runs in",
     }))
 
 
