@@ -100,17 +100,25 @@ class DatasetBase:
         path = Path(split_fewshot_dir) / f"shot_{num_shots}-seed_{seed}.pkl"
         if not path.exists():
             return None
+        # printed BEFORE the load attempt, like the reference — the line
+        # appears even when the cache turns out corrupt and is regenerated
+        # (ref: datasets/oxford_pets.py:41)
+        print(f"Loading preprocessed few-shot data from {path}")
         try:
             with path.open("rb") as f:
                 data = pickle.load(f)
-            # same log line as the reference (ref: datasets/oxford_pets.py:41)
-            print(f"Loading preprocessed few-shot data from {path}")
             # reference ImageNet caches store {"train"} ONLY
             # (ref: datasets/imagenet.py:36-45) — a missing "val" key is a
             # valid reference artifact, not corruption; deleting it here
             # would destroy the user's prepared split
             return data["train"], data.get("val", [])
-        except Exception:
+        except Exception as e:
+            # same warning line as the reference's corrupt-cache regen path
+            # (ref: datasets/oxford_pets.py:47)
+            print(
+                f"Warning: Failed to load preprocessed data due to {e}. "
+                "Regenerating..."
+            )
             try:
                 path.unlink()
             except OSError:

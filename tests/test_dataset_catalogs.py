@@ -305,7 +305,7 @@ def _config(root, name, shots=1, seed=1, subsample="all"):
 
 
 @pytest.mark.parametrize("name", sorted(BUILDERS))
-def test_catalog_load_fewshot_cache_and_subsample(tmp_path, name):
+def test_catalog_load_fewshot_cache_and_subsample(tmp_path, name, capsys):
     exp = BUILDERS[name](tmp_path)
     set_random_seed(1)
     config = _config(tmp_path, name)
@@ -335,7 +335,16 @@ def test_catalog_load_fewshot_cache_and_subsample(tmp_path, name):
     # --- corrupt cache regenerates (ref: datasets/oxford_pets.py:39-60) ---
     cache.write_bytes(b"corrupt \x00 pickle")
     set_random_seed(1)
+    capsys.readouterr()
     ds3 = build_dataset(_config(tmp_path, name))
+    out = capsys.readouterr().out
+    # reference log order on the corrupt path: "Loading ..." is printed
+    # BEFORE the failed load, then the regen warning, then "Saving ..."
+    # (ref: datasets/oxford_pets.py:41,47,58)
+    i_load = out.index("Loading preprocessed few-shot data from")
+    i_warn = out.index("Warning: Failed to load preprocessed data due to")
+    i_save = out.index("Saving preprocessed few-shot data to")
+    assert i_load < i_warn < i_save
     assert len(ds3.train_x) == len(ds.train_x)
     import pickle
 
