@@ -132,7 +132,26 @@ class Trial:
         return argv
 
 
+# Top-level keys the experiment YAML contract defines (ref:
+# utils/hparam_search.py:146-160). Anything else lowercase is silently
+# ignored by BOTH the runner and the trainer-config merge (uppercase keys
+# are embedded trainer config, merged when the same YAML is passed to
+# train.py as --config-file) — warn so a typoed `opts:`/`seed:` doesn't
+# silently run the wrong experiment.
+_EXPERIMENT_KEYS = {
+    "name", "datasets", "seeds", "shots", "dataset_config", "output_root",
+    "grid", "template", "root", "devices", "__config_file__",
+}
+
+
 def build_trials(cfg: Dict[str, Any]) -> Tuple[List[Trial], Dict[str, Any]]:
+    for key in cfg:
+        if key not in _EXPERIMENT_KEYS and not key[:1].isupper():
+            print(
+                f"[WARN] unknown experiment key {key!r} ignored (known keys: "
+                f"{sorted(_EXPERIMENT_KEYS - {'__config_file__'})}; uppercase "
+                "keys merge as embedded trainer config)"
+            )
     name = cfg.get("name") or "experiment"
     datasets = cfg.get("datasets")
     if isinstance(datasets, str):

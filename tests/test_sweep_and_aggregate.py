@@ -35,6 +35,21 @@ def test_trial_expansion_and_signature(tmp_path):
     assert "TRAINER.ADAPTER.GP_BETA" in argv
 
 
+def test_unknown_experiment_key_warns(tmp_path, capsys):
+    """A typoed lowercase experiment key (e.g. `opts:`) would otherwise be
+    silently dropped by both the runner and the trainer-config merge;
+    uppercase keys are embedded trainer config and stay silent."""
+    cfg = _experiment_cfg(tmp_path)
+    cfg["opts"] = {"TRAINER.ADAPTER.GP_BETA": 1.0}
+    cfg["TRAINER"] = {"NAME": "Adapter"}
+    build_trials(cfg)
+    out = capsys.readouterr().out
+    assert "[WARN] unknown experiment key 'opts'" in out
+    assert "TRAINER" not in out.split("known keys")[0].replace(
+        "unknown experiment key 'opts'", ""
+    )
+
+
 def test_skip_if_done(tmp_path):
     trials, _ = build_trials(_experiment_cfg(tmp_path))
     done = trials[0].format_outdir()
