@@ -107,11 +107,6 @@ class DatasetBase:
         try:
             with path.open("rb") as f:
                 data = pickle.load(f)
-            # reference ImageNet caches store {"train"} ONLY
-            # (ref: datasets/imagenet.py:36-45) — a missing "val" key is a
-            # valid reference artifact, not corruption; deleting it here
-            # would destroy the user's prepared split
-            return data["train"], data.get("val", [])
         except Exception as e:
             # same warning line as the reference's corrupt-cache regen path
             # (ref: datasets/oxford_pets.py:47)
@@ -124,6 +119,13 @@ class DatasetBase:
             except OSError:
                 pass
             return None
+        # Outside the try: only genuine LOAD failures trigger the
+        # delete-and-regenerate path above. A loadable pickle with an odd
+        # schema (e.g. a user-prepared cache missing "train") raises here
+        # instead of silently destroying the file. Reference ImageNet caches
+        # store {"train"} ONLY (ref: datasets/imagenet.py:36-45) — a missing
+        # "val" key is a valid reference artifact, not corruption.
+        return data["train"], data.get("val", [])
 
     def save_fewshot(
         self,

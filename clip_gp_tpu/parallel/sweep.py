@@ -133,20 +133,42 @@ class Trial:
 
 
 # Top-level keys the experiment YAML contract defines (ref:
-# utils/hparam_search.py:146-160). Anything else lowercase is silently
-# ignored by BOTH the runner and the trainer-config merge (uppercase keys
-# are embedded trainer config, merged when the same YAML is passed to
-# train.py as --config-file) — warn so a typoed `opts:`/`seed:` doesn't
-# silently run the wrong experiment.
+# utils/hparam_search.py:146-160). The same YAML is also passed to train.py
+# as --config-file, so merge_config_dict (core/config.py) consumes two more
+# classes of key in EVERY trial: uppercase keys (embedded trainer config) and
+# lowercase keys naming a config section (optim:, dataset:, ...) or a
+# top-level Config field (seed:, resume:, ...). Only keys in none of those
+# classes are truly ignored — warn so a typoed `opts:` doesn't silently run
+# the wrong experiment, and flag section/field names that merge as trainer
+# config since that is rarely what a sweep author intended at this level.
 _EXPERIMENT_KEYS = {
     "name", "datasets", "seeds", "shots", "dataset_config", "output_root",
     "grid", "template", "root", "devices", "__config_file__",
 }
 
 
+def _trainer_config_keys() -> set:
+    """Lowercase keys merge_config_dict consumes as trainer config."""
+    import dataclasses as _dc
+
+    from ..core import config as _config_mod
+
+    fields = {f.name for f in _dc.fields(_config_mod.Config)}
+    return set(_config_mod._SECTIONS) | fields
+
+
 def build_trials(cfg: Dict[str, Any]) -> Tuple[List[Trial], Dict[str, Any]]:
+    trainer_keys = _trainer_config_keys()
     for key in cfg:
-        if key not in _EXPERIMENT_KEYS and not key[:1].isupper():
+        if key in _EXPERIMENT_KEYS or key[:1].isupper():
+            continue
+        if key.lower() in trainer_keys:
+            print(
+                f"[WARN] experiment key {key!r} merges as trainer config in "
+                "every trial (it names a config section or field; move it "
+                "under an uppercase section or remove it if unintended)"
+            )
+        else:
             print(
                 f"[WARN] unknown experiment key {key!r} ignored (known keys: "
                 f"{sorted(_EXPERIMENT_KEYS - {'__config_file__'})}; uppercase "

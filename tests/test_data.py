@@ -185,6 +185,33 @@ def test_load_fewshot_accepts_train_only_pickle(tmp_path):
     assert path.exists(), "reference-format cache must not be deleted"
 
 
+def test_load_fewshot_odd_schema_raises_without_delete(tmp_path):
+    """A LOADABLE pickle missing 'train' is a schema error, not cache
+    corruption: it must raise (reference catches only load failures,
+    ref: datasets/oxford_pets.py:46) and must NOT delete the user's file."""
+    import pickle
+
+    import pytest
+
+    ds = DatasetBase.__new__(DatasetBase)
+    path = tmp_path / "shot_16-seed_1.pkl"
+    with path.open("wb") as f:
+        pickle.dump({"not_train": []}, f)
+    with pytest.raises(KeyError):
+        ds.load_fewshot(str(tmp_path), 16, 1)
+    assert path.exists(), "odd-schema cache must not be deleted"
+
+
+def test_load_fewshot_corrupt_pickle_regenerates(tmp_path):
+    """A genuinely unreadable pickle prints the reference's warning line and
+    is deleted so the caller regenerates (ref: datasets/oxford_pets.py:46-52)."""
+    ds = DatasetBase.__new__(DatasetBase)
+    path = tmp_path / "shot_16-seed_1.pkl"
+    path.write_bytes(b"\x80\x04 truncated garbage")
+    assert ds.load_fewshot(str(tmp_path), 16, 1) is None
+    assert not path.exists()
+
+
 def test_templates():
     c = Config()
     c.adapter.num_templates = 1

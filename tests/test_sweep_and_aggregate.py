@@ -44,10 +44,24 @@ def test_unknown_experiment_key_warns(tmp_path, capsys):
     cfg["TRAINER"] = {"NAME": "Adapter"}
     build_trials(cfg)
     out = capsys.readouterr().out
+    assert out.count("[WARN] unknown experiment key") == 1
     assert "[WARN] unknown experiment key 'opts'" in out
-    assert "TRAINER" not in out.split("known keys")[0].replace(
-        "unknown experiment key 'opts'", ""
-    )
+    assert "'TRAINER'" not in out
+
+
+def test_trainer_config_experiment_key_warns_as_merge(tmp_path, capsys):
+    """Lowercase keys naming a config section or Config field DO merge as
+    trainer config when the YAML reaches train.py (core/config.py
+    merge_config_dict) — the warning must say so, not claim they are
+    ignored."""
+    cfg = _experiment_cfg(tmp_path)
+    cfg["seed"] = 7
+    cfg["optim"] = {"LR": 0.5}
+    build_trials(cfg)
+    out = capsys.readouterr().out
+    assert out.count("merges as trainer config") == 2
+    assert "'seed'" in out and "'optim'" in out
+    assert "[WARN] unknown experiment key" not in out
 
 
 def test_skip_if_done(tmp_path):
