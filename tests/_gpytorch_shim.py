@@ -19,10 +19,7 @@ What this golden does and does not prove:
   predictive/KL here is an independent torch restatement of the same
   textbook math (whitened ``VariationalStrategy`` semantics, documented in
   svgp.py's module docstring); that math is separately validated against an
-  independent numpy implementation in tests/test_svgp.py. Known
-  numerics-only divergence from real gpytorch: gpytorch performs the
-  whitening triangular solve in float64 and casts back; this shim (and our
-  JAX side) stay float32 throughout.
+  independent numpy implementation in tests/test_svgp.py.
 
 gpytorch semantics deliberately reproduced:
 
@@ -35,8 +32,21 @@ gpytorch semantics deliberately reproduced:
 - the variational distribution initializes lazily on the first strategy
   call: mean ← prior mean + ``mean_init_std``·N(0,1) (gpytorch default
   1e-3), chol ← I.
+- the whitening Cholesky + triangular solve run in float64 and the
+  interpolation term is cast back to the input dtype — gpytorch's
+  ``VariationalStrategy._cholesky_factor`` does
+  ``psd_safe_cholesky(...type(_linalg_dtype_cholesky.value()))`` and
+  ``forward`` does ``L.solve(induc_data_covar.type(...)).to(dtype)``,
+  where ``settings._linalg_dtype_cholesky`` defaults to ``torch.float64``.
+  ``CHOLESKY_SOLVE_DTYPE`` (module global) lets tests force float32 to
+  MEASURE that fp64-vs-fp32 drift (tests/test_gp_fp64_drift.py records the
+  bound; COMPONENTS.md states it).
 - ``psd_safe_cholesky``: plain factorization first, then escalating jitter
-  1e-6·10^i (float32 base), i = 0..2.
+  ``base·10^i``, i = 0..2 (``settings.cholesky_max_tries`` default 3),
+  with the dtype-dependent base of ``settings.cholesky_jitter``:
+  1e-6 for float32, 1e-8 for float64 — so the fp64 whitening factorization
+  escalates from 1e-8, NOT 1e-6 (gpytorch/utils/cholesky.py
+  ``_psd_safe_cholesky``).
 """
 
 from __future__ import annotations
@@ -49,10 +59,23 @@ from torch import nn
 
 _VARIATIONAL_JITTER = 1e-4  # gpytorch variational_cholesky_jitter, float32
 
+# gpytorch settings._linalg_dtype_cholesky default (torch.float64): the
+# whitening factorization + triangular solve run in this dtype and the
+# interpolation term is cast back. Tests flip this to torch.float32 to
+# measure the drift the fp64 path removes.
+CHOLESKY_SOLVE_DTYPE = torch.float64
+
 
 def _inv_softplus(y: torch.Tensor) -> torch.Tensor:
     y = torch.as_tensor(y, dtype=torch.float32)
     return torch.where(y > 20, y, torch.log(torch.expm1(y.clamp_min(1e-10))))
+
+
+# gpytorch settings.cholesky_jitter.value(dtype): float32 → 1e-6,
+# float64 → 1e-8 (gpytorch/settings.py). The escalation below multiplies by
+# 10^i for i in range(cholesky_max_tries=3), matching
+# gpytorch/utils/cholesky.py::_psd_safe_cholesky.
+_CHOLESKY_JITTER_BASE = {torch.float32: 1e-6, torch.float64: 1e-8}
 
 
 def psd_safe_cholesky(a: torch.Tensor) -> torch.Tensor:
@@ -63,8 +86,9 @@ def psd_safe_cholesky(a: torch.Tensor) -> torch.Tensor:
     except RuntimeError:
         pass
     eye = torch.eye(a.shape[-1], dtype=a.dtype, device=a.device)
+    base = _CHOLESKY_JITTER_BASE.get(a.dtype, 1e-6)
     for i in range(3):
-        jitter = 1e-6 * (10.0**i)
+        jitter = base * (10.0**i)
         try:
             l = torch.linalg.cholesky(a + jitter * eye)
             if torch.isfinite(l).all():
@@ -306,8 +330,18 @@ class VariationalStrategy(nn.Module):
         k_zx = full_covar[..., :p, p:]
         k_xx = full_covar[..., p:, p:]
 
-        l = psd_safe_cholesky(k_zz)
-        interp = torch.linalg.solve_triangular(l, k_zx, upper=False)  # [K,P,N]
+        # gpytorch runs the whitening factorization + solve in
+        # _linalg_dtype_cholesky (default float64) and casts the
+        # interpolation term back: VariationalStrategy._cholesky_factor /
+        # forward's `L.solve(induc_data_covar.type(...)).to(dtype)`.
+        # NOTE the jitter above was added in the INPUT dtype first (gpytorch
+        # adds jitter_val before _cholesky_factor casts), so fp32 rounding of
+        # k_zz + 1e-4·I is part of the real semantics too.
+        solve_dtype = CHOLESKY_SOLVE_DTYPE
+        l = psd_safe_cholesky(k_zz.to(solve_dtype))
+        interp = torch.linalg.solve_triangular(
+            l, k_zx.to(solve_dtype), upper=False
+        ).to(x.dtype)  # [K,P,N]
 
         m = self._variational_distribution.variational_mean
         lq = torch.tril(self._variational_distribution.chol_variational_covar)
