@@ -57,7 +57,11 @@ class AdapterConfig:
     learn_token_lambda: float = 1e-2
     gp_pca_dim: int = 256
     gp_prior_temp: float = 1.0
-    gp_jitter: float = 1e-5
+    # gpytorch adds settings.variational_cholesky_jitter ("auto" → 1e-4 for
+    # float32) to K_zz inside VariationalStrategy, so 1e-4 is the numerics
+    # the reference actually runs with (ref: trainers/gp_template_weigher.py
+    # delegating to gpytorch.variational.VariationalStrategy).
+    gp_jitter: float = 1e-4
 
     # CLIP-Adapter
     clip_adapter_reduction: int = 4

@@ -272,6 +272,62 @@ class Trainer(BaseTrainer):
     def load_trainable_state(self, state):
         self.params = jax.tree.map(jnp.asarray, state)
 
+    def adopt_reference_state(self, state, extra):
+        """Reference-checkpoint adoption (runtime/ref_checkpoint.py): the
+        converted GP state lives in the CHECKPOINT's PCA basis (torch SVD —
+        column signs differ from our numpy SVD), so its buffers must replace
+        the ones build_model derived, after shape/mode validation."""
+        has_gp = "gp" in state
+        if has_gp != (self.mode == "gp"):
+            raise ValueError(
+                "reference checkpoint "
+                + ("carries" if has_gp else "lacks")
+                + " GP state but this config has USE_GP "
+                + ("disabled" if has_gp else "enabled")
+                + " — pass the run's own config"
+            )
+        for name, present in (
+            ("template_logits", self.mode == "logits"),
+            ("template_weight_linear", self.mode == "linear"),
+        ):
+            if (name in state) != present:
+                raise ValueError(
+                    f"reference checkpoint template-weight mode does not "
+                    f"match this config (mode={self.mode!r}, checkpoint "
+                    f"keys={sorted(state)})"
+                )
+        bufs = extra.get("gp_buffers")
+        if bufs is not None:
+            newb = {k: jnp.asarray(v) for k, v in bufs.items()}
+            k_ck, m_ck, _ = newb["templates"].shape
+            d_ck = int(newb["templates_red"].shape[-1])
+            if (k_ck, m_ck, d_ck) != (
+                self.gp_static.num_classes,
+                self.gp_static.num_templates,
+                self.gp_static.red_dim,
+            ):
+                raise ValueError(
+                    f"reference GP checkpoint shape (K={k_ck}, M={m_ck}, "
+                    f"d={d_ck}) does not match this config "
+                    f"(K={self.gp_static.num_classes}, "
+                    f"M={self.gp_static.num_templates}, "
+                    f"d={self.gp_static.red_dim})"
+                )
+            kernel_keys = {
+                "rbf": {"raw_lengthscale", "raw_outputscale"},
+                "matern": {"raw_lengthscale"},
+                "linear": {"raw_variance"},
+            }[self.gp_static.kernel_type]
+            missing = kernel_keys - set(state["gp"])
+            if missing:
+                raise ValueError(
+                    f"reference GP checkpoint kernel does not match this "
+                    f"config's {self.gp_static.kernel_type!r} kernel "
+                    f"(missing {sorted(missing)})"
+                )
+            self.gp_buffers = newb
+        return state
+
     def extra_checkpoint_state(self):
         # GP buffers (PCA basis + reduced templates + prior mean) are derived
         # from the TRAINING dataset's text; a class-subset reload must reuse

@@ -603,9 +603,34 @@ class BaseTrainer:
         )
         print(f"Checkpoint saved to {save_dir / name}.npz")
 
+    def adopt_reference_state(self, state: Dict, extra: Dict) -> Dict:
+        """Hook for trainer-specific validation/buffer adoption when loading
+        a converted reference checkpoint (runtime/ref_checkpoint.py). The
+        default accepts class-agnostic state as-is; trainers whose converted
+        state carries companion buffers (Adapter's GP) override."""
+        if extra:
+            raise ValueError(
+                f"{type(self).__name__} cannot adopt reference extra state "
+                f"{sorted(extra)}"
+            )
+        return state
+
     def load_model(self, model_dir: str, epoch: Optional[int] = None) -> int:
         path = resolve_checkpoint_path(model_dir, epoch)
         if path is None:
+            from clip_gp_tpu.runtime import ref_checkpoint
+
+            ref_path = ref_checkpoint.resolve_reference_checkpoint_path(
+                model_dir, epoch
+            )
+            if ref_path is not None:
+                print(f"Loading reference checkpoint from {ref_path}")
+                state, extra, ep = ref_checkpoint.convert_reference_checkpoint(
+                    ref_path, getattr(self.config, "trainer_name", "")
+                )
+                state = self.adopt_reference_state(state, extra)
+                self.load_trainable_state(state)
+                return ep
             print(f"No checkpoint found under {Path(model_dir) / 'adapter'}")
             return 0
         print(f"Loading checkpoint from {path}")
