@@ -281,11 +281,14 @@ def _vmap_supported(config, group_size: int) -> bool:
     if group_size < 2:
         return False
     if name == "Adapter":
-        return (
-            not a.freeze_visual_proj
-            and not a.use_linear_template_weighting
-            and not a.shared_template_weights
-            and (a.use_gp or a.train_template_weights)
+        # any trainable head vmaps (GP / per-class logits / linear [D,1]
+        # head), incl. freeze_visual_proj (W dropped from the trial pytree)
+        # and shared_template_weights (an init-only difference); only the
+        # non-trainable uniform baseline stays in-process
+        return bool(
+            a.use_gp
+            or a.train_template_weights
+            or a.use_linear_template_weighting
         )
     if name in ("CLIP-Adapter", "TaskRes"):
         return True

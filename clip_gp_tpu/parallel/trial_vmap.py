@@ -394,8 +394,17 @@ class MethodSpec:
 
 
 class AdapterSpec(MethodSpec):
-    """Flagship Adapter: visual_proj + {GP weighter | template logits}
-    (ref: trainers/adapter.py:145-535)."""
+    """Flagship Adapter: visual_proj + {GP weighter | template logits |
+    linear weighting head} (ref: trainers/adapter.py:145-535).
+
+    All trainable-head variants vmap, including ``freeze_visual_proj``
+    (W is dropped from the trial pytree — frozen at identity, the
+    projection is the no-op it is in-process, and the L2 term vanishes
+    with it), ``shared_template_weights`` (an INIT-only difference, the
+    mean row broadcast in ``warm_start``), and
+    ``use_linear_template_weighting`` (a [D,1] head whose random init
+    replays the in-process trainer's KeySequence draw, so vmapped and
+    in-process runs start from bit-identical parameters)."""
 
     name = "Adapter"
     supported_hparams = ("gp_beta", "gp_lr", "lr", "l2_lambda")
@@ -410,6 +419,24 @@ class AdapterSpec(MethodSpec):
         super().__init__(runner)
         config = runner.config
         self.use_gp = bool(config.adapter.use_gp)
+        self.freeze_proj = bool(config.adapter.freeze_visual_proj)
+        # same mode priority as the in-process trainer (methods/adapter.py
+        # build_model; ref: trainers/adapter.py:145-198)
+        train_tw = bool(config.adapter.train_template_weights)
+        use_linear = bool(config.adapter.use_linear_template_weighting)
+        if self.use_gp:
+            self.mode = "gp"
+        elif train_tw and not use_linear:
+            self.mode = "logits"
+        elif use_linear:
+            self.mode = "linear"
+        else:
+            # the non-trainable uniform baseline has nothing to train on the
+            # trial axis; the sweep gate routes it in-process
+            raise ValueError(
+                "AdapterSpec needs a trainable head (USE_GP, "
+                "TRAIN_TEMPLATE_WEIGHTS or USE_LINEAR_TEMPLATE_WEIGHTING)"
+            )
         self.s_train = max(1, int(config.adapter.gp_num_mc_samples_train or 1))
         self.s_eval = max(1, int(config.adapter.gp_num_mc_samples_eval or 1))
         self.shots = int(config.dataset.num_shots)
@@ -445,18 +472,43 @@ class AdapterSpec(MethodSpec):
 
     def init_params(self, seed):
         d = self.r.d
-        params: Dict = {"visual_proj": jnp.eye(d)}
-        if self.use_gp:
+        params: Dict = {}
+        if not self.freeze_proj:
+            params["visual_proj"] = jnp.eye(d)
+        if self.mode == "gp":
             params["gp"] = self.gp_params0
-        else:
+        elif self.mode == "logits":
             params["template_logits"] = jnp.zeros((self.r.k, self.r.m))
+        else:  # linear
+            # replay the in-process init exactly: the [D,1] head is the
+            # FIRST draw from the trainer's KeySequence(seed)
+            # (methods/adapter.py build_model)
+            from clip_gp_tpu.core.seeding import KeySequence
+
+            params["template_weight_linear"] = 0.01 * jax.random.normal(
+                KeySequence(int(seed)).next(), (d, 1)
+            )
         return params
 
     def export_state(self, params_t, consts_t):
-        # same layout as methods/adapter.py trainable_state (= self.params)
-        return dict(params_t)
+        # same layout as methods/adapter.py trainable_state (= self.params);
+        # the frozen projection is still a (constant-identity) entry there
+        state = dict(params_t)
+        if self.freeze_proj:
+            state["visual_proj"] = np.eye(self.r.d, dtype=np.float32)
+        return state
+
+    def _proj(self, p, feats):
+        """feats @ Wᵀ, skipped entirely when W is frozen at identity (the
+        in-process identity matmul is exact, so the results agree bitwise)."""
+        return feats if self.freeze_proj else feats @ p["visual_proj"].T
 
     def warm_start(self, params, feats_train, labels_train):
+        if self.mode == "linear":
+            # the in-process trainer computes-and-ignores template weights in
+            # linear mode (train(): no mode branch consumes them); the head
+            # keeps its random init
+            return params
         tw = []
         for t in range(self.r.t_trials):
             tw.append(
@@ -480,9 +532,19 @@ class AdapterSpec(MethodSpec):
             params["template_logits"] = jnp.log(jnp.clip(tw, 1e-12, None))
         return params
 
+    def _det_prototypes(self, p, shared):
+        """[K,D] prototypes for the deterministic heads (logits / linear),
+        mirroring methods/adapter.py _prototypes."""
+        e = shared["text_embeddings"]
+        if self.mode == "logits":
+            w = jax.nn.softmax(p["template_logits"], axis=-1)
+        else:  # linear: per-template score from the [D,1] head
+            w = jax.nn.softmax((e @ p["template_weight_linear"])[..., 0], axis=-1)
+        return jnp.einsum("km,kmd->kd", w, e)
+
     def loss(self, p, c, feats, labels, key, hps, shared):
         scale = self.r.logit_scale
-        projected = feats @ p["visual_proj"].T
+        projected = self._proj(p, feats)
         f_norm = common.l2_normalize(projected)
         if self.use_gp:
             protos, _ = svgp.sample_prototypes(
@@ -491,12 +553,13 @@ class AdapterSpec(MethodSpec):
             ce = common.mc_cross_entropy(f_norm, protos, labels, scale)
             total = ce + hps["gp_beta"] * svgp.kl_divergence(p["gp"]).sum()
         else:
-            w = jax.nn.softmax(p["template_logits"], axis=-1)
-            protos = jnp.einsum("km,kmd->kd", w, shared["text_embeddings"])
+            protos = self._det_prototypes(p, shared)
             total = common.cross_entropy(
                 common.cosine_logits(projected, protos, scale), labels
             )
-        if self.shots > 0:
+        # the L2 pull-to-identity regularizes the projection only — it
+        # vanishes when W is frozen (methods/adapter.py loss_fn)
+        if self.shots > 0 and not self.freeze_proj:
             wp = p["visual_proj"]
             d = self.r.d
             total = total + ((wp - jnp.eye(d)) ** 2).sum() * (
@@ -510,9 +573,8 @@ class AdapterSpec(MethodSpec):
                 self.gp_static, p["gp"], shared["gp_buffers"], key, self.s_eval
             )
         else:
-            w = jax.nn.softmax(p["template_logits"], axis=-1)
-            protos = jnp.einsum("km,kmd->kd", w, shared["text_embeddings"])
-        projected = shared["feats_test"] @ p["visual_proj"].T
+            protos = self._det_prototypes(p, shared)
+        projected = self._proj(p, shared["feats_test"])
         return common.cosine_logits(projected, protos, self.r.logit_scale)
 
 

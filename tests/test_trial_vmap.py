@@ -496,3 +496,118 @@ def test_vmapped_head_matches_inprocess_trainer(tmp_path, method):
     assert np.isclose(vmapped["ece"], inproc["ece"], atol=5e-3), (
         method, vmapped, inproc
     )
+
+
+# ----------------------------------------------------------------------
+# widened Adapter vmap gate (round 3): freeze_visual_proj,
+# shared_template_weights, use_linear_template_weighting
+# ----------------------------------------------------------------------
+
+def _adapter_variant_config(tmp_path, variant):
+    config = _head_config(tmp_path, "Adapter")
+    config.adapter.use_gp = False
+    config.input.transforms = []  # deterministic resize+center-crop only
+    config.dataloader.batch_size_train = 64  # >= few-shot set: one batch
+    config.optim.name = "sgd"
+    config.optim.lr = 0.01
+    config.seed = 1
+    if variant == "freeze":
+        config.adapter.freeze_visual_proj = True
+    elif variant == "shared":
+        config.adapter.shared_template_weights = True
+    elif variant == "linear":
+        config.adapter.train_template_weights = False
+        config.adapter.use_linear_template_weighting = True
+    else:
+        raise AssertionError(variant)
+    return config
+
+
+@pytest.mark.parametrize("variant", ["freeze", "shared", "linear"])
+def test_vmapped_adapter_variants_match_inprocess(tmp_path, variant):
+    """The previously in-process-only Adapter variants now vmap with exact
+    output parity: frozen W drops out of the trial pytree (the identity
+    projection is bitwise exact), shared weights are an init-only broadcast,
+    and the linear [D,1] head replays the in-process KeySequence init — so
+    with a deterministic pipeline and one batch per epoch, vmapped and
+    in-process runs compute the same program."""
+    import copy
+
+    from clip_gp_tpu.core.registry import build_trainer
+    from clip_gp_tpu.core.seeding import set_random_seed
+    from clip_gp_tpu.data.pipeline import build_data_manager
+    from clip_gp_tpu.parallel.trial_vmap import run_vmapped_trials
+    from clip_gp_tpu.runtime import feature_cache
+
+    config = _adapter_variant_config(tmp_path, variant)
+
+    cfg = copy.deepcopy(config)
+    cfg.output_dir = str(tmp_path / "inproc")
+    set_random_seed(cfg.seed)
+    feature_cache.memo_clear()
+    dm = build_data_manager(cfg)
+    trainer = build_trainer(cfg, dm)
+    trainer.train()
+    inproc = json.loads(
+        (tmp_path / "inproc" / "metrics.json").read_text()
+    )["metrics"]
+
+    feature_cache.memo_clear()
+    outdir = tmp_path / "vmap"
+    results = run_vmapped_trials(config, [1], [outdir], method="Adapter")
+    vmapped = results[0]["metrics"]
+
+    assert np.isclose(vmapped["top1_acc"], inproc["top1_acc"], atol=1e-6), (
+        variant, vmapped, inproc
+    )
+    assert np.isclose(vmapped["ece"], inproc["ece"], atol=5e-3), (
+        variant, vmapped, inproc
+    )
+
+
+def test_vmapped_adapter_freeze_gp_finite_and_exports_identity_proj(tmp_path):
+    """freeze_visual_proj composes with the GP head on the vmap backend (GP
+    MC sampling draws from a different key stream than in-process, so this
+    checks finiteness, not exact parity) — and the exported checkpoint still
+    carries the frozen identity projection in the in-process
+    trainable_state layout."""
+    from clip_gp_tpu.parallel.trial_vmap import run_vmapped_trials
+
+    config = _config(tmp_path, use_gp=True)
+    config.adapter.freeze_visual_proj = True
+    config.train.enable_adapter_checkpoints = True
+    outdirs = [tmp_path / "out/seed1", tmp_path / "out/seed2"]
+    results = run_vmapped_trials(config, [1, 2], outdirs, method="Adapter")
+    assert all(np.isfinite(r["metrics"]["top1_acc"]) for r in results)
+    for outdir in outdirs:
+        files = list((outdir / "adapter").glob("*.npz"))
+        assert files, outdir
+        with np.load(files[0], allow_pickle=False) as data:
+            w = data["state/visual_proj"]
+            assert np.array_equal(w, np.eye(w.shape[0], dtype=w.dtype))
+            assert any(k.startswith("state/gp/") for k in data.files)
+
+
+def test_adapter_vmap_gate_admits_all_trainable_heads(tmp_path):
+    """The sweep gate routes every trainable Adapter head to the vmap
+    backend; only the non-trainable uniform baseline stays in-process."""
+    from clip_gp_tpu.parallel.sweep import _vmap_supported
+
+    def cfg(**flags):
+        c = _config(tmp_path, use_gp=flags.pop("use_gp", False))
+        c.trainer_name = "Adapter"
+        for k, v in flags.items():
+            setattr(c.adapter, k, v)
+        return c
+
+    assert _vmap_supported(cfg(freeze_visual_proj=True), 2)
+    assert _vmap_supported(cfg(shared_template_weights=True), 2)
+    assert _vmap_supported(
+        cfg(train_template_weights=False, use_linear_template_weighting=True),
+        2,
+    )
+    assert _vmap_supported(cfg(use_gp=True, freeze_visual_proj=True), 2)
+    # non-trainable uniform baseline: nothing on the trial axis
+    assert not _vmap_supported(cfg(train_template_weights=False), 2)
+    # single trial: grouping buys nothing
+    assert not _vmap_supported(cfg(), 1)
