@@ -270,12 +270,12 @@ def run_trials_inprocess(trials: List[Trial]) -> List[Dict[str, Any]]:
 def _vmap_supported(config, group_size: int) -> bool:
     """Can this trial group train as one vmapped program?
 
-    All five tiny-state heads qualify (Adapter, CLIP-Adapter, TaskRes,
-    Tip-Adapter-F, CoOp), including the GP / template-weight pre-stage
-    variants (the pre-stages themselves run as vmapped per-trial fits —
-    trial_vmap.vmapped_{gp,tw}_prestage). CoCoOp stays in-process: its
-    per-image prompts make the trainable compute image-batch-shaped, not
-    trial-shaped (methods/cocoop.py)."""
+    All six tiny-state heads qualify (Adapter, CLIP-Adapter, TaskRes,
+    Tip-Adapter-F, CoOp, CoCoOp), including the GP / template-weight
+    pre-stage variants (the pre-stages themselves run as vmapped per-trial
+    fits — trial_vmap.vmapped_{gp,tw}_prestage). CoCoOp's ctx + meta-net
+    are trial-shaped; its per-image prompt encodes batch across the trial
+    axis inside the vmapped loss (trial_vmap.CoCoOpSpec)."""
     a = config.adapter
     name = str(config.trainer_name)
     if group_size < 2:
@@ -298,6 +298,10 @@ def _vmap_supported(config, group_size: int) -> bool:
         # ctx (incl. csc / ctx_init variants) vmaps; the text tower runs
         # inside the loss batched over T·K prompts (trial_vmap.CoOpSpec)
         return True
+    if name == "Adapter-CoCoOp":
+        # ctx + meta-net vmap; the per-image conditional prompt encodes
+        # batch [T·C·K] prompts per tower call (trial_vmap.CoCoOpSpec)
+        return True
     return False
 
 
@@ -308,7 +312,7 @@ def run_trials_vmapped(
 ) -> List[Dict[str, Any]]:
     """Group trials that differ only by seed (or vmappable scalar grid cells)
     and train each group as one vmapped program. Supported methods: Adapter,
-    CLIP-Adapter, TaskRes, Tip-Adapter-F, CoOp. Non-groupable trials fall back to
+    CLIP-Adapter, TaskRes, Tip-Adapter-F, CoOp, CoCoOp. Non-groupable trials fall back to
     in-process sequential execution; with ``strict`` a vmapped-group failure
     raises instead of silently degrading the sweep to the slow path.
 
@@ -379,17 +383,25 @@ def run_trials_vmapped(
     lock = threading.Lock()
     strict_errors: List[BaseException] = []
 
-    def _run_group(item) -> None:
+    def _run_group(item, prefetched=None, start_next=None) -> None:
         nonlocal n_fallback_groups
         key, group, config, method, seeds, overrides, outdirs = item
         try:
-            run_vmapped_trials(
-                config, seeds, outdirs, trial_overrides=overrides,
-                method=method,
-            )
+            if prefetched is not None:
+                # adopt the decode-ahead runner: its splits are sampled and
+                # its union decode is streaming (or done) already
+                prefetched.runner.on_before_train = start_next
+                prefetched.runner.run(outdirs)
+            else:
+                run_vmapped_trials(
+                    config, seeds, outdirs, trial_overrides=overrides,
+                    method=method, on_before_train=start_next,
+                )
         except Exception as e:
             import traceback
 
+            if prefetched is not None:
+                prefetched.cancel()
             traceback.print_exc()
             with lock:
                 if strict:
@@ -451,9 +463,47 @@ def run_trials_vmapped(
             1, min(len(jax.local_devices()), len(buckets) or 1)
         )
     if n_workers <= 1:
-        for item in work_items:
-            _run_group(item)
+        # decode-ahead (1-deep): while group g's whole-run executable holds
+        # the device, group g+1's splits sample and its union decodes on the
+        # otherwise-idle host CPU — group time tends to max(decode, train)
+        # instead of decode+train. Single-producer by construction (unlike
+        # --group-parallel, which contends two decode pools for one CPU and
+        # measured slower on 1-core hosts). CLIP_GP_TPU_DISABLE_DECODE_PREFETCH=1
+        # restores the strictly sequential path.
+        prefetch_on = (
+            os.environ.get("CLIP_GP_TPU_DISABLE_DECODE_PREFETCH") != "1"
+            and len(work_items) > 1
+        )
+        pfs: List[Any] = [None] * len(work_items)
+
+        def _starter(i: int):
+            def _start() -> None:
+                j = i + 1
+                if not prefetch_on or j >= len(work_items) or pfs[j] is not None:
+                    return
+                _, _, cfg_j, method_j, seeds_j, overrides_j, _ = work_items[j]
+                try:
+                    from clip_gp_tpu.parallel.trial_vmap import DecodePrefetcher
+
+                    pfs[j] = DecodePrefetcher(
+                        cfg_j, seeds_j, trial_overrides=overrides_j,
+                        method=method_j,
+                    ).start()
+                    print(
+                        f"[vmap] decode-ahead: prefetching group "
+                        f"{j + 1}/{len(work_items)}"
+                    )
+                except Exception:
+                    pfs[j] = None  # the real run will reproduce + report it
+
+            return _start
+
+        for i, item in enumerate(work_items):
+            _run_group(item, prefetched=pfs[i], start_next=_starter(i))
             if strict_errors:
+                for pf in pfs:
+                    if pf is not None and not pf.consumed:
+                        pf.cancel()
                 raise strict_errors[0]
     else:
         devices = jax.local_devices()
@@ -583,6 +633,14 @@ def run_trials_subprocess(
 
 
 def main(argv=None):
+    # Same CPU-pinning contract as train.py: the axon TPU plugin ignores
+    # JAX_PLATFORMS, and initializing a wedged tunnel hangs forever — the
+    # in-process/vmap backends run jax in THIS process, so honor the env
+    # before anything initializes a backend.
+    if os.environ.get("CLIP_GP_TPU_FORCE_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser(description="Run grid experiments")
     ap.add_argument("--config-file", required=True)
     ap.add_argument("--devices", default=None,

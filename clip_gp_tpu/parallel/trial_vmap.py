@@ -33,8 +33,11 @@ Methods are pluggable ``MethodSpec`` objects; supported heads:
   a per-trial (β, α) val grid search; ref: trainers/tip_adapter.py:225-327).
 - **CoOp** (learnable prompt ctx; ref: trainers/adapter_coop.py) — the text
   tower runs inside the vmapped loss, batching T·K prompts into one pass.
+- **CoCoOp** (ctx + per-image meta-net; ref: trainers/adapter_cocoop.py) —
+  the trainable state is trial-shaped; the per-image conditional prompt
+  encodes batch [T·C·K] prompts per chunked tower call.
 
-GP/template-weight *pre-stage* variants of the latter three run on this
+GP/template-weight *pre-stage* variants of the CLIP-Adapter/TaskRes/Tip heads run on this
 backend too: the pre-stage fits train as vmapped per-trial programs
 (``vmapped_gp_prestage`` / ``vmapped_tw_prestage``) before the head's own
 training, mirroring ``methods/pre_stages.py``.
@@ -1171,12 +1174,165 @@ class CoOpSpec(MethodSpec):
         )
 
 
+class CoCoOpSpec(CoOpSpec):
+    """CoCoOp on the trial axis (ref: trainers/adapter_cocoop.py:14-82).
+
+    The trainable state — shared ctx + the 2-layer meta-net — is
+    trial-shaped, so T seeds vmap exactly like CoOp. The per-image
+    conditional prompts stay image-batch-shaped, but under the trial vmap
+    the chunked text encodes batch [T·C·K] prompts per tower call: the
+    trial axis JOINS the prompt batching instead of preventing it (the
+    round-2 in-process-only closure was asserted without a measurement;
+    ``scripts/bench_cocoop_vmap.py`` provides the number either way).
+
+    Init replays the in-process trainer's KeySequence draws
+    (methods/cocoop.py build_model: one key to build_prompt_parts, two
+    split keys for the meta-net Linears), so vmapped and in-process runs
+    start from bit-identical parameters. The chunk size uses the same
+    measured PROMPT_BUDGET as the in-process trainer (per trial — the
+    lax.map step then moves T× that many prompts, which is the batching
+    hypothesis the bench measures).
+    """
+
+    name = "Adapter-CoCoOp"
+    supported_hparams = ("lr",)
+    config_keys = {"OPTIM.LR": "lr"}
+    reencode_per_epoch = True
+    normalize_features = True
+
+    def __init__(self, runner):
+        MethodSpec.__init__(self, runner)
+        from clip_gp_tpu.methods.coop import build_prompt_parts
+
+        config = runner.config
+        self._base_lr = float(config.optim.lr)
+        self._arch = runner.arch
+        self._ctx_init = str(config.adapter.ctx_init or "")
+        # CoCoOp always uses shared ctx (the reference never reads csc here)
+        (ctx0, prefix, suffix, tokenized, self._n_ctx) = build_prompt_parts(
+            config, runner.classnames, runner.clip_params,
+            jax.random.key(int(runner.seeds[0])), force_shared_ctx=True,
+        )
+        self._ctx0 = ctx0
+        self._ctx_dim = int(ctx0.shape[-1])
+        self._vis_dim = int(runner.arch.embed_dim)
+        runner.shared["coop_prefix"] = prefix
+        runner.shared["coop_suffix"] = suffix
+        runner.shared["coop_eot"] = tokenized.argmax(axis=-1)
+        runner.shared["coop_text_params"] = {
+            k: runner.clip_params[k]
+            for k in ("pos_embed", "transformer", "ln_final", "text_projection")
+        }
+
+    def init_params(self, seed):
+        from clip_gp_tpu.core.seeding import KeySequence
+
+        ks = KeySequence(int(seed))
+        ctx_key = ks.next()  # consumed by build_prompt_parts in-process
+        if self._ctx_init:
+            ctx = jnp.asarray(self._ctx0)
+        else:
+            ctx = 0.02 * jax.random.normal(
+                ctx_key, (self._n_ctx, self._ctx_dim)
+            )
+        vis_dim, hidden = self._vis_dim, max(1, self._vis_dim // 16)
+        k1, k2 = jax.random.split(ks.next())
+        k1b, k2b = jax.random.split(ks.next())
+
+        def lin_init(key, fan_in, shape):
+            # torch nn.Linear default init (methods/cocoop.py build_model)
+            bound = 1 / np.sqrt(fan_in)
+            return jax.random.uniform(key, shape, minval=-bound, maxval=bound)
+
+        return {
+            "ctx": ctx,
+            "meta_fc1": {"w": lin_init(k1, vis_dim, (vis_dim, hidden)),
+                         "b": lin_init(k1b, vis_dim, (hidden,))},
+            "meta_fc2": {"w": lin_init(k2, hidden, (hidden, self._ctx_dim)),
+                         "b": lin_init(k2b, hidden, (self._ctx_dim,))},
+        }
+
+    def export_state(self, params_t, consts_t):
+        # methods/cocoop.py trainable_state layout
+        return dict(params_t)
+
+    def _cond_logits(self, p, feats, shared):
+        """Per-image conditional prompt logits for ONE trial ([B,D] normalized
+        features -> [B,K]); mirrors methods/cocoop.py logits_fn, same
+        measured PROMPT_BUDGET chunking + per-chunk remat."""
+        from clip_gp_tpu.methods import cocoop as cocoop_mod
+        from clip_gp_tpu.models import clip_model
+
+        k = self.r.k
+        budget = int(cocoop_mod.PROMPT_BUDGET)
+        b = feats.shape[0]
+        chunk = max(1, min(b, budget // max(k, 1)))
+        h = jax.nn.relu(
+            feats @ p["meta_fc1"]["w"] + p["meta_fc1"]["b"]
+        )
+        bias = h @ p["meta_fc2"]["w"] + p["meta_fc2"]["b"]  # [B,ctx_dim]
+        ctx = p["ctx"]
+        n_chunks = -(-b // chunk)
+        pad = n_chunks * chunk - b
+        feats_p = jnp.pad(feats, ((0, pad), (0, 0)))
+        bias_p = jnp.pad(bias, ((0, pad), (0, 0)))
+        prefix = shared["coop_prefix"]
+        suffix = shared["coop_suffix"]
+        eot = shared["coop_eot"]
+        text_params = shared["coop_text_params"]
+        scale = self.r.logit_scale
+
+        def per_chunk(args):
+            feats_c, bias_c = args  # [C,D], [C,ctx_dim]
+            c = feats_c.shape[0]
+            ctx_c = ctx[None, None] + bias_c[:, None, None]
+            ctx_c = jnp.broadcast_to(ctx_c, (c, k) + ctx.shape)
+            prompts = jnp.concatenate(
+                [
+                    jnp.broadcast_to(prefix[None], (c,) + prefix.shape),
+                    ctx_c,
+                    jnp.broadcast_to(suffix[None], (c,) + suffix.shape),
+                ],
+                axis=2,
+            ).reshape(c * k, -1, ctx.shape[-1])
+            eot_ck = jnp.tile(eot, c)
+            text = clip_model.text_features_from_embeddings(
+                text_params, self._arch, prompts, eot_ck
+            ).reshape(c, k, -1)
+            text = common.l2_normalize(text)
+            return scale * jnp.einsum("cd,ckd->ck", feats_c, text)
+
+        per_chunk = jax.checkpoint(per_chunk)
+        if n_chunks == 1:
+            return per_chunk((feats_p, bias_p))[:b]
+        logits = jax.lax.map(
+            per_chunk,
+            (
+                feats_p.reshape(n_chunks, chunk, -1),
+                bias_p.reshape(n_chunks, chunk, -1),
+            ),
+        )
+        return logits.reshape(n_chunks * chunk, k)[:b]
+
+    def loss(self, p, c, feats, labels, key, hps, shared):
+        return common.cross_entropy(self._cond_logits(p, feats, shared), labels)
+
+    def eval_logits(self, p, c, key, shared):
+        return self._cond_logits(p, shared["feats_test"], shared)
+
+    def zero_shot_logits(self, eval_fn, zs_params, consts, shared):
+        # the in-process CoCoOp trainer computes NO zero-shot block
+        # (methods/cocoop.py train()); metrics.json carries zero_shot: null
+        return None
+
+
 SPECS = {
     "Adapter": AdapterSpec,
     "CLIP-Adapter": ClipAdapterSpec,
     "TaskRes": TaskResSpec,
     "Tip-Adapter": TipAdapterFSpec,
     "Adapter-CoOp": CoOpSpec,
+    "Adapter-CoCoOp": CoCoOpSpec,
 }
 
 
@@ -1235,6 +1391,12 @@ class VmappedTrials:
         )
         assert len(self.trial_overrides) == len(self.seeds)
         self.shared: Dict = {}
+        # decode-ahead hooks (sweep sequential path): a DecodePrefetcher
+        # whose splits/union decode this run adopts, and a callback fired
+        # once the remaining work is device-dominated (the sweep uses it to
+        # start the NEXT group's host decode)
+        self._prefetch = None
+        self.on_before_train = None
         # group-private augmentation stream: with --group-parallel several
         # groups iterate loaders concurrently, so drawing item seeds from the
         # process-global `random` would make draws depend on scheduling; a
@@ -1353,10 +1515,18 @@ class VmappedTrials:
             )
 
         with phase_timer("vmap.splits"):
-            (union_items, seed_index, seed_labels,
-             val_union, val_index, val_labels, dm) = self._build_per_seed_splits(
-                needs_val=spec_cls.needs_val
-            )
+            if self._prefetch is not None:
+                # sampled (and possibly already decoded) by the prefetcher's
+                # thread while the PREVIOUS group's executable ran
+                (union_items, seed_index, seed_labels,
+                 val_union, val_index, val_labels, dm) = (
+                    self._prefetch.wait_splits()
+                )
+            else:
+                (union_items, seed_index, seed_labels,
+                 val_union, val_index, val_labels, dm) = (
+                    self._build_per_seed_splits(needs_val=spec_cls.needs_val)
+                )
         self.dm = dm
         # eval transforms never use the rng, but loader iteration draws item
         # seeds regardless — keep those draws off the global stream too
@@ -1388,9 +1558,24 @@ class VmappedTrials:
         # one shared frozen-tower pass: union of all trials' few-shot images
         train_idx_j = jnp.asarray(seed_index)
         with phase_timer("vmap.union_encode"):
-            union_feats = self._encode_union(
-                base, union_items, dm, spec.normalize_features
-            )
+            if self._prefetch is not None:
+                # consume the prefetched decode stream (identical batches —
+                # same union order, same group-private augmentation draws)
+                union_feats = jnp.asarray(
+                    base.encode_images_batched(
+                        _PrefetchedLoader(
+                            self._prefetch, union_items,
+                            config.dataloader.batch_size_train,
+                        )
+                    )[1]
+                )
+                if spec.normalize_features:
+                    union_feats = common.l2_normalize(union_feats)
+                self._prefetch.consumed = True
+            else:
+                union_feats = self._encode_union(
+                    base, union_items, dm, spec.normalize_features
+                )
         with phase_timer("vmap.test_encode"):
             labels_test, feats_test = base.encode_images_batched(
                 dm.test_loader, cacheable=True
@@ -1413,6 +1598,15 @@ class VmappedTrials:
             )
             feats_val = val_feats_union[jnp.asarray(val_index)]
             labels_val_j = jnp.asarray(val_labels)
+
+        if self.on_before_train is not None and not spec.reencode_per_epoch:
+            # feature-cached heads do no further host decode: everything from
+            # here to the final eval is device-dominated, so the sweep can
+            # start the NEXT group's union decode on the idle host now
+            # (re-encoding heads keep decoding every epoch — firing early
+            # would contend two decode pools for the CPU, the exact failure
+            # --group-parallel measured on 1-core hosts)
+            self.on_before_train()
 
         # per-trial params + consts
         params = _stack([spec.init_params(s) for s in self.seeds])
@@ -1678,9 +1872,20 @@ class VmappedTrials:
             acc = compute_accuracy(logits[t], labels_test)[0]
             ece, ece_bins = compute_ece_with_bins(logits[t], labels_test)
             aece, aece_bins = compute_aece_with_bins(logits[t], labels_test)
-            zs_acc = compute_accuracy(zs_logits[t], labels_test)[0]
-            zs_ece, zs_eb = compute_ece_with_bins(zs_logits[t], labels_test)
-            zs_aece, zs_ab = compute_aece_with_bins(zs_logits[t], labels_test)
+            zero_shot = None
+            if zs_logits is not None:
+                zs_acc = compute_accuracy(zs_logits[t], labels_test)[0]
+                zs_ece, zs_eb = compute_ece_with_bins(zs_logits[t], labels_test)
+                zs_aece, zs_ab = compute_aece_with_bins(
+                    zs_logits[t], labels_test
+                )
+                zero_shot = {
+                    "top1_acc": zs_acc,
+                    "ece": zs_ece,
+                    "aece": zs_aece,
+                    "calibration": zs_eb,
+                    "adaptive_calibration": zs_ab,
+                }
             metrics = {
                 "top1_acc": float(acc),
                 "ece": float(ece),
@@ -1697,13 +1902,7 @@ class VmappedTrials:
             result = {
                 "seed": seed,
                 "metrics": metrics,
-                "zero_shot": {
-                    "top1_acc": zs_acc,
-                    "ece": zs_ece,
-                    "aece": zs_aece,
-                    "calibration": zs_eb,
-                    "adaptive_calibration": zs_ab,
-                },
+                "zero_shot": zero_shot,
             }
             results.append(result)
             if trial_outdirs is not None:
@@ -1738,6 +1937,147 @@ class VmappedTrials:
         return results
 
 
+class DecodePrefetcher:
+    """Decode-ahead for the sequential sweep path: while group g's device
+    executable runs (training is one whole-run dispatch — the host is idle),
+    group g+1's few-shot splits are sampled and its train-union images are
+    decoded on that otherwise-idle CPU. On the profiled 1-core host the warm
+    16-shot group is ~13.4 s host decode + ~8.8 s device train, strictly
+    serialized without this — overlapping them bounds group time by
+    max(decode, train) instead of their sum. Unlike ``--group-parallel``
+    (which contends two decodes for one CPU and measured SLOWER here), this
+    is 1-deep and single-producer: exactly one group decodes at a time.
+
+    Bit-identity: splits sampling happens inside the same
+    ``_SPLIT_RNG_LOCK``'d ``set_random_seed`` window the runner itself uses,
+    and the union loader draws its per-item augmentation seeds from the
+    runner's own group-private Random — the real run then adopts this
+    prefetcher's runner (data manager, rng and all), so every later loader
+    iteration continues the identical stream. Buffering is byte-bounded
+    (``CLIP_GP_TPU_PREFETCH_BUDGET_MB``, default 512) so an ImageNet-sized
+    union streams instead of materializing.
+    """
+
+    def __init__(self, config, seeds, trial_overrides=None, method=None):
+        self.runner = VmappedTrials(
+            config, seeds, trial_overrides=trial_overrides, method=method
+        )
+        self.runner._prefetch = self
+        self._budget = int(
+            os.environ.get("CLIP_GP_TPU_PREFETCH_BUDGET_MB", "512")
+        ) * (1 << 20)
+        self._batches: List[Dict] = []
+        self._bytes = 0
+        self._cv = threading.Condition()
+        self._splits = None
+        self._done = False
+        self._cancelled = False
+        self._error: Optional[BaseException] = None
+        self.consumed = False
+        self._thread = threading.Thread(
+            target=self._produce, name="decode-prefetch", daemon=True
+        )
+
+    def start(self) -> "DecodePrefetcher":
+        self._thread.start()
+        return self
+
+    # -- producer ---------------------------------------------------------
+    def _produce(self) -> None:
+        try:
+            r = self.runner
+            splits = r._build_per_seed_splits(
+                needs_val=SPECS[r.method].needs_val
+            )
+            with self._cv:
+                self._splits = splits
+                self._cv.notify_all()
+            union_items, dm = splits[0], splits[6]
+            from clip_gp_tpu.data.pipeline import BatchLoader
+
+            loader = BatchLoader(
+                union_items,
+                dm.tfm_train,
+                r.config.dataloader.batch_size_train,
+                shuffle=False,
+                drop_last=False,
+                num_workers=r.config.dataloader.num_workers,
+                rng=r._aug_rng,
+            )
+            for batch in loader:
+                nbytes = int(batch["img"].nbytes)
+                with self._cv:
+                    while (
+                        self._batches
+                        and self._bytes + nbytes > self._budget
+                        and not self._cancelled
+                    ):
+                        self._cv.wait(0.5)
+                    if self._cancelled:
+                        return
+                    self._batches.append(batch)
+                    self._bytes += nbytes
+                    self._cv.notify_all()
+        except BaseException as e:  # surfaced to the consumer
+            with self._cv:
+                self._error = e
+                self._cv.notify_all()
+        finally:
+            with self._cv:
+                self._done = True
+                self._cv.notify_all()
+
+    # -- consumer (VmappedTrials.run) --------------------------------------
+    def wait_splits(self):
+        with self._cv:
+            while self._splits is None and self._error is None:
+                self._cv.wait(0.5)
+            if self._splits is None:
+                raise self._error
+            return self._splits
+
+    def batches(self):
+        """Yield the union loader's batches in order, streaming from the
+        bounded buffer (the producer keeps decoding while we encode)."""
+        while True:
+            with self._cv:
+                while not self._batches and not self._done:
+                    self._cv.wait(0.5)
+                if self._error is not None:
+                    raise self._error
+                if not self._batches:
+                    return
+                batch = self._batches.pop(0)
+                self._bytes -= int(batch["img"].nbytes)
+                self._cv.notify_all()
+            yield batch
+
+    def cancel(self) -> None:
+        """Discard an unconsumed prefetch (its group fell back / aborted)."""
+        with self._cv:
+            self._cancelled = True
+            self._batches.clear()
+            self._bytes = 0
+            self._cv.notify_all()
+
+
+class _PrefetchedLoader:
+    """Loader-shaped view over a DecodePrefetcher's batch stream, so
+    ``encode_images_batched`` consumes prefetched decodes unchanged."""
+
+    def __init__(self, prefetcher, data_source, batch_size):
+        self._pf = prefetcher
+        self.data_source = data_source
+        self.batch_size = batch_size
+
+    def __len__(self):
+        n = len(self.data_source)
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        return self._pf.batches()
+
+
 # Backward-compatible aliases (round-1 API)
 VmappedAdapterTrials = VmappedTrials
 
@@ -1751,8 +2091,11 @@ def run_seed_vmapped_adapter(config, seeds: Sequence[int], trial_outdirs=None,
 
 
 def run_vmapped_trials(config, seeds: Sequence[int], trial_outdirs=None,
-                       mesh=None, trial_overrides=None, method=None):
-    return VmappedTrials(
+                       mesh=None, trial_overrides=None, method=None,
+                       on_before_train=None):
+    runner = VmappedTrials(
         config, seeds, mesh=mesh, trial_overrides=trial_overrides,
         method=method,
-    ).run(trial_outdirs)
+    )
+    runner.on_before_train = on_before_train
+    return runner.run(trial_outdirs)

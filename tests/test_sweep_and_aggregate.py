@@ -387,3 +387,95 @@ def test_subprocess_launcher_prefix(tmp_path, monkeypatch):
         ("env", "CLIP_GP_TPU_HOST=hostB", str(sweep_mod.sys.executable)),
     }
     assert len(prefixes) == 2  # round-robined over both hosts
+
+
+# ----------------------------------------------------------------------
+# decode-ahead prefetch (sequential vmap path, round 3)
+# ----------------------------------------------------------------------
+
+def _adapter_two_group_cfg(tmp_path, output_root):
+    """Two trial groups (shots 1 and 2) of the feature-cached Adapter head —
+    the sequential path prefetch-decodes group 2 while group 1 trains."""
+    trainer_yaml = tmp_path / "adapter_trainer.yaml"
+    if not trainer_yaml.exists():
+        trainer_yaml.write_text(textwrap.dedent("""\
+            name: pfexp
+            BASE_CONFIG: configs/trainers/default.yaml
+            TRAINER_NAME: Adapter
+            MODEL:
+              BACKBONE:
+                NAME: TEST-ViT
+            INPUT:
+              SIZE: (32, 32)
+            DATALOADER:
+              NUM_WORKERS: 2
+              TRAIN_X:
+                BATCH_SIZE: 8
+              TEST:
+                BATCH_SIZE: 8
+            TRAINER:
+              ADAPTER:
+                NUM_TEMPLATES: 2
+                CLIP_ADAPTER_EPOCHS: 2
+                USE_GP: False
+        """))
+    return {
+        "name": "pfexp",
+        "datasets": ["synthetic"],
+        "seeds": [1, 2],
+        "shots": [1, 2],
+        "root": str(tmp_path / "data"),
+        "output_root": str(output_root),
+        "template": "{experiment}/{dataset}/AD_{shots}shots/seed{seed}",
+        "dataset_config": "configs/datasets/synthetic.yaml",
+        "__config_file__": str(trainer_yaml),
+    }
+
+
+def _run_and_collect(tmp_path, output_root, monkeypatch, disable: bool,
+                     budget_mb=None):
+    from clip_gp_tpu.parallel.sweep import run_trials_vmapped
+    from clip_gp_tpu.runtime import feature_cache
+
+    if disable:
+        monkeypatch.setenv("CLIP_GP_TPU_DISABLE_DECODE_PREFETCH", "1")
+    else:
+        monkeypatch.delenv("CLIP_GP_TPU_DISABLE_DECODE_PREFETCH",
+                           raising=False)
+    if budget_mb is not None:
+        monkeypatch.setenv("CLIP_GP_TPU_PREFETCH_BUDGET_MB", str(budget_mb))
+    else:
+        monkeypatch.delenv("CLIP_GP_TPU_PREFETCH_BUDGET_MB", raising=False)
+    feature_cache.memo_clear()
+    trials, _ = build_trials(_adapter_two_group_cfg(tmp_path, output_root))
+    assert len(trials) == 4  # 2 shots-cells x 2 seeds
+    results = run_trials_vmapped(trials, strict=True)
+    assert len(results) == 4
+    out = {}
+    for t in trials:
+        payload = json.loads((t.format_outdir() / "metrics.json").read_text())
+        out[(t.shots, t.seed)] = (payload["metrics"], payload["zero_shot"])
+    return out
+
+
+def test_decode_prefetch_bit_identical_and_fires(tmp_path, capsys,
+                                                 monkeypatch):
+    """The decode-ahead path must announce itself, produce the same
+    metrics.json as the strictly sequential path (bit-identical splits,
+    augmentation draws and features), and respect a 1-batch byte budget."""
+    monkeypatch.setenv("CLIP_GP_TPU_ALLOW_RANDOM_WEIGHTS", "1")
+
+    seq = _run_and_collect(tmp_path, tmp_path / "out_seq", monkeypatch,
+                           disable=True)
+    capsys.readouterr()
+    pf = _run_and_collect(tmp_path, tmp_path / "out_pf", monkeypatch,
+                          disable=False)
+    out = capsys.readouterr().out
+    assert "decode-ahead: prefetching group 2/2" in out
+    assert seq == pf
+
+    # byte budget 0 -> the buffer holds exactly one batch at a time
+    # (producer and consumer run in lockstep); results must not change
+    tiny = _run_and_collect(tmp_path, tmp_path / "out_tiny", monkeypatch,
+                            disable=False, budget_mb=0)
+    assert seq == tiny

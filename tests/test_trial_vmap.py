@@ -611,3 +611,80 @@ def test_adapter_vmap_gate_admits_all_trainable_heads(tmp_path):
     assert not _vmap_supported(cfg(train_template_weights=False), 2)
     # single trial: grouping buys nothing
     assert not _vmap_supported(cfg(), 1)
+
+
+# ----------------------------------------------------------------------
+# CoCoOp on the vmap backend (round 3)
+# ----------------------------------------------------------------------
+
+def test_vmapped_cocoop_matches_inprocess_trainer(tmp_path):
+    """CoCoOpSpec output parity: the init replays the in-process trainer's
+    KeySequence draws (ctx + meta-net Linears) and the loss/eval mirror the
+    chunked conditional-prompt encode, so with a deterministic pipeline and
+    one batch per epoch the vmapped trial and the in-process Adapter-CoCoOp
+    trainer compute the same program."""
+    import copy
+
+    from clip_gp_tpu.core.registry import build_trainer
+    from clip_gp_tpu.core.seeding import set_random_seed
+    from clip_gp_tpu.data.pipeline import build_data_manager
+    from clip_gp_tpu.parallel.trial_vmap import run_vmapped_trials
+    from clip_gp_tpu.runtime import feature_cache
+
+    config = _head_config(tmp_path, "Adapter-CoCoOp")
+    config.input.transforms = []
+    config.adapter.clip_adapter_epochs = 2
+    config.optim.max_epoch = 2
+    config.dataloader.batch_size_train = 64  # >= few-shot set: one batch
+    config.optim.name = "sgd"
+    config.optim.lr = 0.01
+    config.seed = 1
+
+    cfg = copy.deepcopy(config)
+    cfg.output_dir = str(tmp_path / "inproc")
+    set_random_seed(cfg.seed)
+    feature_cache.memo_clear()
+    dm = build_data_manager(cfg)
+    trainer = build_trainer(cfg, dm)
+    trainer.train()
+    payload = json.loads((tmp_path / "inproc" / "metrics.json").read_text())
+    inproc = payload["metrics"]
+    assert payload["zero_shot"] is None  # the trainer computes no zs block
+
+    feature_cache.memo_clear()
+    outdir = tmp_path / "vmap"
+    results = run_vmapped_trials(
+        config, [1], [outdir], method="Adapter-CoCoOp"
+    )
+    vmapped = results[0]["metrics"]
+    vm_payload = json.loads((outdir / "metrics.json").read_text())
+    assert vm_payload["zero_shot"] is None  # schema parity
+
+    assert np.isclose(vmapped["top1_acc"], inproc["top1_acc"], atol=1e-6), (
+        vmapped, inproc
+    )
+    assert np.isclose(vmapped["ece"], inproc["ece"], atol=5e-3), (
+        vmapped, inproc
+    )
+
+
+def test_vmapped_cocoop_multi_seed_and_chunked(tmp_path, monkeypatch):
+    """Multi-seed CoCoOp group with a PROMPT_BUDGET small enough to force
+    the chunked lax.map path under the trial vmap; per-trial metrics.json
+    written, finite metrics."""
+    from clip_gp_tpu.methods import cocoop as cocoop_mod
+    from clip_gp_tpu.parallel.trial_vmap import run_vmapped_trials
+
+    monkeypatch.setattr(cocoop_mod, "PROMPT_BUDGET", 8)  # k=4 -> chunk=2
+    config = _head_config(tmp_path, "Adapter-CoCoOp")
+    config.adapter.clip_adapter_epochs = 2
+    seeds = [1, 2]
+    outdirs = [tmp_path / f"out/seed{s}" for s in seeds]
+    results = run_vmapped_trials(
+        config, seeds, outdirs, method="Adapter-CoCoOp"
+    )
+    assert len(results) == 2
+    for result, outdir in zip(results, outdirs):
+        assert np.isfinite(result["metrics"]["top1_acc"])
+        payload = json.loads((outdir / "metrics.json").read_text())
+        assert np.isfinite(payload["metrics"]["top1_acc"])
