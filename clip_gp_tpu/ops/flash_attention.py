@@ -373,21 +373,209 @@ def _fused_ln_mlp(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
     )
 
 
+def _mlp_vjp_on_pallas(x, w_fc) -> bool:
+    """Pallas VJP when the backward working set fits VMEM (round 3); the
+    XLA-math VJP remains the fallback + CLIP_GP_TPU_FUSED_VJP=xla opt-out."""
+    mode = fused_vjp_mode()
+    if mode == "xla":
+        return False
+    if mode == "pallas":
+        return True
+    rows = x.shape[0] * x.shape[1]
+    t = min(MLP_ROW_TILE, _round_up(rows, 8))
+    return _ln_mlp_bwd_fits(t, x.shape[-1], w_fc.shape[1])
+
+
 def _fused_ln_mlp_fwd(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
                       interpret):
-    # XLA forward under differentiation (see _fused_block_fwd rationale)
-    out = _xla_ln_mlp(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj)
+    if _mlp_vjp_on_pallas(x, w_fc):
+        # Pallas VJP pairs with the Pallas forward — under jax.checkpoint
+        # (the towers remat every block) this forward is also the recompute,
+        # so the fast kernel runs on the training path too
+        out = _fused_ln_mlp_pallas(
+            x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj, interpret
+        )
+    else:
+        out = _xla_ln_mlp(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj)
     return out, (x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj)
 
 
 def _fused_ln_mlp_bwd(interpret, residuals, g):
     x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj = residuals
+    if _mlp_vjp_on_pallas(x, w_fc):
+        dx, dg, db, dwfc, dbfc, dwpr, dbpr = _ln_mlp_bwd_pallas(
+            x, ln_scale, ln_bias, w_fc, b_fc, w_proj, g, interpret
+        )
+        return dx, dg, db, dwfc, dbfc, dwpr, dbpr.astype(b_proj.dtype)
     _, vjp = jax.vjp(_xla_ln_mlp, x, ln_scale, ln_bias, w_fc, b_fc,
                      w_proj, b_proj)
     return vjp(g)
 
 
 _fused_ln_mlp.defvjp(_fused_ln_mlp_fwd, _fused_ln_mlp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward kernels (round 3): recompute-based VJPs for the two fused
+# training-path blocks. CoOp/CoCoOp differentiate through the text tower
+# every step; round 2 paired the fast Pallas forward with an XLA-math VJP
+# whose backward RE-RAN a full XLA forward (jax.vjp residual build), so the
+# differentiated path fell back to XLA entirely. These kernels recompute the
+# block from its primal inputs IN VMEM (the [T,4D] MLP hidden and the [N,N]
+# attention matrices never touch HBM in either direction) and emit every
+# gradient in one pass. Selection: `fused_vjp_mode()` — Pallas when the
+# working set fits VMEM, else the XLA-math VJP (env CLIP_GP_TPU_FUSED_VJP
+# in {auto, pallas, xla} overrides).
+# ---------------------------------------------------------------------------
+
+# conservative per-step VMEM budget for the backward kernels (bytes); v5e
+# has ~16 MB/core — leave headroom for Mosaic's own buffers and semaphores
+_BWD_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def fused_vjp_mode() -> str:
+    mode = os.environ.get("CLIP_GP_TPU_FUSED_VJP", "auto")
+    return mode if mode in ("auto", "pallas", "xla") else "auto"
+
+
+def _ln_mlp_bwd_fits(t: int, d: int, hidden: int) -> bool:
+    fp32 = 4
+    tiles = 5 * t * d          # x, dout, h, dh, dx
+    hid = 3 * t * hidden       # hid_pre, act/sigmoid, dhid
+    weights = 2 * (d * hidden) * 2  # wfc/wpr + their grad accumulators
+    return fp32 * (tiles + hid + weights) < _BWD_VMEM_BUDGET
+
+
+def _ln_attn_bwd_fits(bt: int, n: int, d: int) -> bool:
+    fp32 = 4
+    tiles = 5 * bt * n * d                 # x, dout, h, dh, dx
+    qkv = 2 * (bt * n * 3 * d)             # qkv + dqkv scratch
+    attn = 4 * bt * n * n                  # scores/A, dA, dS (+slack)
+    weights = 2 * (3 * d * d) + 2 * (d * d)  # wqkv/dwqkv + wout/dwout
+    return fp32 * (tiles + qkv + attn + weights) < _BWD_VMEM_BUDGET
+
+
+def _ln_mlp_bwd_kernel(x_ref, g_ref, b_ref, wfc_ref, bfc_ref, wpr_ref,
+                       dout_ref, dx_ref, dg_ref, db_ref, dwfc_ref, dbfc_ref,
+                       dwpr_ref, dbpr_ref):
+    """One row tile of the LN+MLP backward: recompute LN/hidden/QuickGELU
+    from the primal inputs (all fp32, resident in VMEM), then every gradient
+    of out = x + c_proj(gelu(c_fc(LN(x)))) in one pass. Weight/bias grads
+    accumulate across the row-tile grid (constant out index_map)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+        dwfc_ref[...] = jnp.zeros_like(dwfc_ref)
+        dbfc_ref[...] = jnp.zeros_like(dbfc_ref)
+        dwpr_ref[...] = jnp.zeros_like(dwpr_ref)
+        dbpr_ref[...] = jnp.zeros_like(dbpr_ref)
+
+    x32 = x_ref[...].astype(jnp.float32)        # [T, D]
+    dout = dout_ref[...].astype(jnp.float32)    # [T, D]
+    gvec = g_ref[...]
+    # forward recompute (matches _fused_mlp_kernel numerics)
+    mean = x32.mean(axis=-1, keepdims=True)
+    var = ((x32 - mean) ** 2).mean(axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + 1e-5)
+    xhat = (x32 - mean) * rstd
+    h = xhat * gvec + b_ref[...]
+    hid_pre = jax.lax.dot_general(
+        h, wfc_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bfc_ref[...]                            # [T, 4D]
+    s = jax.nn.sigmoid(1.702 * hid_pre)
+    act = hid_pre * s
+    # backward
+    dbpr_ref[...] += dout.sum(axis=0)
+    dact = jax.lax.dot_general(                 # dout @ wprᵀ -> [T, 4D]
+        dout, wpr_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dwpr_ref[...] += jax.lax.dot_general(       # actᵀ @ dout -> [4D, D]
+        act, dout,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dhid = dact * (s + 1.702 * hid_pre * s * (1.0 - s))
+    dbfc_ref[...] += dhid.sum(axis=0)
+    dwfc_ref[...] += jax.lax.dot_general(       # hᵀ @ dhid -> [D, 4D]
+        h, dhid,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dh = jax.lax.dot_general(                   # dhid @ wfcᵀ -> [T, D]
+        dhid, wfc_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dg_ref[...] += (dh * xhat).sum(axis=0)
+    db_ref[...] += dh.sum(axis=0)
+    dxhat = dh * gvec
+    m1 = dxhat.mean(axis=-1, keepdims=True)
+    m2 = (dxhat * xhat).mean(axis=-1, keepdims=True)
+    dx_ref[...] = (dout + rstd * (dxhat - m1 - xhat * m2)).astype(dx_ref.dtype)
+
+
+def _ln_mlp_bwd_pallas(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, dout,
+                       interpret):
+    b, n, d = x.shape
+    hidden = w_fc.shape[1]
+    interpret = interpret or jax.default_backend() != "tpu"
+    rows = b * n
+    t = min(MLP_ROW_TILE, _round_up(rows, 8))
+    rows_pad = _round_up(rows, t)
+    xr = x.reshape(rows, d)
+    dr = dout.reshape(rows, d)
+    if rows_pad != rows:
+        # zero-padded dout rows contribute nothing to any gradient
+        xr = jnp.pad(xr, ((0, rows_pad - rows), (0, 0)))
+        dr = jnp.pad(dr, ((0, rows_pad - rows), (0, 0)))
+    full = lambda shp: pl.BlockSpec(  # noqa: E731
+        shp, lambda i: (0,) * len(shp), memory_space=pltpu.VMEM
+    )
+    row = lambda shp: pl.BlockSpec(  # noqa: E731
+        shp, lambda i: (i,) + (0,) * (len(shp) - 1), memory_space=pltpu.VMEM
+    )
+    f32 = jnp.float32
+    dx, dg, db, dwfc, dbfc, dwpr, dbpr = pl.pallas_call(
+        _ln_mlp_bwd_kernel,
+        grid=(rows_pad // t,),
+        in_specs=[
+            row((t, d)), full((d,)), full((d,)), full((d, hidden)),
+            full((hidden,)), full((hidden, d)), row((t, d)),
+        ],
+        out_specs=[
+            row((t, d)), full((d,)), full((d,)), full((d, hidden)),
+            full((hidden,)), full((hidden, d)), full((d,)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows_pad, d), x.dtype),
+            jax.ShapeDtypeStruct((d,), f32),
+            jax.ShapeDtypeStruct((d,), f32),
+            jax.ShapeDtypeStruct((d, hidden), f32),
+            jax.ShapeDtypeStruct((hidden,), f32),
+            jax.ShapeDtypeStruct((hidden, d), f32),
+            jax.ShapeDtypeStruct((d,), f32),
+        ],
+        interpret=interpret,
+    )(
+        xr,
+        ln_scale.astype(f32), ln_bias.astype(f32),
+        w_fc.astype(f32), b_fc.astype(f32), w_proj.astype(f32),
+        dr,
+    )
+    cast = lambda v, ref: v.astype(ref.dtype)  # noqa: E731
+    return (
+        dx[:rows].reshape(b, n, d),
+        cast(dg, ln_scale), cast(db, ln_bias),
+        cast(dwfc, w_fc), cast(dbfc, b_fc), cast(dwpr, w_proj),
+        dbpr,  # b_proj grad cast at the call site
+    )
 
 
 MLP_ROW_TILE = 512
@@ -453,6 +641,184 @@ def _fused_ln_mlp_pallas(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
 
 
 # ---------------------------------------------------------------------------
+# LN+attention backward kernel (round 3): recompute LN/qkv/softmax per batch
+# tile in VMEM, emit dx + every weight gradient in one pass (the [N,N]
+# attention matrices and their gradients never touch HBM).
+# ---------------------------------------------------------------------------
+
+
+def _ln_attn_bwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, wout_ref, bqkv_ref,
+                        mask_ref, dout_ref, dx_ref, dg_ref, db_ref,
+                        dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref,
+                        dqkv_scr):
+    """One batch tile of the backward of o = x + out_proj(MHA(LN(x)·Wqkv)).
+    All math fp32; weight/bias grads accumulate across the batch-tile grid
+    (constant out index_map). wout_ref is the [H, Dh, D] head view."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[...] = jnp.zeros_like(dbqkv_ref)
+        dwout_ref[...] = jnp.zeros_like(dwout_ref)
+        dbout_ref[...] = jnp.zeros_like(dbout_ref)
+
+    n_heads = wout_ref.shape[0]
+    dh = wout_ref.shape[1]
+    d = x_ref.shape[-1]
+    inv = 1.0 / (dh**0.5)
+
+    x32 = x_ref[...].astype(jnp.float32)        # [BT, N, D]
+    dout = dout_ref[...].astype(jnp.float32)    # [BT, N, D]
+    gvec = g_ref[...]
+    # LN recompute (matches _fused_ln_block_kernel numerics)
+    mean = x32.mean(axis=-1, keepdims=True)
+    var = ((x32 - mean) ** 2).mean(axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + 1e-5)
+    xhat = (x32 - mean) * rstd
+    h = xhat * gvec + b_ref[...]                # [BT, N, D] fp32
+    qkv = jax.lax.dot_general(                  # [BT, N, 3D]
+        h, wqkv_ref[...],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[...]
+
+    dbout_ref[...] += dout.sum(axis=(0, 1))
+    dqkv_scr[...] = jnp.zeros_like(dqkv_scr)
+    for head in range(n_heads):
+        sl = slice(head * dh, (head + 1) * dh)
+        q_s = qkv[:, :, head * dh:(head + 1) * dh] * inv
+        k = qkv[:, :, d + head * dh:d + (head + 1) * dh]
+        v = qkv[:, :, 2 * d + head * dh:2 * d + (head + 1) * dh]
+        scores = jax.lax.dot_general(           # [BT, Nq, Nk]
+            q_s, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) + mask_ref[...][None]
+        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+        w = jnp.exp(scores)
+        a = w / jnp.sum(w, axis=-1, keepdims=True)
+        # forward head output (for dWout) and incoming gradient
+        out_h = jax.lax.dot_general(            # [BT, Nq, Dh]
+            a, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        d_outh = jax.lax.dot_general(           # dout @ Wout[h]ᵀ -> [BT,Nq,Dh]
+            dout, wout_ref[head],
+            dimension_numbers=(((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dwout_ref[head] += jax.lax.dot_general(  # out_hᵀ @ dout -> [Dh, D]
+            out_h.reshape(-1, dh), dout.reshape(-1, d),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        da = jax.lax.dot_general(               # d_outh @ vᵀ -> [BT, Nq, Nk]
+            d_outh, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dv = jax.lax.dot_general(               # aᵀ @ d_outh -> [BT, Nk, Dh]
+            a, d_outh, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        ds = a * (da - jnp.sum(da * a, axis=-1, keepdims=True))
+        dq = jax.lax.dot_general(               # ds @ k -> [BT, Nq, Dh]
+            ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * inv
+        dk = jax.lax.dot_general(               # dsᵀ @ q_s -> [BT, Nk, Dh]
+            ds, q_s, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dqkv_scr[:, :, sl] = dq
+        dqkv_scr[:, :, d + head * dh:d + (head + 1) * dh] = dk
+        dqkv_scr[:, :, 2 * d + head * dh:2 * d + (head + 1) * dh] = dv
+
+    dqkv = dqkv_scr[...]
+    dbqkv_ref[...] += dqkv.sum(axis=(0, 1))
+    dwqkv_ref[...] += jax.lax.dot_general(      # hᵀ @ dqkv -> [D, 3D]
+        h.reshape(-1, d), dqkv.reshape(-1, 3 * d),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dh_all = jax.lax.dot_general(               # dqkv @ Wqkvᵀ -> [BT, N, D]
+        dqkv, wqkv_ref[...],
+        dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dg_ref[...] += (dh_all * xhat).sum(axis=(0, 1))
+    db_ref[...] += dh_all.sum(axis=(0, 1))
+    dxhat = dh_all * gvec
+    m1 = dxhat.mean(axis=-1, keepdims=True)
+    m2 = (dxhat * xhat).mean(axis=-1, keepdims=True)
+    dx_ref[...] = (dout + rstd * (dxhat - m1 - xhat * m2)).astype(dx_ref.dtype)
+
+
+def _ln_attn_bwd_pallas(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, mask,
+                        num_heads, dout, interpret):
+    b, n, d = x.shape
+    dh = d // num_heads
+    interpret = interpret or jax.default_backend() != "tpu"
+    n_pad = _round_up(n, 8)
+
+    full_mask = jnp.zeros((n_pad, n_pad), dtype=jnp.float32)
+    full_mask = full_mask.at[:n, :n].set(mask.astype(jnp.float32))
+    if n_pad != n:
+        full_mask = full_mask.at[:, n:].set(-jnp.inf)
+
+    wout_hm = w_out.reshape(num_heads, dh, w_out.shape[1])
+    bt = 2
+    b_pad = _round_up(b, bt)
+    xp = jnp.pad(x, ((0, b_pad - b), (0, n_pad - n), (0, 0)))
+    # zero-padded dout rows/batches contribute nothing to any gradient
+    dp = jnp.pad(dout, ((0, b_pad - b), (0, n_pad - n), (0, 0)))
+    full = lambda shp: pl.BlockSpec(  # noqa: E731
+        shp, lambda i: (0,) * len(shp), memory_space=pltpu.VMEM
+    )
+    tile = pl.BlockSpec((bt, n_pad, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    dx, dg, db, dwqkv, dbqkv, dwout, dbout = pl.pallas_call(
+        _ln_attn_bwd_kernel,
+        grid=(b_pad // bt,),
+        in_specs=[
+            tile, full((d,)), full((d,)), full((d, 3 * d)),
+            full((num_heads, dh, d)), full((3 * d,)),
+            full((n_pad, n_pad)), tile,
+        ],
+        out_specs=[
+            tile, full((d,)), full((d,)), full((d, 3 * d)),
+            full((3 * d,)), full((num_heads, dh, d)), full((d,)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, n_pad, d), x.dtype),
+            jax.ShapeDtypeStruct((d,), f32),
+            jax.ShapeDtypeStruct((d,), f32),
+            jax.ShapeDtypeStruct((d, 3 * d), f32),
+            jax.ShapeDtypeStruct((3 * d,), f32),
+            jax.ShapeDtypeStruct((num_heads, dh, d), f32),
+            jax.ShapeDtypeStruct((d,), f32),
+        ],
+        scratch_shapes=[pltpu.VMEM((bt, n_pad, 3 * d), jnp.float32)],
+        interpret=interpret,
+    )(
+        xp,
+        ln_scale.astype(f32), ln_bias.astype(f32),
+        w_qkv.astype(f32), wout_hm.astype(f32), b_qkv.astype(f32),
+        full_mask, dp,
+    )
+    cast = lambda v, ref: v.astype(ref.dtype)  # noqa: E731
+    return (
+        dx[:b, :n],
+        cast(dg, ln_scale), cast(db, ln_bias),
+        cast(dwqkv, w_qkv), cast(dbqkv, b_qkv),
+        cast(dwout.reshape(num_heads * dh, -1), w_out),
+        dbout,  # b_out grad cast at the dispatch site
+    )
+
+
+# ---------------------------------------------------------------------------
 # fully fused attention sub-block WITH ln_1 and the residual add in-kernel:
 # x -> LN -> qkv -> MHA -> out-proj -> x + out. The pre-LN activation and the
 # residual never round-trip HBM separately (measured: see use_flash notes).
@@ -493,16 +859,41 @@ def _fused_ln_block(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, mask,
     )
 
 
+def _attn_vjp_on_pallas(x) -> bool:
+    """Pallas VJP when the backward working set fits VMEM (round 3); the
+    XLA-math VJP remains the fallback + CLIP_GP_TPU_FUSED_VJP=xla opt-out."""
+    mode = fused_vjp_mode()
+    if mode == "xla":
+        return False
+    if mode == "pallas":
+        return True
+    return _ln_attn_bwd_fits(2, _round_up(x.shape[1], 8), x.shape[-1])
+
+
 def _fused_ln_block_fwd(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
                         mask, num_heads, interpret):
-    # XLA forward under differentiation (see _fused_block_fwd rationale)
-    out = _xla_ln_attention_block(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
-                                  b_out, num_heads, mask)
+    if _attn_vjp_on_pallas(x):
+        # Pallas VJP pairs with the Pallas forward (also the jax.checkpoint
+        # recompute on the remat'd tower path)
+        out = _fused_ln_block_pallas(
+            x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, mask,
+            num_heads, interpret,
+        )
+    else:
+        out = _xla_ln_attention_block(x, ln_scale, ln_bias, w_qkv, b_qkv,
+                                      w_out, b_out, num_heads, mask)
     return out, (x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, mask)
 
 
 def _fused_ln_block_bwd(num_heads, interpret, residuals, g):
     x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, mask = residuals
+    if _attn_vjp_on_pallas(x):
+        dx, dg, db, dwqkv, dbqkv, dwout, dbout = _ln_attn_bwd_pallas(
+            x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, mask, num_heads, g,
+            interpret,
+        )
+        return (dx, dg, db, dwqkv, dbqkv, dwout,
+                dbout.astype(b_out.dtype), jnp.zeros_like(mask))
 
     def ref(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out):
         return _xla_ln_attention_block(x, ln_scale, ln_bias, w_qkv, b_qkv,

@@ -81,6 +81,10 @@ def wait_for_backend() -> bool:
     device work the caller dispatches next will likely hang. Callers with a
     stale-but-honest fallback (bench.py) should take it on ``False``.
     """
+    if os.environ.get("CLIP_GP_TPU_FORCE_CPU"):
+        # the caller is pinned to the host CPU (train.py/sweep/bench guard);
+        # probing the tunneled TPU would wait on hardware it won't use
+        return True
     budget = float(os.environ.get("BENCH_BACKEND_WAIT_S", "2700"))
     deadline = time.monotonic() + budget
     attempt = 0

