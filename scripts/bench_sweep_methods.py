@@ -46,7 +46,8 @@ from clip_gp_tpu.runtime import compile_cache  # noqa: E402
 
 compile_cache.enable()
 
-SEEDS = [1, 2, 3, 4, 5]
+SEEDS = [int(s) for s in
+         os.environ.get("BENCH_METHODS_SEEDS", "1,2,3,4,5").split(",")]
 SHOTS = [int(s) for s in os.environ.get("BENCH_METHODS_SHOTS", "16").split(",")]
 EPOCHS = int(os.environ.get("BENCH_METHODS_EPOCHS", "10"))
 # smoke-test knobs (CI/CPU): tiny tower + image size; the artifact numbers
@@ -64,6 +65,11 @@ METHODS_4 = ["Adapter-CoOp"] + (
     [] if os.environ.get("BENCH_METHODS_SKIP_COCOOP") == "1"
     else ["Adapter-CoCoOp"]
 )
+if os.environ.get("BENCH_METHODS_SMOKE") == "1":
+    # functional check on CPU/CI: one small dataset per family; projections
+    # from a smoke run are meaningless and the payload is flagged as such
+    DATASETS_3 = {"eurosat": 10}
+    DATASETS_4 = {"eurosat": 10}
 FULL_SUITE_SHOTS = 5    # {1,2,4,8,16}
 FULL_SUITE_DATASETS_3 = 3
 FULL_SUITE_DATASETS_4 = 11
@@ -191,6 +197,8 @@ def main():
         "backend": jax.default_backend(),
         "dataset_gen_s": round(gen_s, 1),
     }
+    if os.environ.get("BENCH_METHODS_SMOKE") == "1":
+        payload["smoke"] = True  # reduced grid — projections not meaningful
     if METHODS_4:
         mean_4 = {
             m: (sum(v for k_, v in cells.items() if k_.startswith(m + "/")) /
@@ -209,7 +217,8 @@ def main():
             "(10/47/100); ImageNet-scale K not re-run per bench"
         )
     out = json.dumps(payload)
-    (REPO / "BENCH_sweep_methods.json").write_text(out + "\n")
+    if not payload.get("smoke"):  # never clobber the artifact with a smoke
+        (REPO / "BENCH_sweep_methods.json").write_text(out + "\n")
     print(out)
 
 
