@@ -137,8 +137,12 @@ class Trainer(BaseTrainer):
                     axis=2,
                 ).reshape(c * k, -1, ctx.shape[-1])
                 eot_ck = jnp.tile(eot, c)
+                from clip_gp_tpu.ops.flash_attention import flash_for_grad
+
+                # differentiated in the training loss (see coop.py rationale)
                 text = clip_model.text_features_from_embeddings(
-                    clip_params, arch, prompts, eot_ck
+                    clip_params, arch, prompts, eot_ck,
+                    flash=flash_for_grad(),
                 ).reshape(c, k, -1)
                 text = common.l2_normalize(text)
                 return scale * jnp.einsum("cd,ckd->ck", feats_c, text)

@@ -114,9 +114,14 @@ class Trainer(BaseTrainer):
         self._encode_norm = lambda images: encode(self._clip_params, images)
 
         def text_features(clip_params, params, prefix, suffix, eot):
+            from clip_gp_tpu.ops.flash_attention import flash_for_grad
+
             prompts = assemble_prompts(params["ctx"], prefix, suffix, k)
+            # the training loss differentiates through this tower: plain XLA
+            # + standard AD measured fastest there (flash_for_grad docstring);
+            # eval shares the path so train/eval numerics stay identical
             feats = clip_model.text_features_from_embeddings(
-                clip_params, arch, prompts, eot
+                clip_params, arch, prompts, eot, flash=flash_for_grad()
             )
             return common.l2_normalize(feats)
 

@@ -169,11 +169,15 @@ def attention_block(
     x: jnp.ndarray,
     num_heads: int,
     mask: Optional[jnp.ndarray] = None,
+    flash: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Pre-LN residual attention block (ref: clip/model.py:172-193).
 
     ``p['attn']`` holds the fused in-projection ``w_qkv [D,3D]`` / ``b_qkv``
     and out-projection, matching torch MultiheadAttention packing.
+    ``flash=None`` defers to ``use_flash()``; differentiated call sites pass
+    ``flash_attention.flash_for_grad()`` (plain XLA + standard AD measured
+    fastest for the backward — see that docstring).
     """
     a = p["attn"]
     from clip_gp_tpu.ops.flash_attention import (
@@ -182,7 +186,7 @@ def attention_block(
         use_flash,
     )
 
-    if use_flash():
+    if use_flash() if flash is None else flash:
         # whole pre-LN attention sub-block (ln_1 + qkv proj + MHA + out proj
         # + residual) as one Pallas kernel — the pre-LN activation, q/k/v,
         # and the score matrix never leave VMEM
@@ -225,6 +229,7 @@ def transformer(
     x: jnp.ndarray,
     num_heads: int,
     mask: Optional[jnp.ndarray] = None,
+    flash: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Stack of residual blocks, scanned so XLA compiles the block body once.
 
@@ -237,7 +242,7 @@ def transformer(
     blocks = p["blocks"]
 
     def block_fn(block_params, x, mask):
-        return attention_block(block_params, x, num_heads, mask)
+        return attention_block(block_params, x, num_heads, mask, flash=flash)
 
     block_remat = jax.checkpoint(block_fn)
 
@@ -392,17 +397,21 @@ def text_features_from_embeddings(
     token_embeds: jnp.ndarray,
     eot_index: jnp.ndarray,
     compute_dtype: jnp.dtype = jnp.float32,
+    flash: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Text transformer over precomputed token embeddings [B,L,W].
 
     Split out from `encode_text` because prompt learners (CoOp/CoCoOp) inject
     learned context vectors at the embedding level (ref: utils/trainer.py:178-194).
     ``eot_index`` [B] selects the end-of-text position for pooling.
+    ``flash=None`` defers to ``use_flash()``; prompt learners that
+    differentiate through this tower pass ``flash_for_grad()``.
     """
     x = token_embeds.astype(compute_dtype)
     x = x + params["pos_embed"].astype(x.dtype)
     mask = causal_mask(x.shape[1])
-    x = transformer(params["transformer"], x, arch.transformer_heads, mask)
+    x = transformer(params["transformer"], x, arch.transformer_heads, mask,
+                    flash=flash)
     x = layer_norm(params["ln_final"], x)
     pooled = jnp.take_along_axis(x, eot_index[:, None, None], axis=1)[:, 0]
     return (pooled @ params["text_projection"].astype(pooled.dtype)).astype(jnp.float32)

@@ -438,6 +438,24 @@ def fused_vjp_mode() -> str:
     return mode if mode in ("auto", "pallas", "xla") else "auto"
 
 
+def flash_for_grad() -> bool:
+    """Whether DIFFERENTIATED tower paths (CoOp/CoCoOp text towers inside a
+    training loss) should use the fused Pallas blocks. Measured round 3
+    (scripts/bench_fused_vjp.py, 5-trial vmapped CoOp group, 500 prompts/step,
+    ViT-B/16 text width, min over interleaved reps): plain XLA standard AD
+    159.5 ms/step vs 181.6 ms for BOTH fused custom-VJP variants (Pallas
+    backward kernels and the XLA-math fallback alike) — the custom-VJP
+    boundary costs XLA more scheduling freedom than in-kernel fusion saves
+    once the whole backward is in play. Forward-only encodes keep the fused
+    kernels (measured 1.19x there). Default False; set
+    CLIP_GP_TPU_FUSED_VJP=pallas|xla to opt the fused differentiated path
+    back in (e.g. to re-benchmark on new hardware)."""
+    return (
+        os.environ.get("CLIP_GP_TPU_FUSED_VJP", "") in ("pallas", "xla")
+        and use_flash()
+    )
+
+
 def _ln_mlp_bwd_fits(t: int, d: int, hidden: int) -> bool:
     fp32 = 4
     tiles = 5 * t * d          # x, dout, h, dh, dx

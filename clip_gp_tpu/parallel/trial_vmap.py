@@ -1147,11 +1147,15 @@ class CoOpSpec(MethodSpec):
         from clip_gp_tpu.methods.coop import assemble_prompts
         from clip_gp_tpu.models import clip_model
 
+        from clip_gp_tpu.ops.flash_attention import flash_for_grad
+
         prompts = assemble_prompts(
             p["ctx"], shared["coop_prefix"], shared["coop_suffix"], self.r.k
         )
+        # differentiated in loss(); eval shares it (see methods/coop.py)
         feats = clip_model.text_features_from_embeddings(
-            shared["coop_text_params"], self._arch, prompts, shared["coop_eot"]
+            shared["coop_text_params"], self._arch, prompts,
+            shared["coop_eot"], flash=flash_for_grad(),
         )
         return common.l2_normalize(feats)
 
@@ -1296,8 +1300,12 @@ class CoCoOpSpec(CoOpSpec):
                 axis=2,
             ).reshape(c * k, -1, ctx.shape[-1])
             eot_ck = jnp.tile(eot, c)
+            from clip_gp_tpu.ops.flash_attention import flash_for_grad
+
+            # differentiated in the training loss (see methods/coop.py)
             text = clip_model.text_features_from_embeddings(
-                text_params, self._arch, prompts, eot_ck
+                text_params, self._arch, prompts, eot_ck,
+                flash=flash_for_grad(),
             ).reshape(c, k, -1)
             text = common.l2_normalize(text)
             return scale * jnp.einsum("cd,ckd->ck", feats_c, text)

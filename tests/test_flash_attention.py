@@ -310,3 +310,56 @@ def test_text_tower_grads_pallas_vjp_match_xla_vjp(monkeypatch):
         assert str(ka) == str(kb)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=2e-5, err_msg=str(ka))
+
+
+def test_flash_for_grad_default_and_override(monkeypatch):
+    """Differentiated tower paths default to plain XLA (measured fastest:
+    159.5 ms vs 181.6 ms/step for both fused VJPs on the CoOp group step —
+    bench_fused_vjp.py); CLIP_GP_TPU_FUSED_VJP=pallas|xla opts the fused
+    path back in, and the flag is ignored entirely when flash is off."""
+    import clip_gp_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "use_flash", lambda: True)
+    monkeypatch.delenv("CLIP_GP_TPU_FUSED_VJP", raising=False)
+    assert fa.flash_for_grad() is False
+    monkeypatch.setenv("CLIP_GP_TPU_FUSED_VJP", "pallas")
+    assert fa.flash_for_grad() is True
+    monkeypatch.setenv("CLIP_GP_TPU_FUSED_VJP", "xla")
+    assert fa.flash_for_grad() is True
+    monkeypatch.setenv("CLIP_GP_TPU_FUSED_VJP", "auto")
+    assert fa.flash_for_grad() is False
+    monkeypatch.setattr(fa, "use_flash", lambda: False)
+    monkeypatch.setenv("CLIP_GP_TPU_FUSED_VJP", "pallas")
+    assert fa.flash_for_grad() is False
+
+
+def test_text_tower_flash_flag_parity(monkeypatch):
+    """flash=False must route the tower to plain XLA math even when flash is
+    globally on, and agree numerically with the fused tower (the two paths
+    share fp32 LN/softmax semantics)."""
+    import clip_gp_tpu.ops.flash_attention as fa
+    from clip_gp_tpu.models import clip_model
+    from clip_gp_tpu.models.clip_loader import init_clip_params
+
+    arch = clip_model.ARCHITECTURES["TEST-ViT"]
+    params = init_clip_params(jax.random.key(0), arch)
+    rng = np.random.default_rng(3)
+    w = int(arch.transformer_width)
+    embeds = jnp.asarray(rng.normal(size=(2, 77, w)).astype(np.float32) * 0.02)
+    eot = jnp.asarray(np.array([7, 9], dtype=np.int32))
+
+    monkeypatch.setattr(fa, "use_flash", lambda: False)
+    ref = clip_model.text_features_from_embeddings(params, arch, embeds, eot)
+
+    monkeypatch.setattr(fa, "use_flash", lambda: True)
+    off = clip_model.text_features_from_embeddings(
+        params, arch, embeds, eot, flash=False
+    )
+    # flash=False under a flash-on default must be EXACTLY the XLA program
+    np.testing.assert_array_equal(np.asarray(off), np.asarray(ref))
+
+    on = clip_model.text_features_from_embeddings(
+        params, arch, embeds, eot, flash=True
+    )
+    np.testing.assert_allclose(np.asarray(on), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
