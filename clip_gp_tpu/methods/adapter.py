@@ -313,17 +313,23 @@ class Trainer(BaseTrainer):
                     f"M={self.gp_static.num_templates}, "
                     f"d={self.gp_static.red_dim})"
                 )
-            kernel_keys = {
+            kernel_key_sets = {
                 "rbf": {"raw_lengthscale", "raw_outputscale"},
                 "matern": {"raw_lengthscale"},
                 "linear": {"raw_variance"},
-            }[self.gp_static.kernel_type]
-            missing = kernel_keys - set(state["gp"])
-            if missing:
+            }
+            kernel_keys = kernel_key_sets[self.gp_static.kernel_type]
+            # key-SET equality, not just no-missing: an rbf checkpoint's
+            # {lengthscale, outputscale} is a superset of matern's
+            # {lengthscale}, so a missing-only check would silently evaluate
+            # rbf-fitted params under Matern math
+            present = set(state["gp"]) & set().union(*kernel_key_sets.values())
+            if present != kernel_keys:
                 raise ValueError(
                     f"reference GP checkpoint kernel does not match this "
                     f"config's {self.gp_static.kernel_type!r} kernel "
-                    f"(missing {sorted(missing)})"
+                    f"(checkpoint kernel params {sorted(present)}, "
+                    f"expected {sorted(kernel_keys)})"
                 )
             self.gp_buffers = newb
         return state

@@ -35,6 +35,72 @@ from clip_gp_tpu.runtime.trainer_base import BaseTrainer
 PROMPT_BUDGET = 128
 
 
+def conditional_logits(text_params, arch, params, img_feats, prefix, suffix,
+                       eot, k, scale):
+    """Blocked per-image conditional-prompt logits: [B, D] normalized image
+    features → [B, K] (ref: trainers/adapter_cocoop.py:70-82).
+
+    ONE implementation for both backends — the in-process trainer's jitted
+    fns and the vmapped ``trial_vmap.CoCoOpSpec`` — so the vmapped-vs-
+    in-process bit-parity contract can't drift. C images' K prompts encode
+    per text-tower call (the reference encodes one image's prompts at a time
+    in a Python loop, ref: cocoop.py:739-745). When the whole batch's B·K
+    prompts fit ``PROMPT_BUDGET`` (read at trace time; tests/benches may
+    override), everything encodes in ONE tower call — one big MXU matmul —
+    otherwise chunks of C·K prompts go through a compiled ``lax.map``.
+    ``text_params`` may be the full CLIP param dict or just its text keys.
+    """
+    b = img_feats.shape[0]
+    chunk = max(1, min(b, int(PROMPT_BUDGET) // max(k, 1)))
+    h = jax.nn.relu(
+        img_feats @ params["meta_fc1"]["w"] + params["meta_fc1"]["b"]
+    )
+    bias = h @ params["meta_fc2"]["w"] + params["meta_fc2"]["b"]  # [B,ctx_dim]
+    ctx = params["ctx"]  # [n_ctx, ctx_dim]
+    n_chunks = -(-b // chunk)
+    pad = n_chunks * chunk - b
+    feats_p = jnp.pad(img_feats, ((0, pad), (0, 0)))
+    bias_p = jnp.pad(bias, ((0, pad), (0, 0)))
+
+    def per_chunk(args):
+        feats_c, bias_c = args  # [C,D], [C,ctx_dim]
+        c = feats_c.shape[0]
+        ctx_c = ctx[None, None] + bias_c[:, None, None]  # [C,1,n_ctx,dim]
+        ctx_c = jnp.broadcast_to(ctx_c, (c, k) + ctx.shape)
+        prompts = jnp.concatenate(
+            [
+                jnp.broadcast_to(prefix[None], (c,) + prefix.shape),
+                ctx_c,
+                jnp.broadcast_to(suffix[None], (c,) + suffix.shape),
+            ],
+            axis=2,
+        ).reshape(c * k, -1, ctx.shape[-1])
+        eot_ck = jnp.tile(eot, c)
+        from clip_gp_tpu.ops.flash_attention import flash_for_grad
+
+        # differentiated in the training loss (see coop.py rationale)
+        text = clip_model.text_features_from_embeddings(
+            text_params, arch, prompts, eot_ck, flash=flash_for_grad(),
+        ).reshape(c, k, -1)
+        text = common.l2_normalize(text)
+        return scale * jnp.einsum("cd,ckd->ck", feats_c, text)
+
+    # remat each chunk: the lax.map backward otherwise stacks every chunk's
+    # text-tower residuals ([n_chunks, ...] — OOM at real K)
+    per_chunk = jax.checkpoint(per_chunk)
+    if n_chunks == 1:
+        # whole batch in one text-tower call
+        return per_chunk((feats_p, bias_p))[:b]
+    logits = jax.lax.map(
+        per_chunk,
+        (
+            feats_p.reshape(n_chunks, chunk, -1),
+            bias_p.reshape(n_chunks, chunk, -1),
+        ),
+    )
+    return logits.reshape(n_chunks * chunk, k)[:b]
+
+
 @TRAINER_REGISTRY.register("Adapter-CoCoOp")
 class Trainer(BaseTrainer):
     def build_model(self):
@@ -100,67 +166,16 @@ class Trainer(BaseTrainer):
 
         self._encode_norm = lambda images: encode(self._clip_params, images)
 
-        # Blocked conditional prompts: C images' K prompts encode per text-
-        # tower call (the reference encodes one image's prompts at a time in a
-        # Python loop, ref: cocoop.py:739-745). When the whole batch's B·K
-        # prompts fit the budget, everything encodes in ONE text-tower call —
-        # the TPU-native answer (one big MXU matmul instead of a sequential
-        # lax.map); otherwise chunks of C·K prompts go through a compiled
-        # lax.map. Identical math either way (test_methods_e2e parity test).
-        budget = int(PROMPT_BUDGET)
-
+        # Blocked conditional prompts via the shared module-level helper
+        # (one implementation for this trainer AND trial_vmap.CoCoOpSpec;
+        # identical math whether chunked or single-call —
+        # test_methods_e2e parity test).
         def logits_fn(clip_params, params, img_feats, prefix, suffix, eot):
             # img_feats: [B, D] normalized
-            b = img_feats.shape[0]
-            chunk = max(1, min(b, budget // max(k, 1)))
-            h = jax.nn.relu(
-                img_feats @ params["meta_fc1"]["w"] + params["meta_fc1"]["b"]
+            return conditional_logits(
+                clip_params, arch, params, img_feats, prefix, suffix, eot,
+                k, scale,
             )
-            bias = h @ params["meta_fc2"]["w"] + params["meta_fc2"]["b"]  # [B,ctx_dim]
-            ctx = params["ctx"]  # [n_ctx, ctx_dim]
-            n_chunks = -(-b // chunk)
-            pad = n_chunks * chunk - b
-            feats_p = jnp.pad(img_feats, ((0, pad), (0, 0)))
-            bias_p = jnp.pad(bias, ((0, pad), (0, 0)))
-
-            def per_chunk(args):
-                feats_c, bias_c = args  # [C,D], [C,ctx_dim]
-                c = feats_c.shape[0]
-                ctx_c = ctx[None, None] + bias_c[:, None, None]  # [C,1,n_ctx,dim]
-                ctx_c = jnp.broadcast_to(ctx_c, (c, k) + ctx.shape)
-                prompts = jnp.concatenate(
-                    [
-                        jnp.broadcast_to(prefix[None], (c,) + prefix.shape),
-                        ctx_c,
-                        jnp.broadcast_to(suffix[None], (c,) + suffix.shape),
-                    ],
-                    axis=2,
-                ).reshape(c * k, -1, ctx.shape[-1])
-                eot_ck = jnp.tile(eot, c)
-                from clip_gp_tpu.ops.flash_attention import flash_for_grad
-
-                # differentiated in the training loss (see coop.py rationale)
-                text = clip_model.text_features_from_embeddings(
-                    clip_params, arch, prompts, eot_ck,
-                    flash=flash_for_grad(),
-                ).reshape(c, k, -1)
-                text = common.l2_normalize(text)
-                return scale * jnp.einsum("cd,ckd->ck", feats_c, text)
-
-            # remat each chunk: the lax.map backward otherwise stacks every
-            # chunk's text-tower residuals ([n_chunks, ...] — OOM at real K)
-            per_chunk = jax.checkpoint(per_chunk)
-            if n_chunks == 1:
-                # whole batch in one text-tower call
-                return per_chunk((feats_p, bias_p))[:b]
-            logits = jax.lax.map(
-                per_chunk,
-                (
-                    feats_p.reshape(n_chunks, chunk, -1),
-                    bias_p.reshape(n_chunks, chunk, -1),
-                ),
-            )
-            return logits.reshape(n_chunks * chunk, k)[:b]
 
         logits_jit = jax.jit(logits_fn)
         self._logits_fn = lambda params, feats: logits_jit(

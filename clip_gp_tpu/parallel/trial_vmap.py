@@ -1091,6 +1091,9 @@ class CoOpSpec(MethodSpec):
     config_keys = {"OPTIM.LR": "lr"}
     reencode_per_epoch = True
     normalize_features = True
+    # CoCoOpSpec flips this: CoCoOp always uses shared ctx (the reference
+    # never reads csc there)
+    force_shared_ctx = False
 
     def __init__(self, runner):
         super().__init__(runner)
@@ -1099,7 +1102,7 @@ class CoOpSpec(MethodSpec):
         config = runner.config
         self._base_lr = float(config.optim.lr)
         self._arch = runner.arch
-        self._use_csc = bool(config.adapter.csc)
+        self._use_csc = bool(config.adapter.csc) and not self.force_shared_ctx
         self._ctx_init = str(config.adapter.ctx_init or "")
         # prefix/suffix/eot are identical across trials (same classnames);
         # they and the text-tower weights ride `shared` — explicit jit
@@ -1107,6 +1110,7 @@ class CoOpSpec(MethodSpec):
         (ctx0, prefix, suffix, tokenized, self._n_ctx) = build_prompt_parts(
             config, runner.classnames, runner.clip_params,
             jax.random.key(int(runner.seeds[0])),
+            force_shared_ctx=self.force_shared_ctx,
         )
         self._ctx0 = ctx0  # phrase-derived when ctx_init, else ignored
         self._ctx_dim = int(ctx0.shape[-1])
@@ -1203,30 +1207,11 @@ class CoCoOpSpec(CoOpSpec):
     config_keys = {"OPTIM.LR": "lr"}
     reencode_per_epoch = True
     normalize_features = True
+    force_shared_ctx = True
 
     def __init__(self, runner):
-        MethodSpec.__init__(self, runner)
-        from clip_gp_tpu.methods.coop import build_prompt_parts
-
-        config = runner.config
-        self._base_lr = float(config.optim.lr)
-        self._arch = runner.arch
-        self._ctx_init = str(config.adapter.ctx_init or "")
-        # CoCoOp always uses shared ctx (the reference never reads csc here)
-        (ctx0, prefix, suffix, tokenized, self._n_ctx) = build_prompt_parts(
-            config, runner.classnames, runner.clip_params,
-            jax.random.key(int(runner.seeds[0])), force_shared_ctx=True,
-        )
-        self._ctx0 = ctx0
-        self._ctx_dim = int(ctx0.shape[-1])
+        super().__init__(runner)  # prompt parts + shared text-tower wiring
         self._vis_dim = int(runner.arch.embed_dim)
-        runner.shared["coop_prefix"] = prefix
-        runner.shared["coop_suffix"] = suffix
-        runner.shared["coop_eot"] = tokenized.argmax(axis=-1)
-        runner.shared["coop_text_params"] = {
-            k: runner.clip_params[k]
-            for k in ("pos_embed", "transformer", "ln_final", "text_projection")
-        }
 
     def init_params(self, seed):
         from clip_gp_tpu.core.seeding import KeySequence
@@ -1262,65 +1247,16 @@ class CoCoOpSpec(CoOpSpec):
 
     def _cond_logits(self, p, feats, shared):
         """Per-image conditional prompt logits for ONE trial ([B,D] normalized
-        features -> [B,K]); mirrors methods/cocoop.py logits_fn, same
-        measured PROMPT_BUDGET chunking + per-chunk remat."""
-        from clip_gp_tpu.methods import cocoop as cocoop_mod
-        from clip_gp_tpu.models import clip_model
+        features -> [B,K]): the SAME ``cocoop.conditional_logits`` the
+        in-process trainer jits (measured PROMPT_BUDGET chunking + per-chunk
+        remat), so the two backends cannot drift."""
+        from clip_gp_tpu.methods.cocoop import conditional_logits
 
-        k = self.r.k
-        budget = int(cocoop_mod.PROMPT_BUDGET)
-        b = feats.shape[0]
-        chunk = max(1, min(b, budget // max(k, 1)))
-        h = jax.nn.relu(
-            feats @ p["meta_fc1"]["w"] + p["meta_fc1"]["b"]
+        return conditional_logits(
+            shared["coop_text_params"], self._arch, p, feats,
+            shared["coop_prefix"], shared["coop_suffix"], shared["coop_eot"],
+            self.r.k, self.r.logit_scale,
         )
-        bias = h @ p["meta_fc2"]["w"] + p["meta_fc2"]["b"]  # [B,ctx_dim]
-        ctx = p["ctx"]
-        n_chunks = -(-b // chunk)
-        pad = n_chunks * chunk - b
-        feats_p = jnp.pad(feats, ((0, pad), (0, 0)))
-        bias_p = jnp.pad(bias, ((0, pad), (0, 0)))
-        prefix = shared["coop_prefix"]
-        suffix = shared["coop_suffix"]
-        eot = shared["coop_eot"]
-        text_params = shared["coop_text_params"]
-        scale = self.r.logit_scale
-
-        def per_chunk(args):
-            feats_c, bias_c = args  # [C,D], [C,ctx_dim]
-            c = feats_c.shape[0]
-            ctx_c = ctx[None, None] + bias_c[:, None, None]
-            ctx_c = jnp.broadcast_to(ctx_c, (c, k) + ctx.shape)
-            prompts = jnp.concatenate(
-                [
-                    jnp.broadcast_to(prefix[None], (c,) + prefix.shape),
-                    ctx_c,
-                    jnp.broadcast_to(suffix[None], (c,) + suffix.shape),
-                ],
-                axis=2,
-            ).reshape(c * k, -1, ctx.shape[-1])
-            eot_ck = jnp.tile(eot, c)
-            from clip_gp_tpu.ops.flash_attention import flash_for_grad
-
-            # differentiated in the training loss (see methods/coop.py)
-            text = clip_model.text_features_from_embeddings(
-                text_params, self._arch, prompts, eot_ck,
-                flash=flash_for_grad(),
-            ).reshape(c, k, -1)
-            text = common.l2_normalize(text)
-            return scale * jnp.einsum("cd,ckd->ck", feats_c, text)
-
-        per_chunk = jax.checkpoint(per_chunk)
-        if n_chunks == 1:
-            return per_chunk((feats_p, bias_p))[:b]
-        logits = jax.lax.map(
-            per_chunk,
-            (
-                feats_p.reshape(n_chunks, chunk, -1),
-                bias_p.reshape(n_chunks, chunk, -1),
-            ),
-        )
-        return logits.reshape(n_chunks * chunk, k)[:b]
 
     def loss(self, p, c, feats, labels, key, hps, shared):
         return common.cross_entropy(self._cond_logits(p, feats, shared), labels)

@@ -91,17 +91,21 @@ def main():
         c.seed = 1
         return c
 
-    # Two passes over the 5 shot-count groups in one process. Pass 1 pays the
-    # XLA compiles (per-shots train shapes); pass 2 is the steady state every
-    # subsequent dataset of a sweep sees (and averages out the minute-to-
-    # minute RTT variance of the tunneled backend). The projection uses the
-    # per-group MIN across passes; the cold-pass total is reported alongside.
+    # Pass 0 pays the XLA compiles (per-shots train shapes); later passes are
+    # the steady state every subsequent dataset of a sweep sees. Sequential
+    # and decode-ahead warm passes are INTERLEAVED (seq, da, seq, da) so the
+    # tunneled backend's minute-to-minute RTT drift hits both modes equally —
+    # the lesson bench_fused_vjp.py learned when mode-ordered passes produced
+    # a 25x phantom delta. The projection uses the per-group MIN across
+    # same-mode passes; the cold-pass total is reported alongside.
     group_s = {}
     cold_pass_s = 0.0
-    for pass_i in range(2):
+
+    def _sequential_pass(label):
+        nonlocal cold_pass_s
         for shots in SHOTS:
             outdirs = [
-                os.path.join(tmp, f"out/p{pass_i}_s{shots}_t{i}")
+                os.path.join(tmp, f"out/{label}_s{shots}_t{i}")
                 for i in range(5)
             ]
             t0 = time.time()
@@ -109,11 +113,61 @@ def main():
                 config(shots), list(SEEDS), outdirs
             )
             dt = time.time() - t0
-            if pass_i == 0:
+            if label == "p0":
                 cold_pass_s += dt
             group_s[shots] = min(group_s.get(shots, float("inf")), dt)
-            print(f"# pass={pass_i} shots={shots}: {dt:.1f}s "
+            print(f"# pass={label} shots={shots}: {dt:.1f}s "
                   f"({len(results)} trials)", file=sys.stderr)
+
+    da_group_s = {}
+
+    def _decode_ahead_pass(label):
+        from clip_gp_tpu.parallel.trial_vmap import (
+            DecodePrefetcher,
+            VmappedTrials,
+        )
+
+        pfs = {}
+
+        def _starter(i):
+            def _start():
+                if i + 1 < len(SHOTS) and SHOTS[i + 1] not in pfs:
+                    s = SHOTS[i + 1]
+                    pfs[s] = DecodePrefetcher(
+                        config(s), list(SEEDS), method="Adapter"
+                    ).start()
+
+            return _start
+
+        for i, shots in enumerate(SHOTS):
+            outdirs = [
+                os.path.join(tmp, f"out/{label}_s{shots}_t{i_}")
+                for i_ in range(5)
+            ]
+            pf = pfs.get(shots)
+            runner = pf.runner if pf is not None else VmappedTrials(
+                config(shots), list(SEEDS), method="Adapter"
+            )
+            runner.on_before_train = _starter(i)
+            tg = time.time()
+            runner.run(outdirs)
+            dt = time.time() - tg
+            da_group_s[shots] = min(da_group_s.get(shots, float("inf")), dt)
+            print(f"# pass={label} shots={shots}: {dt:.1f}s (decode-ahead)",
+                  file=sys.stderr)
+
+    _sequential_pass("p0")  # cold
+
+    decode_ahead_per_dataset_s = None
+    if "--no-decode-ahead" not in sys.argv[1:]:
+        for rep in range(2):
+            _sequential_pass(f"seq{rep}")
+            _decode_ahead_pass(f"da{rep}")
+        # symmetric aggregation: both modes sum per-group minima over their
+        # two interleaved passes
+        decode_ahead_per_dataset_s = sum(da_group_s.values())
+    else:
+        _sequential_pass("seq0")
 
     per_dataset_s = sum(group_s.values())
     single_chip_s = N_DATASETS * per_dataset_s
@@ -160,51 +214,16 @@ def main():
         print(f"# pipelined pass (2 workers): {pipelined_per_dataset_s:.1f}s",
               file=sys.stderr)
 
-    # Pass 4 (default): the decode-ahead chain the sequential sweep path now
-    # runs (sweep.run_trials_vmapped, n_workers==1) — while group g's
-    # whole-run executable holds the device, group g+1's splits sample and
-    # its union decodes on the idle host (trial_vmap.DecodePrefetcher,
-    # 1-deep single-producer; bit-identical results, tested). Warm (compiles
-    # paid above), so the delta vs measured_per_dataset_s is the overlap win.
-    decode_ahead_per_dataset_s = None
-    if "--no-decode-ahead" not in sys.argv[1:]:
-        from clip_gp_tpu.parallel.trial_vmap import (
-            DecodePrefetcher,
-            VmappedTrials,
-        )
-
-        pfs = {}
-
-        def _starter(i):
-            def _start():
-                if i + 1 < len(SHOTS) and SHOTS[i + 1] not in pfs:
-                    s = SHOTS[i + 1]
-                    pfs[s] = DecodePrefetcher(
-                        config(s), list(SEEDS), method="Adapter"
-                    ).start()
-
-            return _start
-
-        t0 = time.time()
-        for i, shots in enumerate(SHOTS):
-            outdirs = [
-                os.path.join(tmp, f"out/da_s{shots}_t{i_}") for i_ in range(5)
-            ]
-            pf = pfs.get(shots)
-            runner = pf.runner if pf is not None else VmappedTrials(
-                config(shots), list(SEEDS), method="Adapter"
-            )
-            runner.on_before_train = _starter(i)
-            runner.run(outdirs)
-        decode_ahead_per_dataset_s = time.time() - t0
+    # The decode-ahead measurement itself happens in the interleaved warm
+    # passes above (seq, da, seq, da — min per mode); the sweep's sequential
+    # path IS decode-ahead now, so the projection uses it when it wins.
+    if decode_ahead_per_dataset_s is not None:
         print(
-            f"# decode-ahead pass (sequential sweep path): "
+            f"# decode-ahead (min of interleaved passes): "
             f"{decode_ahead_per_dataset_s:.1f}s vs {per_dataset_s:.1f}s "
             "strictly sequential",
             file=sys.stderr,
         )
-        # the sweep's sequential path IS decode-ahead now, so the projection
-        # uses it when it wins (it can only lose to tunnel RTT variance)
         if decode_ahead_per_dataset_s < per_dataset_s:
             single_chip_s = N_DATASETS * decode_ahead_per_dataset_s
             eight_chip_s = math.ceil(n_groups / N_CHIPS) * (
@@ -236,10 +255,9 @@ def main():
             "over 8 chips",
             "test features encoded once per dataset (in-process feature "
             "memo, measured here via the warm pass)",
-            "per-group time = min over a cold and a warm pass: the warm pass "
-            "is the steady state after XLA compiles (persistent cache / "
-            "shared executables across datasets) and averages out the "
-            "minute-to-minute RTT variance of the tunneled backend; "
+            "per-group time = min over the cold pass and two warm passes "
+            "(sequential and decode-ahead warm passes interleaved so tunnel "
+            "RTT drift hits both modes equally); "
             "cold_first_dataset_s reports the compile-paying first pass",
             "measured on a tunneled v5e chip (per-execution RTT overhead "
             "~35-200 ms is INCLUDED; a directly-attached host sees less); "
@@ -250,6 +268,9 @@ def main():
         payload["measured_per_dataset_decode_ahead_s"] = round(
             decode_ahead_per_dataset_s, 1
         )
+        payload["decode_ahead_group_s_by_shots"] = {
+            str(k): round(v, 1) for k, v in da_group_s.items()
+        }
         payload["decode_ahead_speedup"] = round(
             per_dataset_s / decode_ahead_per_dataset_s, 3
         )

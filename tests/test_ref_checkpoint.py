@@ -267,6 +267,30 @@ def test_adapter_gp_config_mismatch_raises(ref_env, tiny_clip, tmp_path,
         trainer.load_model(str(run_dir))
 
 
+def test_adapter_gp_kernel_mismatch_raises(ref_env, tiny_clip, tmp_path,
+                                           monkeypatch):
+    """An rbf-trained reference checkpoint under a matern config must be
+    rejected: rbf's kernel params ({lengthscale, outputscale}) are a SUPERSET
+    of matern's ({lengthscale}), so a missing-keys-only check passes and the
+    rbf-fitted lengthscale silently evaluates under Matern-1/2 math."""
+    monkeypatch.setenv("CLIP_GP_TPU_ALLOW_RANDOM_WEIGHTS", "1")
+    trainer = _build_our_trainer(
+        "Adapter", tmp_path, tiny_clip.npz, use_gp=True, gp_pca_dim=6,
+        gp_kernel_type="matern",
+    )
+    classnames = list(trainer.dm.dataset.classnames)
+    cfg = _ref_config(ref_env, use_gp=True, gp_pca_dim=6,
+                      gp_kernel_type="rbf")
+    torch.manual_seed(0)
+    custom = ref_env.adapter.CustomCLIP(cfg, classnames, tiny_clip.model)
+    custom.eval()
+    custom.gp_weighter(custom.gp_weighter._templates_red)  # lazy-init
+    run_dir = tmp_path / "ref_run"
+    _save_ref_ckpt(run_dir, custom)
+    with pytest.raises(ValueError, match="kernel"):
+        trainer.load_model(str(run_dir))
+
+
 # ---------------------------------------------------------------------------
 # CLIP-Adapter / TaskRes / CoOp / CoCoOp
 # ---------------------------------------------------------------------------
