@@ -688,3 +688,53 @@ def test_vmapped_cocoop_multi_seed_and_chunked(tmp_path, monkeypatch):
         assert np.isfinite(result["metrics"]["top1_acc"])
         payload = json.loads((outdir / "metrics.json").read_text())
         assert np.isfinite(payload["metrics"]["top1_acc"])
+
+
+def test_decode_prefetcher_propagates_producer_errors(tmp_path, monkeypatch):
+    """A producer-thread failure (splits sampling or union decode) must
+    surface in the CONSUMER — wait_splits()/batches() re-raise instead of
+    hanging — so the sweep's error path (fallback or --strict-vmap) sees the
+    real exception."""
+    from clip_gp_tpu.data.datasets.synthetic import (
+        generate_synthetic_imagefolder,
+    )
+    from clip_gp_tpu.parallel.trial_vmap import DecodePrefetcher
+
+    cfg = _config(tmp_path, use_gp=False)
+    cfg.adapter.train_template_weights = True
+    generate_synthetic_imagefolder(
+        cfg.dataset.root, num_classes=4, images_per_class=6, image_size=32,
+        seed=0,
+    )
+
+    # splits-stage failure -> wait_splits raises it
+    pf = DecodePrefetcher(cfg, [1, 2])
+    monkeypatch.setattr(
+        pf.runner, "_build_per_seed_splits",
+        lambda needs_val: (_ for _ in ()).throw(RuntimeError("boom-splits")),
+    )
+    pf.start()
+    with pytest.raises(RuntimeError, match="boom-splits"):
+        pf.wait_splits()
+
+    # decode-stage failure -> batches() raises it (splits already delivered)
+    class _ExplodingLoader:
+        def __init__(self, *a, **k):
+            pass
+
+        def __iter__(self):
+            raise RuntimeError("boom-decode")
+
+    import clip_gp_tpu.data.pipeline as pipeline_mod
+
+    pf2 = DecodePrefetcher(cfg, [1, 2])
+    real_loader = pipeline_mod.BatchLoader
+    monkeypatch.setattr(pipeline_mod, "BatchLoader", _ExplodingLoader)
+    try:
+        pf2.start()
+        assert pf2.wait_splits() is not None  # sampling itself succeeded
+        with pytest.raises(RuntimeError, match="boom-decode"):
+            for _ in pf2.batches():
+                pass
+    finally:
+        monkeypatch.setattr(pipeline_mod, "BatchLoader", real_loader)
