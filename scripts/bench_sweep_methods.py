@@ -50,6 +50,11 @@ SEEDS = [int(s) for s in
          os.environ.get("BENCH_METHODS_SEEDS", "1,2,3,4,5").split(",")]
 SHOTS = [int(s) for s in os.environ.get("BENCH_METHODS_SHOTS", "16").split(",")]
 EPOCHS = int(os.environ.get("BENCH_METHODS_EPOCHS", "10"))
+# prompt methods re-encode K (CoOp) or B·K (CoCoOp) prompts through the text
+# tower EVERY step — a 10-epoch K=100 CoCoOp cell alone runs ~40 min, so the
+# witness uses fewer epochs there (group time scales ~linearly in epochs;
+# the payload records both epoch counts so projections stay honest)
+PROMPT_EPOCHS = int(os.environ.get("BENCH_METHODS_PROMPT_EPOCHS", "2"))
 # smoke-test knobs (CI/CPU): tiny tower + image size; the artifact numbers
 # are only meaningful with the default ViT-B/16 at 224 on TPU
 BACKBONE = os.environ.get("BENCH_METHODS_BACKBONE", "ViT-B/16")
@@ -89,12 +94,14 @@ def _config(root, method, shots, num_classes):
     c.dataloader.batch_size_test = 128
     c.dataloader.num_workers = max(2, os.cpu_count() or 2)
     c.adapter.num_templates = 8
-    c.adapter.clip_adapter_epochs = EPOCHS
-    c.adapter.taskres_epochs = EPOCHS
-    c.adapter.tip_adapter_epochs = EPOCHS
+    epochs = PROMPT_EPOCHS if method in ("Adapter-CoOp", "Adapter-CoCoOp") \
+        else EPOCHS
+    c.adapter.clip_adapter_epochs = epochs
+    c.adapter.taskres_epochs = epochs
+    c.adapter.tip_adapter_epochs = epochs
     c.adapter.tip_adapter_trainable = True  # the -F variant
     c.adapter.n_ctx = 4
-    c.optim.max_epoch = EPOCHS
+    c.optim.max_epoch = epochs
     c.train.print_freq = 10**9
     c.seed = 1
     return c
@@ -182,6 +189,7 @@ def main():
         "metric": "baseline34_sweep_vmap",
         "seeds": len(SEEDS),
         "epochs": EPOCHS,
+        "prompt_epochs": PROMPT_EPOCHS,
         "shots_measured": SHOTS,
         "trials_run": trials_run,
         "trials_per_s": round(trials_run / total_s, 3),
@@ -214,7 +222,8 @@ def main():
             f"{len(METHODS_4)} prompt method(s) x {FULL_SUITE_DATASETS_4} "
             f"datasets x {FULL_SUITE_SHOTS} shot-counts at each method's "
             "measured mean group time over representative class counts "
-            "(10/47/100); ImageNet-scale K not re-run per bench"
+            f"(10/47/100) at {PROMPT_EPOCHS} epochs (group time scales "
+            "~linearly in epochs); ImageNet-scale K not re-run per bench"
         )
     out = json.dumps(payload)
     if not payload.get("smoke"):  # never clobber the artifact with a smoke
