@@ -8,10 +8,20 @@ path — so it is pure Python.
 The merge table (``assets/clip_bpe_merges.txt.gz``) is the public OpenAI CLIP
 vocabulary data asset (16e6-sentence BPE, 49,152 entries + 2 specials).
 
-Note: the original pipeline additionally runs ``ftfy.fix_text`` (mojibake
-repair) before tokenizing; prompts in this framework are clean ASCII templates,
-for which ``fix_text`` is the identity, so we only HTML-unescape + normalize
-whitespace.
+Note: the original pipeline additionally runs ``ftfy.fix_text`` before
+tokenizing (ref: clip/simple_tokenizer.py:50-59). For the shipped prompt
+surface — every template bank and every reference dataset classname is
+printable ASCII, pinned by ``tests/test_tokenizer.py`` — ``fix_text`` is the
+identity, so the fast path only HTML-unescapes + normalizes whitespace.
+User-supplied vocabularies (``scripts/predict.py`` accepts arbitrary class
+names) may contain non-ASCII text: for those ``_fix_text_lite`` applies the
+deterministic subset of ftfy's default pipeline (NFC, latin ligatures,
+character width, quote uncurling, line breaks, surrogate/control removal,
+terminal escapes). The one part NOT ported is mojibake *repair*
+(``fix_encoding`` — re-decoding text that was mangled through a wrong
+codec); well-formed UTF-8 passes through it unchanged, and a one-time
+warning flags non-ASCII input so a user feeding mangled text knows the
+difference.
 """
 
 from __future__ import annotations
@@ -19,6 +29,8 @@ from __future__ import annotations
 import functools
 import gzip
 import html
+import sys
+import unicodedata
 from pathlib import Path
 from typing import List, Union
 
@@ -56,7 +68,63 @@ def _pairs(word):
     return {(word[i], word[i + 1]) for i in range(len(word) - 1)}
 
 
+# Deterministic pieces of ftfy.fix_text's default fixer chain (ref:
+# clip/simple_tokenizer.py:50-53). Each table mirrors the corresponding ftfy
+# fixer; mojibake repair (fix_encoding and friends) is intentionally absent —
+# it is heuristic re-decoding, meaningless without the library, and identity
+# on well-formed input.
+_LIGATURES = str.maketrans({
+    "Ĳ": "IJ", "ĳ": "ij", "ﬀ": "ff", "ﬁ": "fi", "ﬂ": "fl",
+    "ﬃ": "ffi", "ﬄ": "ffl", "ﬅ": "ft", "ﬆ": "st",
+})
+_CURLY_QUOTES = str.maketrans({
+    "‘": "'", "’": "'", "‚": "'", "‛": "'",
+    "“": '"', "”": '"', "„": '"', "‟": '"',
+})
+_LINE_BREAKS = str.maketrans({
+    "\r": "\n", "\u2028": "\n", "\u2029": "\n", "\x85": "\n",
+})
+_TERMINAL_ESCAPES = re.compile("\x1b\\[[0-9;]*[mKHJ]")
+# C0/C1 control chars ftfy's remove_control_chars strips (keep \t and \n,
+# which whitespace_clean collapses anyway), plus zero-width/format chars
+_CONTROL_CHARS = re.compile(
+    "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f"
+    "\ufeff\u200b\u200c\u200d\u2060]"
+)
+_WIDTH_CHARS = re.compile("[\uff01-\uffee]")  # full/halfwidth forms block
+
+_warned_non_ascii = False
+
+
+def _fix_text_lite(text: str) -> str:
+    """Deterministic subset of ``ftfy.fix_text`` for non-ASCII input (ref:
+    clip/simple_tokenizer.py:50-53): line-break + width normalization,
+    ligature expansion, quote uncurling, surrogate/control/escape removal,
+    NFC. Warns once that mojibake *repair* is not ported."""
+    global _warned_non_ascii
+    if not _warned_non_ascii:
+        _warned_non_ascii = True
+        print(
+            "[WARN] tokenizer: non-ASCII input; applying the deterministic "
+            "subset of ftfy.fix_text (NFC/ligatures/width/quotes). Mojibake "
+            "repair is NOT ported — if this text was mangled through a wrong "
+            "codec it will tokenize differently from the reference.",
+            file=sys.stderr,
+        )
+    text = text.translate(_LINE_BREAKS)
+    text = _TERMINAL_ESCAPES.sub("", text)
+    # lone surrogates (can appear via surrogateescape decoding) → U+FFFD
+    text = text.encode("utf-16", "replace").decode("utf-16")
+    text = text.translate(_LIGATURES).translate(_CURLY_QUOTES)
+    text = _WIDTH_CHARS.sub(lambda m: unicodedata.normalize("NFKC", m.group()),
+                            text)
+    text = _CONTROL_CHARS.sub("", text)
+    return unicodedata.normalize("NFC", text)
+
+
 def _clean(text: str) -> str:
+    if not text.isascii():
+        text = _fix_text_lite(text)
     text = html.unescape(html.unescape(text)).strip()
     text = re.sub(r"\s+", " ", text)
     return text.strip().lower()

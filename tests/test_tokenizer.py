@@ -51,3 +51,92 @@ def test_case_and_whitespace_normalization():
     a = tokenize("A  Photo   of a CAT.")
     b = tokenize("a photo of a cat.")
     np.testing.assert_array_equal(a, b)
+
+
+# ----------------------------------------------------------------------
+# ftfy-parity surface (ref: clip/simple_tokenizer.py:50-59): the reference
+# runs ftfy.fix_text before tokenizing; we only apply it (a deterministic
+# lite port) to non-ASCII input. These tests pin that every SHIPPED prompt
+# string — template banks and hardcoded classname renames — is printable
+# ASCII, for which fix_text is the identity, so dropping it cannot change
+# any token id the framework produces on its own vocabulary.
+# ----------------------------------------------------------------------
+
+def _is_fix_text_identity_ascii(s: str) -> bool:
+    # printable ASCII with no control chars other than whitespace: every
+    # default ftfy fixer (mojibake repair, ligatures, width, quotes, NFC)
+    # is the identity on such strings
+    return s.isascii() and all(c.isprintable() or c in " \t\n" for c in s)
+
+
+def test_all_template_banks_are_ftfy_identity():
+    from clip_gp_tpu.data import template_banks as tb
+
+    all_strings = list(tb.IMAGENET_TEMPLATES)
+    all_strings += list(tb.IMAGENET_TEMPLATES_SELECT)
+    for bank in tb.CUSTOM_TEMPLATES.values():  # dataset -> list of templates
+        all_strings += list(bank)
+    all_strings += list(tb.SINGLE_TEMPLATES.values())
+    for group in tb.GROUPED_IMAGENET_TEMPLATES:
+        all_strings += list(group)
+    assert len(all_strings) > 100
+    for s in all_strings:
+        assert _is_fix_text_identity_ascii(s), s
+
+
+def test_all_hardcoded_classnames_are_ftfy_identity():
+    import clip_gp_tpu.data.datasets  # noqa: F401
+    from clip_gp_tpu.data.datasets.catalog import DATASET_REGISTRY
+
+    seen = 0
+    for name in DATASET_REGISTRY.names():
+        cls = DATASET_REGISTRY.get(name)
+        for k, v in (getattr(cls, "new_cnames", None) or {}).items():
+            assert _is_fix_text_identity_ascii(k), (name, k)
+            assert _is_fix_text_identity_ascii(v), (name, v)
+            seen += 1
+    assert seen >= 14  # caltech101 renames + eurosat renames
+
+
+def test_ascii_input_never_warns(capsys):
+    import clip_gp_tpu.models.tokenizer as tkn
+
+    tkn._warned_non_ascii = False
+    tokenize(["a photo of a dog.", "hello world", "itap of a cat."])
+    assert tkn._warned_non_ascii is False
+    assert "WARN" not in capsys.readouterr().err
+
+
+def test_fix_text_lite_normalizations():
+    from clip_gp_tpu.models.tokenizer import _fix_text_lite
+
+    # latin ligatures expand (ftfy fix_latin_ligatures)
+    assert _fix_text_lite("ﬁsh ﬂy ﬀ") == "fish fly ff"
+    # curly quotes uncurl (ftfy uncurl_quotes)
+    assert _fix_text_lite("‘a’ “b”") == "'a' \"b\""
+    # fullwidth forms narrow (ftfy fix_character_width)
+    assert _fix_text_lite("Ａｂｃ") == "Abc"
+    # NFC composition (ftfy normalization='NFC')
+    assert _fix_text_lite("café") == "café"
+    # zero-width/format chars removed (ftfy remove_control_chars)
+    assert _fix_text_lite("a​b﻿c") == "abc"
+    # terminal escapes removed (ftfy remove_terminal_escapes)
+    assert _fix_text_lite("\x1b[31mred\x1b[0m") == "red"
+    # line separators normalize (ftfy fix_line_breaks)
+    assert _fix_text_lite("a b") == "a\nb"
+    # well-formed accented text passes through unchanged
+    assert _fix_text_lite("café niño") == "café niño"
+
+
+def test_non_ascii_warns_once_and_tokenizes_normalized(capsys):
+    import clip_gp_tpu.models.tokenizer as tkn
+
+    tkn._warned_non_ascii = False
+    a = tokenize("a photo of a ﬁsh.")  # ligature fi
+    b = tokenize("a photo of a fish.")
+    np.testing.assert_array_equal(a, b)
+    err = capsys.readouterr().err
+    assert err.count("Mojibake repair is NOT ported") == 1
+    tokenize("café")  # second non-ASCII input: no second warning
+    assert "Mojibake" not in capsys.readouterr().err
+    tkn._warned_non_ascii = False
