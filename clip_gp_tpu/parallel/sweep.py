@@ -305,10 +305,29 @@ def _vmap_supported(config, group_size: int) -> bool:
     return False
 
 
+def _group_trial_mesh(n_trials: int, devices, requested: int):
+    """Build a ``Mesh(axis='trial')`` for one trial group: the largest
+    divisor of the group size that fits the device budget (the [T, ...]
+    trial axis shards evenly or not at all — NamedSharding placement).
+    Returns None when only one device would participate."""
+    cap = min(int(requested), len(devices))
+    m = 1
+    for d in range(2, cap + 1):
+        if n_trials % d == 0:
+            m = d
+    if m < 2:
+        return None
+    import numpy as _np
+    from jax.sharding import Mesh
+
+    return Mesh(_np.array(devices[:m]), ("trial",))
+
+
 @_no_extraction_sharding
 def run_trials_vmapped(
     trials: List[Trial], strict: bool = False,
     group_parallel: Optional[int] = None,
+    trial_mesh: Optional[int] = None,
 ) -> List[Dict[str, Any]]:
     """Group trials that differ only by seed (or vmappable scalar grid cells)
     and train each group as one vmapped program. Supported methods: Adapter,
@@ -323,7 +342,27 @@ def run_trials_vmapped(
     XLA executables and feature memo stay shared. Groups are assigned to
     workers *per dataset* (dataset-sticky), so each dataset's eval split is
     encoded once on one device. Default (None) = one worker per local device,
-    capped by the dataset count; 1 = sequential (single-chip behavior)."""
+    capped by the dataset count; 1 = sequential (single-chip behavior).
+
+    ``trial_mesh``: shard each group's [T, ...] trial axis over up to N local
+    devices (the TPU-native analog of the reference's ``--devices`` trial
+    scheduling, ref: utils/hparam_search.py:201-281, as pure placement: trials
+    never communicate, so XLA inserts no collectives — top-1 predictions are
+    identical to unsharded; calibration metrics agree to float tolerance, as
+    XLA tiles the [T/m, ...] shard program differently and reduction order
+    shifts at ULP level). Mutually exclusive with ``group_parallel`` > 1 — they are
+    opposite ways to spend the same chips: trial-mesh splits ONE group across
+    devices (wins when one large seed×grid group dominates, or when the host
+    can only feed one decode pipeline), group-parallel runs DIFFERENT groups
+    on different devices (wins for many-(dataset, shots)-cell sweeps on
+    many-core hosts, where each worker gets its own decode threads). Groups
+    whose size shares no divisor ≥ 2 with the device budget run unsharded."""
+    if trial_mesh and group_parallel and group_parallel > 1:
+        raise ValueError(
+            "--trial-mesh and --group-parallel are mutually exclusive: "
+            "the first shards one group over all devices, the second pins "
+            "whole groups to single devices"
+        )
     from clip_gp_tpu.core.config import Config, merge_config_from_file, merge_from_opts
     from clip_gp_tpu.parallel.trial_vmap import (
         run_vmapped_trials,
@@ -360,6 +399,8 @@ def run_trials_vmapped(
     leftovers: List[Trial] = []
     n_fallback_groups = 0
 
+    import jax
+
     work_items: List[Tuple] = []
     for key, group in groups.items():
         config = configs[key]
@@ -378,14 +419,32 @@ def run_trials_vmapped(
         outdirs = [t.format_outdir() for t in group]
         for d in outdirs:
             d.mkdir(parents=True, exist_ok=True)
-        work_items.append((key, group, config, method, seeds, overrides, outdirs))
+        mesh = None
+        if trial_mesh:
+            mesh = _group_trial_mesh(
+                len(group), jax.local_devices(), trial_mesh
+            )
+            if mesh is not None:
+                print(
+                    f"[vmap] trial-mesh: group {key} shards {len(group)} "
+                    f"trial(s) over {mesh.devices.size} device(s)"
+                )
+            else:
+                print(
+                    f"[vmap] trial-mesh: group {key} ({len(group)} trials) "
+                    "has no divisor >= 2 within the device budget; running "
+                    "unsharded"
+                )
+        work_items.append(
+            (key, group, config, method, seeds, overrides, outdirs, mesh)
+        )
 
     lock = threading.Lock()
     strict_errors: List[BaseException] = []
 
     def _run_group(item, prefetched=None, start_next=None) -> None:
         nonlocal n_fallback_groups
-        key, group, config, method, seeds, overrides, outdirs = item
+        key, group, config, method, seeds, overrides, outdirs, mesh = item
         try:
             if prefetched is not None:
                 # adopt the decode-ahead runner: its splits are sampled and
@@ -395,7 +454,7 @@ def run_trials_vmapped(
             else:
                 run_vmapped_trials(
                     config, seeds, outdirs, trial_overrides=overrides,
-                    method=method, on_before_train=start_next,
+                    method=method, on_before_train=start_next, mesh=mesh,
                 )
         except Exception as e:
             import traceback
@@ -442,7 +501,6 @@ def run_trials_vmapped(
     buckets: Dict[Any, List[Tuple]] = {}
     for item in work_items:
         buckets.setdefault(item[1][0].dataset, []).append(item)
-    import jax
 
     if group_parallel:
         # explicit: workers may outnumber devices — co-resident groups
@@ -458,6 +516,11 @@ def run_trials_vmapped(
                     (item[1][0].dataset, item[1][0].shots), []
                 ).append(item)
         n_workers = min(n_workers, len(buckets) or 1)
+    elif trial_mesh:
+        # groups spread over the devices' trial axis — the scheduler itself
+        # stays sequential (decode-ahead still overlaps the next group's host
+        # decode with the current group's sharded executable)
+        n_workers = 1
     else:
         n_workers = max(
             1, min(len(jax.local_devices()), len(buckets) or 1)
@@ -481,13 +544,14 @@ def run_trials_vmapped(
                 j = i + 1
                 if not prefetch_on or j >= len(work_items) or pfs[j] is not None:
                     return
-                _, _, cfg_j, method_j, seeds_j, overrides_j, _ = work_items[j]
+                (_, _, cfg_j, method_j, seeds_j, overrides_j, _,
+                 mesh_j) = work_items[j]
                 try:
                     from clip_gp_tpu.parallel.trial_vmap import DecodePrefetcher
 
                     pfs[j] = DecodePrefetcher(
                         cfg_j, seeds_j, trial_overrides=overrides_j,
-                        method=method_j,
+                        method=method_j, mesh=mesh_j,
                     ).start()
                     print(
                         f"[vmap] decode-ahead: prefetching group "
@@ -668,7 +732,29 @@ def main(argv=None):
              "local device (default: one worker per device, dataset-sticky; "
              "1 = sequential)",
     )
+    ap.add_argument(
+        "--trial-mesh", nargs="?", const="auto", default=None,
+        help="vmap backend: shard each trial group's [T, ...] state over a "
+             "Mesh of up to N local devices ('auto' or no value = all local "
+             "devices). Pure placement, no collectives: top-1 identical to "
+             "unsharded, calibration metrics within float tolerance. "
+             "Mutually exclusive with --group-parallel: trial-mesh splits "
+             "ONE group across chips (best when one big seed x grid group "
+             "dominates or the host can only feed one decode pipeline); "
+             "group-parallel runs DIFFERENT groups on different chips (best "
+             "for many-cell sweeps on many-core hosts)",
+    )
     args = ap.parse_args(argv)
+    trial_mesh = None
+    if args.trial_mesh is not None:
+        if args.backend != "vmap":
+            ap.error("--trial-mesh requires --backend vmap")
+        if str(args.trial_mesh).lower() == "auto":
+            trial_mesh = 1 << 30  # capped at len(jax.local_devices())
+        else:
+            trial_mesh = int(args.trial_mesh)
+            if trial_mesh < 2:
+                ap.error("--trial-mesh needs >= 2 devices (or 'auto')")
 
     t0 = time.time()
     config_path = Path(args.config_file)
@@ -688,7 +774,8 @@ def main(argv=None):
     devices = [d.strip() for d in str(dev_str).split(",") if d.strip()]
     if args.backend == "vmap":
         run_trials_vmapped(
-            todo, strict=args.strict_vmap, group_parallel=args.group_parallel
+            todo, strict=args.strict_vmap, group_parallel=args.group_parallel,
+            trial_mesh=trial_mesh,
         )
     elif args.backend == "subprocess" or devices:
         run_trials_subprocess(

@@ -1902,9 +1902,11 @@ class DecodePrefetcher:
     union streams instead of materializing.
     """
 
-    def __init__(self, config, seeds, trial_overrides=None, method=None):
+    def __init__(self, config, seeds, trial_overrides=None, method=None,
+                 mesh=None):
         self.runner = VmappedTrials(
-            config, seeds, trial_overrides=trial_overrides, method=method
+            config, seeds, mesh=mesh, trial_overrides=trial_overrides,
+            method=method,
         )
         self.runner._prefetch = self
         self._budget = int(
