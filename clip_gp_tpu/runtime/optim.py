@@ -10,16 +10,18 @@ Torch-parity notes:
 - schedules step per *epoch* (the reference calls ``sched.step()`` in
   ``after_epoch``), so the schedule is a function of epoch index and the
   current lr is injected per-epoch via ``optax.inject_hyperparams``;
-- "muon" orthogonalizes ≥2-D updates via Newton–Schulz (optax.contrib.muon),
-  with AdamW handling <2-D params — mirroring MuonWithAuxAdam, minus the
-  vestigial single-process torch.distributed group the reference spins up
+- "muon" orthogonalizes ≥2-D updates via bf16 Newton–Schulz with Adam
+  handling <2-D params (``_muon_with_aux_adam`` — the public
+  MuonWithAuxAdam's exact executed math, golden-pinned against the
+  reference running on tests/_muon_shim.py), minus the vestigial
+  single-process torch.distributed group the reference spins up
   (ref: utils/optimization.py:29-54), which has no TPU equivalent or purpose.
 """
 
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict, NamedTuple, Optional
 
 import jax
 import optax
@@ -149,21 +151,121 @@ def _core_transform(config) -> optax.GradientTransformation:
     raise ValueError(f"Unsupported optimizer: {name}")
 
 
+class MuonAuxState(NamedTuple):
+    """State for ``_muon_with_aux_adam``: ``mu`` holds the Muon momentum on
+    ≥2-D leaves and the Adam first moment on <2-D leaves; ``nu`` holds the
+    Adam second moment (zeros on Muon leaves)."""
+
+    count: Any
+    mu: Any
+    nu: Any
+
+
+def _ns5_keller(x, ns_steps: int = 5):
+    """Newton–Schulz-5 orthogonalization with the public Muon package's exact
+    numerics (github.com/KellerJordan/Muon ``zeropower_via_newtonschulz5``):
+    bfloat16 iteration (MXU-native on TPU), transpose when rows > cols,
+    Frobenius normalization with eps 1e-7. Returns bf16 (the caller casts),
+    matching torch's ``p.add_(update)`` upcast point."""
+    import jax.numpy as jnp
+
+    a, b, c = 3.4445, -4.7750, 2.0315
+    x = x.astype(jnp.bfloat16)
+    transposed = x.shape[-2] > x.shape[-1]
+    if transposed:
+        x = jnp.swapaxes(x, -1, -2)
+    x = x / (jnp.linalg.norm(x, axis=(-2, -1), keepdims=True) + 1e-7)
+    for _ in range(ns_steps):
+        xxt = x @ jnp.swapaxes(x, -1, -2)
+        poly = b * xxt + c * (xxt @ xxt)
+        x = a * x + poly @ x
+    if transposed:
+        x = jnp.swapaxes(x, -1, -2)
+    return x
+
+
+def _muon_with_aux_adam(config) -> optax.GradientTransformation:
+    """The reference's executed MuonWithAuxAdam semantics, exactly
+    (ref: utils/optimization.py:105-141 + the public muon package it
+    imports, github.com/KellerJordan/Muon — executed-golden-pinned via
+    tests/_muon_shim.py):
+
+    - ≥2-D params: momentum ``m ← βm + (1−β)g`` with β = 0.95 (the muon
+      group default — the reference never passes momentum), nesterov blend
+      ``u = (1−β)g + βm``, NO bias correction, bf16 Newton–Schulz-5,
+      scale by ``max(1, rows/cols)**0.5``;
+    - <2-D params: bias-corrected Adam with eps added AFTER the sqrt;
+    - both: torch-style decoupled ``lr·wd`` decay.
+
+    The reference's aux_lr / aux_weight_decay / eps getattr-knobs are
+    unreachable in its executed config system (utils/config.py hasattr-guards
+    every OPTIM.* key and declares none of them), so aux lr/wd == muon lr/wd
+    and eps == 1e-8 always — mirrored here as constants.
+
+    optax.contrib.muon is NOT this: it bias-corrects the momentum before the
+    nesterov blend, runs Newton–Schulz in the update dtype (fp32) with a
+    different norm eps, and reads its shape factor from dimension numbers
+    (output/reduction) rather than torch's rows/cols — all found by the
+    executed golden (tests/test_reference_executed_muon.py)."""
+    import jax.numpy as jnp
+
+    wd = float(getattr(config, "weight_decay", 0.0))
+    b1, b2 = tuple(getattr(config, "betas", (0.9, 0.999)))
+    eps = 1e-8
+    beta = 0.95
+
+    def _is_muon(g) -> bool:
+        return getattr(g, "ndim", 0) >= 2
+
+    def init_fn(params):
+        return MuonAuxState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(
+                lambda p: jnp.zeros_like(p) if not _is_muon(p)
+                else jnp.zeros([], p.dtype),
+                params,
+            ),
+        )
+
+    def update_fn(updates, state, params):
+        if params is None:
+            raise ValueError("muon requires params (decoupled weight decay)")
+        t = state.count + 1
+
+        def leaf(g, m, v, p):
+            if _is_muon(g):
+                m_new = beta * m + (1.0 - beta) * g  # lerp_(g, 1-β)
+                u = (1.0 - beta) * g + beta * m_new  # nesterov lerp_(m, β)
+                flat = u.reshape(u.shape[0], -1) if u.ndim == 4 else u
+                ortho = _ns5_keller(flat).reshape(g.shape).astype(g.dtype)
+                factor = max(1.0, g.shape[-2] / g.shape[-1]) ** 0.5
+                return ortho * factor + wd * p, m_new, v
+            m_new = b1 * m + (1.0 - b1) * g
+            v_new = b2 * v + (1.0 - b2) * jnp.square(g)
+            m_hat = m_new / (1.0 - b1 ** t.astype(g.dtype))
+            v_hat = v_new / (1.0 - b2 ** t.astype(g.dtype))
+            return m_hat / (jnp.sqrt(v_hat) + eps) + wd * p, m_new, v_new
+
+        triples = jax.tree.map(leaf, updates, state.mu, state.nu, params)
+        is_triple = lambda x: isinstance(x, tuple) and len(x) == 3  # noqa: E731
+        pick = lambda i: jax.tree.map(  # noqa: E731
+            lambda tr: tr[i], triples, is_leaf=is_triple
+        )
+        return pick(0), MuonAuxState(count=t, mu=pick(1), nu=pick(2))
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def _tx_factory(config) -> Callable[[float], optax.GradientTransformation]:
-    """learning-rate → full transform. Muon is special-cased: optax.contrib.muon
-    already implements the 2-D→Newton-Schulz / rest→Adam partition with its own
-    lr handling (the MuonWithAuxAdam split, ref: utils/optimization.py:105-141)."""
+    """learning-rate → full transform. Muon is special-cased: the
+    ≥2-D→Newton-Schulz / rest→Adam partition lives in _muon_with_aux_adam
+    (the MuonWithAuxAdam split, ref: utils/optimization.py:105-141)."""
     name = str(config.name).lower()
     if name == "muon":
-        wd = float(getattr(config, "weight_decay", 0.0))
-        betas = tuple(getattr(config, "betas", (0.9, 0.999)))
-        eps = float(getattr(config, "eps", 1e-8))
-        return lambda learning_rate: optax.contrib.muon(
-            learning_rate,
-            weight_decay=wd,
-            adam_b1=betas[0],
-            adam_b2=betas[1],
-            adam_weight_decay=wd,
+        return lambda learning_rate: optax.chain(
+            _muon_with_aux_adam(config),
+            optax.scale_by_learning_rate(learning_rate),
         )
     return lambda learning_rate: optax.chain(
         _core_transform(config),
