@@ -159,18 +159,41 @@ def main():
         return dt
 
     cells = {}
+    failed = {}
+    partial_path = REPO / "BENCH_sweep_methods.partial.json"
+
+    def run_cell_guarded(method, ds_name, k, shots):
+        """A TPU-worker crash mid-cell (observed 2026-08-20 on the CoCoOp
+        K=100 cell) must not discard the 40 min of cells already measured:
+        retry once after waiting for the backend; on a second failure record
+        the cell as failed and keep going. Partial results persist after
+        every cell."""
+        key = f"{method}/{ds_name}/{shots}shot"
+        for attempt in (1, 2):
+            try:
+                cells[key] = run_cell(method, ds_name, k, shots)
+                print(f"# {key}: {cells[key]:.1f}s", file=sys.stderr)
+                break
+            except Exception as e:
+                print(f"# {key}: attempt {attempt} FAILED: {e!r}",
+                      file=sys.stderr)
+                if attempt == 2:
+                    failed[key] = repr(e)
+                else:
+                    wait_for_backend()
+        partial_path.write_text(json.dumps(
+            {"cells": {k_: round(v, 1) for k_, v in cells.items()},
+             "failed": failed}
+        ) + "\n")
+
     for method in METHODS_3:
         for ds_name, k in DATASETS_3.items():
             for shots in SHOTS:
-                key = f"{method}/{ds_name}/{shots}shot"
-                cells[key] = run_cell(method, ds_name, k, shots)
-                print(f"# {key}: {cells[key]:.1f}s", file=sys.stderr)
+                run_cell_guarded(method, ds_name, k, shots)
     for method in METHODS_4:
         for ds_name, k in DATASETS_4.items():
             for shots in SHOTS:
-                key = f"{method}/{ds_name}/{shots}shot"
-                cells[key] = run_cell(method, ds_name, k, shots)
-                print(f"# {key}: {cells[key]:.1f}s", file=sys.stderr)
+                run_cell_guarded(method, ds_name, k, shots)
 
     trials_run = len(cells) * len(SEEDS)
     total_s = sum(cells.values())
@@ -201,10 +224,12 @@ def main():
             "the measured mean group time; 16-shot measured cells are the "
             "most expensive, so this over-counts lower-shot cells"
         ),
-        "zero_vmap_fallbacks": True,  # strict per-group asserts + gate check
+        "zero_vmap_fallbacks": not failed,  # strict per-group asserts + gate
         "backend": jax.default_backend(),
         "dataset_gen_s": round(gen_s, 1),
     }
+    if failed:
+        payload["failed_cells"] = failed
     if os.environ.get("BENCH_METHODS_SMOKE") == "1":
         payload["smoke"] = True  # reduced grid — projections not meaningful
     if METHODS_4:
