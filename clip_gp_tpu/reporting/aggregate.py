@@ -264,13 +264,91 @@ def group_fams(per_cfg):
     return out
 
 
+def group_fams_ref(per_cfg):
+    """Reference-exact grouping for one dataset
+    (ref: scripts/aggregate_results.py:228-261): returns
+    (plot map with "<label> (N)" keys, collect map with clean keys,
+    label → matched fam set). Unlike :func:`group_fams`, fams matching no
+    GROUP_SUBSTRINGS entry are DROPPED (the reference never plots them
+    under --grouped)."""
+    assigned = set()
+    plot_map: Dict[str, Dict[int, Dict[str, float]]] = {}
+    collect_map: Dict[str, Dict[int, Dict[str, float]]] = {}
+    group_to_fams: Dict[str, set] = {}
+    for sub, label in GROUP_SUBSTRINGS.items():
+        matched = [fam for fam in per_cfg if fam not in assigned and sub in fam]
+        if not matched:
+            continue
+        shots_all = sorted({s for fam in matched for s in per_cfg[fam]})
+        shot_map = {
+            s: {
+                m: _fmean(
+                    [
+                        per_cfg[fam][s][m]
+                        for fam in matched
+                        if s in per_cfg[fam]
+                        and not math.isnan(per_cfg[fam][s][m])
+                    ]
+                )
+                for m in METRICS
+            }
+            for s in shots_all
+        }
+        plot_map[f"{label} ({len(matched)})"] = shot_map
+        collect_map[label] = shot_map
+        group_to_fams.setdefault(label, set()).update(matched)
+        assigned.update(matched)
+    return plot_map, collect_map, group_to_fams
+
+
+def _ref_grouped_average(per_ds):
+    """Reference --grouped averaging order (ref:
+    scripts/aggregate_results.py:346-386): group WITHIN each dataset first,
+    then average each group label's per-dataset values. Returns
+    (per-dataset plot maps, Average map labeled "<label> (N configs)")."""
+    grouped_ds: Dict[str, Dict[str, Dict[int, Dict[str, float]]]] = {}
+    collect: Dict[str, Dict[int, Dict[str, List[float]]]] = {}
+    all_fams: Dict[str, set] = {}
+    for ds, fam_map in per_ds.items():
+        plot_map, collect_map, g2f = group_fams_ref(fam_map)
+        grouped_ds[ds] = plot_map
+        for label, shot_map in collect_map.items():
+            for s, met in shot_map.items():
+                lists = collect.setdefault(label, {}).setdefault(
+                    s, {m: [] for m in METRICS}
+                )
+                for m in METRICS:
+                    if not math.isnan(met[m]):
+                        lists[m].append(met[m])
+        for label, fams in g2f.items():
+            all_fams.setdefault(label, set()).update(fams)
+    avg = {
+        f"{label} ({len(all_fams[label])} configs)": {
+            s: {m: _fmean(lists[m]) for m in METRICS}
+            for s, lists in shot_maps.items()
+        }
+        for label, shot_maps in collect.items()
+    }
+    return grouped_ds, avg
+
+
 def make_plots(
     grouped,
     exp_name: str,
     output_root: Path = Path("output"),
     use_grouping: bool = False,
     show_zero_shot: bool = False,
+    ref_style: bool = False,
 ) -> None:
+    """``ref_style`` reproduces the reference's plotted DATA SERIES exactly
+    (golden-pinned vs the executed reference,
+    tests/test_reference_executed_plots.py) where the default style
+    deliberately diverges: acc-vs-ECE points sort by ECE with an
+    average-position star per config (ref: scripts/aggregate_results.py:
+    482-540), the shots axis is linear with explicit ticks (ref: :452),
+    and --grouped averages group-within-dataset-first, dropping ungrouped
+    fams (ref: :228-261, :346-386). Default style: shot-ordered acc-vs-ECE
+    lines, symlog shots axis, group-after-average keeping ungrouped fams."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -282,14 +360,21 @@ def make_plots(
     pps_dir.mkdir(parents=True, exist_ok=True)
     ave_dir.mkdir(parents=True, exist_ok=True)
     per_ds = dict(per_dataset_fam_means(grouped))
-    # average pseudo-dataset
-    per_ds["Average"] = average_across_datasets(per_ds)
+    pre_grouped = False
+    if ref_style and use_grouping:
+        per_ds, avg = _ref_grouped_average(per_ds)
+        per_ds["Average"] = avg
+        pre_grouped = True
+    else:
+        # average pseudo-dataset
+        per_ds["Average"] = average_across_datasets(per_ds)
 
     for ds, fam_map in per_ds.items():
-        if use_grouping:
+        if use_grouping and not pre_grouped:
             fam_map = group_fams(fam_map)
         # perf vs shots: one subplot per metric
         fig, axes = plt.subplots(1, 3, figsize=(15, 4))
+        all_shots = sorted({s for sm in fam_map.values() for s in sm})
         for ax, metric, title in zip(
             axes, METRICS, ("Accuracy (%)", "ECE (%)", "AECE (%)")
         ):
@@ -312,7 +397,14 @@ def make_plots(
                                color=line.get_color())
             ax.set_xlabel("shots")
             ax.set_title(f"{ds}: {title}")
-            ax.set_xscale("symlog", base=2)
+            if ref_style:
+                # linear axis, one tick per shot count (ref: :452)
+                ax.set_xticks(
+                    sorted(set(s for s in all_shots if s > 0)
+                           | ({0} if show_zero_shot else set()))
+                )
+            else:
+                ax.set_xscale("symlog", base=2)
             ax.grid(alpha=0.3)
         axes[0].legend(fontsize=7)
         fig.tight_layout()
@@ -331,7 +423,18 @@ def make_plots(
             ]
             if not pts:
                 continue
+            if ref_style:
+                # points sort by ECE, not shots (ref: :502)
+                pts.sort(key=lambda p: p[0])
             (line,) = ax.plot(*zip(*pts), marker="o", label=fam)
+            if ref_style:
+                # star at the config's average (ECE, acc) position
+                # (ref: :512-516)
+                ax.scatter(
+                    [_fmean([p[0] for p in pts])],
+                    [_fmean([p[1] for p in pts])],
+                    marker="*", s=200, color=line.get_color(), zorder=10,
+                )
             if show_zero_shot and 0 in shot_map:
                 ax.scatter(
                     [shot_map[0]["ece"]], [shot_map[0]["acc"]],
@@ -460,6 +563,14 @@ def main(argv=None):
     ap.add_argument("--delete", action="store_true")
     ap.add_argument("--grouped", action="store_true")
     ap.add_argument("--show-zero-shot", action="store_true")
+    ap.add_argument(
+        "--ref-style", action="store_true",
+        help="plot the reference's exact data series for honest A/B figure "
+             "comparison: ECE-sorted acc-vs-ECE lines with average-position "
+             "stars, linear shots axis, group-within-dataset-first --grouped "
+             "averaging (drops ungrouped config families, like the "
+             "reference)",
+    )
     args = ap.parse_args(argv)
     output_root = Path(args.output_root)
     runs = load_runs(output_root / args.experiment, args.delete)
@@ -475,6 +586,7 @@ def main(argv=None):
         output_root,
         use_grouping=args.grouped,
         show_zero_shot=args.show_zero_shot,
+        ref_style=args.ref_style,
     )
     make_reliability_diagrams(grouped, args.experiment, output_root)
     write_experiment_tables(grouped, args.experiment, output_root)
