@@ -245,6 +245,29 @@ def main():
         "meets_target_single_chip": single_chip_s / 60 < 30,
         "dataset_gen_s": round(gen_s, 1),
         "backend": jax.default_backend(),
+        # honesty labels (VERDICT r3 #8): which numbers are hardware
+        # measurements vs model-derived projections
+        "measured_keys": [
+            "measured_group_s_by_shots", "measured_per_dataset_s",
+            "cold_first_dataset_s", "dataset_gen_s",
+            "measured_per_dataset_decode_ahead_s",
+            "decode_ahead_group_s_by_shots", "decode_ahead_speedup",
+            "measured_per_dataset_pipelined_s",
+        ],
+        "projected_keys": [
+            "single_chip_projection_min",  # 11 x measured per-dataset time
+            "eight_chip_projection_min",  # ceil(55/8) groups x measured mean
+            "single_chip_pipelined_min",
+        ],
+        "eight_chip_projection_basis": (
+            "projection from single-chip measured group times over an 8-way "
+            "group distribution (only one chip is attached here). The "
+            "multi-chip PROGRAM is separately witnessed end-to-end — "
+            "sweep --trial-mesh and dryrun_multichip run the production "
+            "run_vmapped_trials(mesh=...) path on a virtual 8-device mesh "
+            "(tests/test_sweep_trial_mesh.py, MULTICHIP artifact) — but its "
+            "wall-clock on real chips is not measured"
+        ),
         "assumptions": [
             "representative dataset = 100 classes, 42 imgs/class (real "
             "JPEG decode->augment->encode pipeline at 224px, native fused "
