@@ -186,14 +186,25 @@ def main():
              "failed": failed}
         ) + "\n")
 
+    # BENCH_METHODS_ONLY="Adapter-CoCoOp/caltech101_like" runs matching
+    # cells alone (crash triage: fresh-process single-cell isolation)
+    only = [s for s in
+            os.environ.get("BENCH_METHODS_ONLY", "").split(",") if s]
+
+    def _selected(method, ds_name):
+        return not only or any(f"{method}/{ds_name}".startswith(s)
+                               for s in only)
+
     for method in METHODS_3:
         for ds_name, k in DATASETS_3.items():
             for shots in SHOTS:
-                run_cell_guarded(method, ds_name, k, shots)
+                if _selected(method, ds_name):
+                    run_cell_guarded(method, ds_name, k, shots)
     for method in METHODS_4:
         for ds_name, k in DATASETS_4.items():
             for shots in SHOTS:
-                run_cell_guarded(method, ds_name, k, shots)
+                if _selected(method, ds_name):
+                    run_cell_guarded(method, ds_name, k, shots)
 
     trials_run = len(cells) * len(SEEDS)
     total_s = sum(cells.values())
@@ -250,8 +261,11 @@ def main():
             f"(10/47/100) at {PROMPT_EPOCHS} epochs (group time scales "
             "~linearly in epochs); ImageNet-scale K not re-run per bench"
         )
+    if only:
+        payload["cells_filtered_by"] = only  # triage run, partial grid
     out = json.dumps(payload)
-    if not payload.get("smoke"):  # never clobber the artifact with a smoke
+    # never clobber the artifact with a smoke or filtered triage run
+    if not payload.get("smoke") and not only:
         (REPO / "BENCH_sweep_methods.json").write_text(out + "\n")
     print(out)
 
