@@ -99,10 +99,46 @@ def main():
         return optax.apply_updates(params_t, updates), opt_state, loss
 
     t0 = time.time()
-    for i in range(steps):
-        params_t, opt_state, loss = step(params_t, opt_state, feats, labels)
-    print(f"TRAIN OK: {steps} steps, loss={float(loss):.4f}, "
-          f"{time.time() - t0:.1f}s", file=sys.stderr)
+    if os.environ.get("REPRO_SCAN") == "1":
+        # the runner's epoch_scan shape: ALL steps inside ONE dispatched
+        # executable (watchdog/long-execution hypothesis)
+        @jax.jit
+        def scan_steps(params_t, opt_state, feats_s, labels_s):
+            def body(carry, batch):
+                p, o = carry
+                f, l = batch
+                p, o, loss = step_inner(p, o, f, l)
+                return (p, o), loss
+
+            (params_t, opt_state), losses = jax.lax.scan(
+                body, (params_t, opt_state), (feats_s, labels_s)
+            )
+            return params_t, opt_state, losses
+
+        def step_inner(params_t, opt_state, f, l):
+            def total(ps):
+                return jax.vmap(loss_one)(ps, f, l).sum()
+
+            loss, grads = jax.value_and_grad(total)(params_t)
+            updates, opt_state = tx.update(grads, opt_state, params_t)
+            return optax.apply_updates(params_t, updates), opt_state, loss
+
+        feats_s = jnp.broadcast_to(feats[None], (steps,) + feats.shape)
+        labels_s = jnp.broadcast_to(labels[None], (steps,) + labels.shape)
+        params_t, opt_state, losses = scan_steps(
+            params_t, opt_state, feats_s, labels_s
+        )
+        loss = losses[-1]
+        print(f"TRAIN OK (one scan dispatch): {steps} steps, "
+              f"loss={float(loss):.4f}, {time.time() - t0:.1f}s",
+              file=sys.stderr)
+    else:
+        for i in range(steps):
+            params_t, opt_state, loss = step(
+                params_t, opt_state, feats, labels
+            )
+        print(f"TRAIN OK: {steps} steps, loss={float(loss):.4f}, "
+              f"{time.time() - t0:.1f}s", file=sys.stderr)
 
     if os.environ.get("REPRO_EVAL") == "1":
         n_test = int(os.environ.get("REPRO_NTEST", "600"))

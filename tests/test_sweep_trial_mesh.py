@@ -84,31 +84,34 @@ def test_trial_mesh_group_parallel_exclusive():
 
 
 def test_trial_mesh_matches_unsharded(tmp_path, capsys):
-    """4-seed group sharded over 4 of the virtual 8 devices: same top-1
-    accuracy (exact) as the unsharded run; calibration metrics agree to
-    float tolerance (XLA tiles the [T/m, ...] shard program differently
-    from the [T, ...] one, so reduction order differs at ULP level —
-    same caveat as batch-sharded extraction, sweep.py)."""
-    mesh_trials = _build(tmp_path, tmp_path / "out_mesh")
-    seq_trials = _build(tmp_path, tmp_path / "out_seq")
-    assert len(mesh_trials) == len(seq_trials) == 4
+    """Two 4-seed groups (shots 1 and 2) sharded over 4 of the virtual 8
+    devices: same top-1 accuracy (exact) as the unsharded run; calibration
+    metrics agree to float tolerance (XLA tiles the [T/m, ...] shard
+    program differently from the [T, ...] one, so reduction order differs
+    at ULP level — same caveat as batch-sharded extraction, sweep.py).
+    Two groups also engage decode-ahead, covering the
+    DecodePrefetcher(mesh=...) forwarding path."""
+    mesh_trials = _build(tmp_path, tmp_path / "out_mesh", shots=(1, 2))
+    seq_trials = _build(tmp_path, tmp_path / "out_seq", shots=(1, 2))
+    assert len(mesh_trials) == len(seq_trials) == 8
 
     feature_cache.memo_clear()
     mesh_results = run_trials_vmapped(
         mesh_trials, strict=True, trial_mesh=1 << 30
     )
     out = capsys.readouterr().out
-    assert "shards 4 trial(s) over 4 device(s)" in out
+    assert out.count("shards 4 trial(s) over 4 device(s)") == 2
+    assert "decode-ahead: prefetching group 2/2" in out
     feature_cache.memo_clear()
     seq_results = run_trials_vmapped(seq_trials, strict=True)
 
-    assert len(mesh_results) == len(seq_results) == 4
+    assert len(mesh_results) == len(seq_results) == 8
     assert all(r["return_code"] == 0 for r in mesh_results + seq_results)
     for mr, sr in zip(
         sorted(mesh_results, key=lambda r: r["index"]),
         sorted(seq_results, key=lambda r: r["index"]),
     ):
-        assert mr["seed"] == sr["seed"]
+        assert (mr["seed"], mr["shots"]) == (sr["seed"], sr["shots"])
         mm = json.loads((Path(mr["out_dir"]) / "metrics.json").read_text())
         sm = json.loads((Path(sr["out_dir"]) / "metrics.json").read_text())
         assert mm["metrics"]["top1_acc"] == sm["metrics"]["top1_acc"]
