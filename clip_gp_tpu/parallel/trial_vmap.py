@@ -319,6 +319,17 @@ class MethodSpec:
         governs this head's lr curve."""
         return self.r.config.optim
 
+    def batches_per_dispatch(self, n_batches: int, batch_size: int) -> int:
+        """Max scan steps per dispatched executable in the eager per-epoch
+        path. Default: the whole epoch rides one dispatch. Heavy-step
+        methods override to bound single-execution length — the tunneled
+        TPU worker process dies on very long single executions (measured
+        2026-08-20: the CoCoOp K=100 epoch, 50 steps ≈ 350 s in one
+        executable, crashed the worker 3/3 while the same 50 steps as
+        per-step dispatches pass; see BENCH_sweep_methods.json
+        failed_cells)."""
+        return n_batches
+
     def lr_factors(self, epoch: int, batch: int, n_batches: int):
         """group → per-trial schedule multipliers [T] at this step.
 
@@ -1261,6 +1272,25 @@ class CoCoOpSpec(CoOpSpec):
     def loss(self, p, c, feats, labels, key, hps, shared):
         return common.cross_entropy(self._cond_logits(p, feats, shared), labels)
 
+    def batches_per_dispatch(self, n_batches, batch_size):
+        """Bound the per-epoch scan so one dispatched executable stays at a
+        proven-safe single-execution length. A CoCoOp step moves
+        T·B·K differentiated prompt encodes; the K=100 cell's 50-step
+        epoch (800k prompt-steps ≈ 350 s device time in ONE executable)
+        reproducibly crashed the TPU worker process, while the K=47 cell's
+        173k-prompt-step epochs survived — the default budget keeps every
+        dispatch at or under that measured-safe size. Semantics are
+        unchanged (same batch order, same keys/factors — just more
+        dispatches); override via CLIP_GP_TPU_COCOOP_DISPATCH_PROMPTS
+        (<=0 disables the bound)."""
+        budget = int(
+            os.environ.get("CLIP_GP_TPU_COCOOP_DISPATCH_PROMPTS", "180000")
+        )
+        if budget <= 0:
+            return n_batches
+        work = self.r.t_trials * batch_size * max(1, self.r.k)
+        return max(1, budget // work)
+
     def eval_logits(self, p, c, key, shared):
         return self._cond_logits(p, shared["feats_test"], shared)
 
@@ -1772,11 +1802,22 @@ class VmappedTrials:
                 keys_e = jax.random.split(sub, n_batches * t_trials).reshape(
                     n_batches, t_trials
                 )
-                with phase_timer("vmap.train.dispatch"):
-                    params, opt_state, losses = epoch_jit(
-                        params, opt_state, consts, fb, lb, keys_e,
-                        jax.tree.map(jnp.asarray, factors), shared,
-                    )
+                facs_j = jax.tree.map(jnp.asarray, factors)
+                # heavy-step methods bound single-execution length by
+                # splitting the epoch scan into segments (same batch order,
+                # keys and factors — dispatch count is the only difference;
+                # see MethodSpec.batches_per_dispatch)
+                seg = max(
+                    1, min(n_batches, spec.batches_per_dispatch(n_batches, b_sz))
+                )
+                for lo in range(0, n_batches, seg):
+                    hi = min(n_batches, lo + seg)
+                    with phase_timer("vmap.train.dispatch"):
+                        params, opt_state, losses = epoch_jit(
+                            params, opt_state, consts,
+                            fb[lo:hi], lb[lo:hi], keys_e[lo:hi],
+                            {g: v[lo:hi] for g, v in facs_j.items()}, shared,
+                        )
                 losses = losses[-1]
             else:
                 for b, (lo, hi) in enumerate(slices):

@@ -690,6 +690,53 @@ def test_vmapped_cocoop_multi_seed_and_chunked(tmp_path, monkeypatch):
         assert np.isfinite(payload["metrics"]["top1_acc"])
 
 
+def test_cocoop_segmented_epoch_dispatch_identical(tmp_path, monkeypatch):
+    """batches_per_dispatch: splitting the per-epoch scan into bounded
+    segments (the TPU-worker long-execution guard — one dispatched
+    executable per segment instead of per epoch) must not change results:
+    same batch order, same key/factor streams, only the dispatch count
+    differs. Forced to 1 batch/dispatch via the env budget and compared
+    against the unsegmented run."""
+    import clip_gp_tpu.parallel.trial_vmap as tv
+    from clip_gp_tpu.parallel.trial_vmap import run_vmapped_trials
+    from clip_gp_tpu.runtime import feature_cache
+
+    def build(tag):
+        config = _head_config(tmp_path, "Adapter-CoCoOp")
+        config.dataset.num_shots = 8  # 4 classes x 8 shots / B=8 -> 4 batches
+        config.adapter.clip_adapter_epochs = 2
+        seeds = [1, 2]
+        outdirs = [tmp_path / f"{tag}/seed{s}" for s in seeds]
+        feature_cache.memo_clear()
+        return run_vmapped_trials(
+            config, seeds, outdirs, method="Adapter-CoCoOp"
+        )
+
+    seg_calls = []
+    orig = tv.CoCoOpSpec.batches_per_dispatch
+
+    def spy(self, n_batches, batch_size):
+        seg = orig(self, n_batches, batch_size)
+        seg_calls.append((n_batches, seg))
+        return seg
+
+    monkeypatch.setattr(tv.CoCoOpSpec, "batches_per_dispatch", spy)
+
+    monkeypatch.setenv("CLIP_GP_TPU_COCOOP_DISPATCH_PROMPTS", "1")
+    seg_results = build("seg")
+    assert seg_calls and all(s == 1 and n > 1 for n, s in seg_calls), seg_calls
+
+    seg_calls.clear()
+    monkeypatch.delenv("CLIP_GP_TPU_COCOOP_DISPATCH_PROMPTS")
+    plain_results = build("plain")
+    # tiny test shapes stay far under the default budget: no segmentation
+    assert seg_calls and all(s >= n for n, s in seg_calls), seg_calls
+
+    for sr, pr in zip(seg_results, plain_results):
+        assert sr["metrics"]["top1_acc"] == pr["metrics"]["top1_acc"]
+        assert np.isclose(sr["metrics"]["ece"], pr["metrics"]["ece"], atol=1e-6)
+
+
 def test_decode_prefetcher_propagates_producer_errors(tmp_path, monkeypatch):
     """A producer-thread failure (splits sampling or union decode) must
     surface in the CONSUMER — wait_splits()/batches() re-raise instead of
