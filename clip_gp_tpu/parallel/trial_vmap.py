@@ -330,6 +330,13 @@ class MethodSpec:
         failed_cells)."""
         return n_batches
 
+    def eval_rows_per_dispatch(self, n_rows: int) -> int:
+        """Max test rows per final-eval dispatch (same single-execution
+        ceiling as batches_per_dispatch; chunking the eval is
+        results-identical — logits concatenate along the row axis).
+        Default: the whole test set in one dispatch."""
+        return n_rows
+
     def lr_factors(self, epoch: int, batch: int, n_batches: int):
         """group → per-trial schedule multipliers [T] at this step.
 
@@ -1273,23 +1280,41 @@ class CoCoOpSpec(CoOpSpec):
         return common.cross_entropy(self._cond_logits(p, feats, shared), labels)
 
     def batches_per_dispatch(self, n_batches, batch_size):
-        """Bound the per-epoch scan so one dispatched executable stays at a
-        proven-safe single-execution length. A CoCoOp step moves
-        T·B·K differentiated prompt encodes; the K=100 cell's 50-step
-        epoch (800k prompt-steps ≈ 350 s device time in ONE executable)
-        reproducibly crashed the TPU worker process, while the K=47 cell's
-        173k-prompt-step epochs survived — the default budget keeps every
-        dispatch at or under that measured-safe size. Semantics are
-        unchanged (same batch order, same keys/factors — just more
-        dispatches); override via CLIP_GP_TPU_COCOOP_DISPATCH_PROMPTS
-        (<=0 disables the bound)."""
+        """Bound the per-epoch scan so one dispatched executable stays under
+        the tunneled worker's single-execution ceiling. A CoCoOp step moves
+        T·B·K differentiated prompt encodes (~0.43 ms each at the
+        worst-case chunk=1); the duration ceiling bisected on silicon
+        (repro_cocoop_crash.py REPRO_SCAN, 2026-08-20): a 28 s execution
+        (4 steps at K=100) passes, a 77 s one (11 steps) crashes the TPU
+        worker process — so the trigger is execution DURATION (likely a
+        60 s RPC deadline), and the default budget keeps every dispatch at
+        ≈35 s worst-case. Semantics are unchanged (same batch order, same
+        keys/factors — just more dispatches); override via
+        CLIP_GP_TPU_COCOOP_DISPATCH_PROMPTS (<=0 disables the bound).
+        Known limit: a SINGLE step over ~130k prompts (e.g. vmapped
+        ImageNet-scale K at T=5) exceeds the ceiling on its own and cannot
+        be segmented away — run such cells in-process instead."""
         budget = int(
-            os.environ.get("CLIP_GP_TPU_COCOOP_DISPATCH_PROMPTS", "180000")
+            os.environ.get("CLIP_GP_TPU_COCOOP_DISPATCH_PROMPTS", "90000")
         )
         if budget <= 0:
             return n_batches
         work = self.r.t_trials * batch_size * max(1, self.r.k)
         return max(1, budget // work)
+
+    def eval_rows_per_dispatch(self, n_rows):
+        """The final eval is one [T, n_test, K] conditional-prompt dispatch;
+        at real-catalog test sizes (caltech 2465 rows → 1.2M forward prompt
+        encodes at K=100) a single execution would blow the same duration
+        ceiling the training scan hit. Forward-only prompt encodes measure
+        ≈2-3× cheaper than train steps, so twice the train budget stays
+        well under it."""
+        budget = int(
+            os.environ.get("CLIP_GP_TPU_COCOOP_DISPATCH_PROMPTS", "90000")
+        )
+        if budget <= 0:
+            return n_rows
+        return max(1, (2 * budget) // (self.r.t_trials * max(1, self.r.k)))
 
     def eval_logits(self, p, c, key, shared):
         return self._cond_logits(p, shared["feats_test"], shared)
@@ -1806,19 +1831,32 @@ class VmappedTrials:
                 # heavy-step methods bound single-execution length by
                 # splitting the epoch scan into segments (same batch order,
                 # keys and factors — dispatch count is the only difference;
-                # see MethodSpec.batches_per_dispatch)
+                # see MethodSpec.batches_per_dispatch). seg == 1 skips the
+                # scan construct entirely (plain per-step dispatches — the
+                # path the worker-crash repro proves safe) while consuming
+                # the exact key/factor streams the scan would.
                 seg = max(
                     1, min(n_batches, spec.batches_per_dispatch(n_batches, b_sz))
                 )
-                for lo in range(0, n_batches, seg):
-                    hi = min(n_batches, lo + seg)
-                    with phase_timer("vmap.train.dispatch"):
-                        params, opt_state, losses = epoch_jit(
-                            params, opt_state, consts,
-                            fb[lo:hi], lb[lo:hi], keys_e[lo:hi],
-                            {g: v[lo:hi] for g, v in facs_j.items()}, shared,
-                        )
-                losses = losses[-1]
+                if seg == 1:
+                    for b in range(n_batches):
+                        with phase_timer("vmap.train.dispatch"):
+                            params, opt_state, losses = step_jit(
+                                params, opt_state, consts,
+                                fb[b], lb[b], keys_e[b],
+                                {g: v[b] for g, v in facs_j.items()}, shared,
+                            )
+                else:
+                    for lo in range(0, n_batches, seg):
+                        hi = min(n_batches, lo + seg)
+                        with phase_timer("vmap.train.dispatch"):
+                            params, opt_state, losses = epoch_jit(
+                                params, opt_state, consts,
+                                fb[lo:hi], lb[lo:hi], keys_e[lo:hi],
+                                {g: v[lo:hi] for g, v in facs_j.items()},
+                                shared,
+                            )
+                    losses = losses[-1]
             else:
                 for b, (lo, hi) in enumerate(slices):
                     root_key, sub = jax.random.split(root_key)
@@ -1851,7 +1889,25 @@ class VmappedTrials:
         root_key, sub = jax.random.split(root_key)
         eval_keys = jax.random.split(sub, t_trials)
         with phase_timer("vmap.final_eval"):
-            logits = np.asarray(eval_fn(params, eval_consts, eval_keys, shared))
+            n_rows = int(shared["feats_test"].shape[0])
+            rows = max(1, min(n_rows, spec.eval_rows_per_dispatch(n_rows)))
+            if rows < n_rows:
+                # bounded-execution eval: identical logits, one dispatch per
+                # row chunk (same per-trial keys — eval keys are class-/
+                # sample-shaped, never row-shaped, so chunk results equal
+                # the unchunked dispatch's)
+                parts = []
+                for lo in range(0, n_rows, rows):
+                    sh = dict(shared)
+                    sh["feats_test"] = shared["feats_test"][lo:lo + rows]
+                    parts.append(
+                        np.asarray(eval_fn(params, eval_consts, eval_keys, sh))
+                    )
+                logits = np.concatenate(parts, axis=1)
+            else:
+                logits = np.asarray(
+                    eval_fn(params, eval_consts, eval_keys, shared)
+                )
         results = []
         for t, seed in enumerate(self.seeds):
             acc = compute_accuracy(logits[t], labels_test)[0]

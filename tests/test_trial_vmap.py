@@ -691,12 +691,13 @@ def test_vmapped_cocoop_multi_seed_and_chunked(tmp_path, monkeypatch):
 
 
 def test_cocoop_segmented_epoch_dispatch_identical(tmp_path, monkeypatch):
-    """batches_per_dispatch: splitting the per-epoch scan into bounded
-    segments (the TPU-worker long-execution guard — one dispatched
-    executable per segment instead of per epoch) must not change results:
-    same batch order, same key/factor streams, only the dispatch count
-    differs. Forced to 1 batch/dispatch via the env budget and compared
-    against the unsegmented run."""
+    """batches_per_dispatch + eval_rows_per_dispatch: splitting the
+    per-epoch scan into bounded segments and the final eval into row chunks
+    (the TPU-worker single-execution-duration guard) must not change
+    results: same batch order, same key/factor streams, only the dispatch
+    count differs. Forced to 1 batch/dispatch + 1 row/eval-dispatch via the
+    env budget and compared against the unsegmented run; seg == 1 also
+    covers the no-scan per-step dispatch branch."""
     import clip_gp_tpu.parallel.trial_vmap as tv
     from clip_gp_tpu.parallel.trial_vmap import run_vmapped_trials
     from clip_gp_tpu.runtime import feature_cache
