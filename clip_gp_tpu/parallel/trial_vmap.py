@@ -1227,9 +1227,32 @@ class CoCoOpSpec(CoOpSpec):
     normalize_features = True
     force_shared_ctx = True
 
+    # single-step prompt work above this cannot be bounded by dispatch
+    # segmentation (batches_per_dispatch floors at one step/dispatch): at
+    # the measured ~0.43 ms per differentiated prompt encode (chunk=1
+    # worst case) it alone approaches the tunneled worker's ~60 s
+    # single-execution ceiling (see batches_per_dispatch)
+    SINGLE_STEP_CEILING = 115_000
+
     def __init__(self, runner):
         super().__init__(runner)  # prompt parts + shared text-tower wiring
         self._vis_dim = int(runner.arch.embed_dim)
+        work = (
+            runner.t_trials
+            * int(runner.config.dataloader.batch_size_train)
+            * max(1, runner.k)
+        )
+        if work > self.SINGLE_STEP_CEILING:
+            print(
+                f"[vmap-trials:{self.name}] WARNING: one train step moves "
+                f"{work} differentiated prompt encodes (T={runner.t_trials} "
+                f"x B={runner.config.dataloader.batch_size_train} x "
+                f"K={runner.k}) — above the ~{self.SINGLE_STEP_CEILING} "
+                "single-execution ceiling measured on tunneled TPU workers; "
+                "this group may crash the worker. Prefer the in-process/"
+                "subprocess backend or a smaller DATALOADER.BATCH_SIZE_TRAIN "
+                "for this dataset."
+            )
 
     def init_params(self, seed):
         from clip_gp_tpu.core.seeding import KeySequence

@@ -668,14 +668,19 @@ def test_vmapped_cocoop_matches_inprocess_trainer(tmp_path):
     )
 
 
-def test_vmapped_cocoop_multi_seed_and_chunked(tmp_path, monkeypatch):
+def test_vmapped_cocoop_multi_seed_and_chunked(tmp_path, monkeypatch, capsys):
     """Multi-seed CoCoOp group with a PROMPT_BUDGET small enough to force
     the chunked lax.map path under the trial vmap; per-trial metrics.json
-    written, finite metrics."""
+    written, finite metrics. Also pins the un-segmentable-step warning:
+    with the ceiling forced below one step's prompt work the group must
+    say so loudly (a single step above the measured single-execution
+    ceiling crashes tunneled TPU workers and cannot be split)."""
+    import clip_gp_tpu.parallel.trial_vmap as tv
     from clip_gp_tpu.methods import cocoop as cocoop_mod
     from clip_gp_tpu.parallel.trial_vmap import run_vmapped_trials
 
     monkeypatch.setattr(cocoop_mod, "PROMPT_BUDGET", 8)  # k=4 -> chunk=2
+    monkeypatch.setattr(tv.CoCoOpSpec, "SINGLE_STEP_CEILING", 1)
     config = _head_config(tmp_path, "Adapter-CoCoOp")
     config.adapter.clip_adapter_epochs = 2
     seeds = [1, 2]
@@ -683,6 +688,8 @@ def test_vmapped_cocoop_multi_seed_and_chunked(tmp_path, monkeypatch):
     results = run_vmapped_trials(
         config, seeds, outdirs, method="Adapter-CoCoOp"
     )
+    out = capsys.readouterr().out
+    assert "single-execution ceiling" in out and "WARNING" in out
     assert len(results) == 2
     for result, outdir in zip(results, outdirs):
         assert np.isfinite(result["metrics"]["top1_acc"])
