@@ -337,6 +337,19 @@ class MethodSpec:
         Default: the whole test set in one dispatch."""
         return n_rows
 
+    def microbatch_images(self, batch_size: int) -> int:
+        """Images per gradient dispatch when even ONE train step exceeds
+        the single-execution budget (batches_per_dispatch floors at one
+        step per dispatch — e.g. a vmapped ImageNet-scale CoCoOp step).
+        Default: the whole batch (no accumulation). When an override
+        returns mb < batch_size, the runner computes the step's gradient
+        as Σ_i (n_i/B)·grad_i over image micro-slices and applies ONE
+        optimizer update — exactly the unsplit step's batch-mean gradient
+        up to fp reduction order. Only sound for losses that are weighted
+        means over the image axis whose `key` draws are not image-shaped
+        (the same per-step key is passed to every micro-slice)."""
+        return batch_size
+
     def lr_factors(self, epoch: int, batch: int, n_batches: int):
         """group → per-trial schedule multipliers [T] at this step.
 
@@ -1227,31 +1240,29 @@ class CoCoOpSpec(CoOpSpec):
     normalize_features = True
     force_shared_ctx = True
 
-    # single-step prompt work above this cannot be bounded by dispatch
-    # segmentation (batches_per_dispatch floors at one step/dispatch): at
-    # the measured ~0.43 ms per differentiated prompt encode (chunk=1
-    # worst case) it alone approaches the tunneled worker's ~60 s
-    # single-execution ceiling (see batches_per_dispatch)
+    # prompt work above this in ONE dispatch cannot be bounded even by
+    # gradient accumulation (microbatch_images floors at one image per
+    # dispatch, i.e. T·K prompt encodes): at the measured ~0.43 ms per
+    # differentiated prompt encode (chunk=1 worst case) it alone
+    # approaches the tunneled worker's ~60 s single-execution ceiling
+    # (see batches_per_dispatch)
     SINGLE_STEP_CEILING = 115_000
 
     def __init__(self, runner):
         super().__init__(runner)  # prompt parts + shared text-tower wiring
         self._vis_dim = int(runner.arch.embed_dim)
-        work = (
-            runner.t_trials
-            * int(runner.config.dataloader.batch_size_train)
-            * max(1, runner.k)
-        )
-        if work > self.SINGLE_STEP_CEILING:
+        # one image's conditional prompts are the accumulation floor
+        work_floor = runner.t_trials * max(1, runner.k)
+        if work_floor > self.SINGLE_STEP_CEILING:
             print(
-                f"[vmap-trials:{self.name}] WARNING: one train step moves "
-                f"{work} differentiated prompt encodes (T={runner.t_trials} "
-                f"x B={runner.config.dataloader.batch_size_train} x "
-                f"K={runner.k}) — above the ~{self.SINGLE_STEP_CEILING} "
-                "single-execution ceiling measured on tunneled TPU workers; "
-                "this group may crash the worker. Prefer the in-process/"
-                "subprocess backend or a smaller DATALOADER.BATCH_SIZE_TRAIN "
-                "for this dataset."
+                f"[vmap-trials:{self.name}] WARNING: ONE image's "
+                f"conditional prompts move {work_floor} differentiated "
+                f"encodes (T={runner.t_trials} x K={runner.k}) — above the "
+                f"~{self.SINGLE_STEP_CEILING} single-execution ceiling "
+                "measured on tunneled TPU workers, and gradient "
+                "accumulation cannot split below one image. This group may "
+                "crash the worker; prefer the in-process/subprocess "
+                "backend or fewer trials per group."
             )
 
     def init_params(self, seed):
@@ -1314,9 +1325,9 @@ class CoCoOpSpec(CoOpSpec):
         ≈35 s worst-case. Semantics are unchanged (same batch order, same
         keys/factors — just more dispatches); override via
         CLIP_GP_TPU_COCOOP_DISPATCH_PROMPTS (<=0 disables the bound).
-        Known limit: a SINGLE step over ~130k prompts (e.g. vmapped
-        ImageNet-scale K at T=5) exceeds the ceiling on its own and cannot
-        be segmented away — run such cells in-process instead."""
+        A SINGLE step over the budget (e.g. vmapped ImageNet-scale K at
+        T=5: 160k prompts) cannot be segmented away — microbatch_images
+        then bounds it with exact gradient accumulation instead."""
         budget = int(
             os.environ.get("CLIP_GP_TPU_COCOOP_DISPATCH_PROMPTS", "90000")
         )
@@ -1324,6 +1335,30 @@ class CoCoOpSpec(CoOpSpec):
             return n_batches
         work = self.r.t_trials * batch_size * max(1, self.r.k)
         return max(1, budget // work)
+
+    def microbatch_images(self, batch_size):
+        """Bound a single over-budget step by gradient accumulation over
+        image micro-slices: each dispatch moves T·mb·K differentiated
+        prompt encodes ≤ the step budget (its own knob,
+        CLIP_GP_TPU_COCOOP_STEP_PROMPTS, <=0 disables — deliberately NOT
+        chained to the dispatch budget so segmentation and accumulation
+        parity can be tested in isolation). The
+        CoCoOp loss is a plain batch-mean CE whose key is unused, so the
+        runner's Σ (n_i/B)·grad_i accumulation is the unsplit step's
+        gradient exactly (fp reduction order aside) — this is what lets
+        ImageNet-scale K (ref: configs/datasets/imagenet.yaml under
+        scripts/run_experiment.sh CoCoOp rows) run on the vmap backend at
+        all: one full step alone exceeds the worker's single-execution
+        ceiling there."""
+        budget = int(
+            os.environ.get("CLIP_GP_TPU_COCOOP_STEP_PROMPTS", "90000")
+        )
+        if budget <= 0:
+            return batch_size
+        per_image = self.r.t_trials * max(1, self.r.k)
+        if self.r.t_trials * batch_size * max(1, self.r.k) <= budget:
+            return batch_size  # whole step fits one dispatch: no split
+        return max(1, min(batch_size, budget // per_image))
 
     def eval_rows_per_dispatch(self, n_rows):
         """The final eval is one [T, n_test, K] conditional-prompt dispatch;
@@ -1678,6 +1713,58 @@ class VmappedTrials:
 
         step_jit = jax.jit(step, donate_argnums=(0, 1))
 
+        # gradient-accumulation pieces for steps whose single dispatch
+        # would exceed the worker's execution budget (microbatch_images):
+        # Σ w_i·grad_i over image micro-slices ≡ the unsplit batch-mean
+        # gradient (w_i = n_i/B), then ONE optimizer update
+        def grad_part(params, consts, feats_mb, labels_mb, keys, w, shared):
+            def trial_loss(p, c, feats, labels, key, hps):
+                return spec.loss(p, c, feats, labels, key, hps, shared)
+
+            losses, grads = jax.vmap(
+                jax.value_and_grad(trial_loss), in_axes=(0, 0, 0, 0, 0, 0)
+            )(params, consts, feats_mb, labels_mb, keys, hp_tree)
+            return w * losses, jax.tree.map(lambda g: w * g, grads)
+
+        grad_part_jit = jax.jit(grad_part)
+        tree_add_jit = jax.jit(
+            lambda a, b: jax.tree.map(jnp.add, a, b), donate_argnums=(0,)
+        )
+
+        def apply_grads(params, opt_state, grads, losses, facs):
+            updates, opt_state = tx.update(grads, opt_state, params)
+            scaled = {}
+            for name, u in updates.items():
+                group = spec.lr_group(name)
+                vec = lr_vecs[group] * facs[group]
+                scaled[name] = jax.tree.map(
+                    lambda x: x * _bc(-vec, x.ndim), u
+                )
+            return (
+                jax.tree.map(lambda p, u: p + u, params, scaled),
+                opt_state,
+                losses,
+            )
+
+        apply_jit = jax.jit(apply_grads, donate_argnums=(0, 1))
+
+        def micro_step(params, opt_state, f_step, l_step, keys, facs_b, mb):
+            """One train step as ceil(B/mb) bounded gradient dispatches +
+            one update; f_step: [T, B, D] (same per-step keys every
+            slice — see MethodSpec.microbatch_images for soundness)."""
+            b_full = f_step.shape[1]
+            acc = None
+            for lo in range(0, b_full, mb):
+                hi = min(b_full, lo + mb)
+                with phase_timer("vmap.train.dispatch"):
+                    part = grad_part_jit(
+                        params, consts, f_step[:, lo:hi], l_step[:, lo:hi],
+                        keys, (hi - lo) / b_full, shared,
+                    )
+                acc = part if acc is None else tree_add_jit(acc, part)
+            with phase_timer("vmap.train.dispatch"):
+                return apply_jit(params, opt_state, acc[1], acc[0], facs_b)
+
         def epoch_scan(params, opt_state, consts, feats_e, labels_e, keys_e,
                        factors, shared):
             """One dispatch per epoch: scan the vmapped step over batches.
@@ -1861,7 +1948,22 @@ class VmappedTrials:
                 seg = max(
                     1, min(n_batches, spec.batches_per_dispatch(n_batches, b_sz))
                 )
-                if seg == 1:
+                mb = max(1, min(b_sz, spec.microbatch_images(b_sz)))
+                if mb < b_sz:
+                    # even one step exceeds the execution budget: bounded
+                    # gradient-accumulation dispatches, one update per step
+                    if epoch == 0:
+                        print(
+                            f"[vmap-trials:{self.method}] gradient "
+                            f"accumulation: {mb} images/dispatch "
+                            f"(batch {b_sz})"
+                        )
+                    for b in range(n_batches):
+                        params, opt_state, losses = micro_step(
+                            params, opt_state, fb[b], lb[b], keys_e[b],
+                            {g: v[b] for g, v in facs_j.items()}, mb,
+                        )
+                elif seg == 1:
                     for b in range(n_batches):
                         with phase_timer("vmap.train.dispatch"):
                             params, opt_state, losses = step_jit(
@@ -1884,13 +1986,27 @@ class VmappedTrials:
                 for b, (lo, hi) in enumerate(slices):
                     root_key, sub = jax.random.split(root_key)
                     keys = jax.random.split(sub, t_trials)
+                    facs_b = {
+                        g: jnp.asarray(v[b]) for g, v in factors.items()
+                    }
+                    mb = max(1, min(hi - lo, spec.microbatch_images(hi - lo)))
+                    if mb < hi - lo:
+                        if epoch == 0 and b == 0:
+                            print(
+                                f"[vmap-trials:{self.method}] gradient "
+                                f"accumulation: {mb} images/dispatch "
+                                f"(batch {hi - lo})"
+                            )
+                        params, opt_state, losses = micro_step(
+                            params, opt_state, feats_e[:, lo:hi],
+                            labels_e[:, lo:hi], keys, facs_b, mb,
+                        )
+                        continue
                     with phase_timer("vmap.train.dispatch"):
                         params, opt_state, losses = step_jit(
                             params, opt_state, consts,
                             feats_e[:, lo:hi], labels_e[:, lo:hi],
-                            keys,
-                            {g: jnp.asarray(v[b]) for g, v in factors.items()},
-                            shared,
+                            keys, facs_b, shared,
                         )
             with phase_timer("vmap.train.epoch_end"):
                 spec.on_epoch_end(params, consts, shared, epoch)

@@ -745,6 +745,49 @@ def test_cocoop_segmented_epoch_dispatch_identical(tmp_path, monkeypatch):
         assert np.isclose(sr["metrics"]["ece"], pr["metrics"]["ece"], atol=1e-6)
 
 
+def test_cocoop_gradient_accumulation_matches_unsplit(tmp_path, monkeypatch,
+                                                      capsys):
+    """microbatch_images: when even ONE CoCoOp step exceeds the step budget
+    (vmapped ImageNet-scale K), the runner computes the step gradient as
+    Σ (n_i/B)·grad_i over image micro-slices and applies one optimizer
+    update — the unsplit batch-mean gradient up to fp reduction order (the
+    CoCoOp loss is batch-mean CE with an unused key). Forced here via
+    CLIP_GP_TPU_COCOOP_STEP_PROMPTS=24 at T=2, K=4, B=8: mb=3, so slices
+    of 3+3+2 cover the remainder branch; compared against the unsplit
+    run."""
+    from clip_gp_tpu.parallel.trial_vmap import run_vmapped_trials
+    from clip_gp_tpu.runtime import feature_cache
+
+    def build(tag):
+        config = _head_config(tmp_path, "Adapter-CoCoOp")
+        config.dataset.num_shots = 8  # 4 classes x 8 shots / B=8 -> 4 batches
+        config.adapter.clip_adapter_epochs = 2
+        seeds = [1, 2]
+        outdirs = [tmp_path / f"{tag}/seed{s}" for s in seeds]
+        feature_cache.memo_clear()
+        return run_vmapped_trials(
+            config, seeds, outdirs, method="Adapter-CoCoOp"
+        )
+
+    monkeypatch.setenv("CLIP_GP_TPU_COCOOP_STEP_PROMPTS", "24")
+    micro_results = build("micro")
+    out = capsys.readouterr().out
+    assert "gradient accumulation: 3 images/dispatch (batch 8)" in out
+
+    monkeypatch.delenv("CLIP_GP_TPU_COCOOP_STEP_PROMPTS")
+    plain_results = build("plain")
+    out = capsys.readouterr().out
+    assert "gradient accumulation" not in out
+
+    for mr, pr in zip(micro_results, plain_results):
+        # reduction order differs (per-slice partial sums), so metrics are
+        # float-close rather than bit-identical
+        assert mr["metrics"]["top1_acc"] == pr["metrics"]["top1_acc"]
+        assert np.isclose(
+            mr["metrics"]["ece"], pr["metrics"]["ece"], atol=1e-5
+        )
+
+
 def test_decode_prefetcher_propagates_producer_errors(tmp_path, monkeypatch):
     """A producer-thread failure (splits sampling or union decode) must
     surface in the CONSUMER — wait_splits()/batches() re-raise instead of
