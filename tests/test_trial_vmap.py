@@ -788,6 +788,58 @@ def test_cocoop_gradient_accumulation_matches_unsplit(tmp_path, monkeypatch,
         )
 
 
+def test_cocoop_microbatch_budget_math(monkeypatch):
+    """microbatch_images sizing: whole-step-fits means no split; an
+    over-budget step slices to budget // (T*K) images; <=0 disables."""
+    import types
+
+    import clip_gp_tpu.parallel.trial_vmap as tv
+
+    spec = tv.CoCoOpSpec.__new__(tv.CoCoOpSpec)
+    spec.r = types.SimpleNamespace(t_trials=5, k=1000)
+    # ImageNet shape: 5*32*1000 = 160k > 90k -> 90k // 5k = 18 images
+    monkeypatch.delenv("CLIP_GP_TPU_COCOOP_STEP_PROMPTS", raising=False)
+    assert spec.microbatch_images(32) == 18
+    # whole step under budget: no split even though B*T*K > per-image work
+    spec.r = types.SimpleNamespace(t_trials=2, k=4)
+    assert spec.microbatch_images(8) == 8
+    # explicit budget below one image's work floors at 1
+    spec.r = types.SimpleNamespace(t_trials=5, k=1000)
+    monkeypatch.setenv("CLIP_GP_TPU_COCOOP_STEP_PROMPTS", "100")
+    assert spec.microbatch_images(32) == 1
+    # <=0 disables
+    monkeypatch.setenv("CLIP_GP_TPU_COCOOP_STEP_PROMPTS", "0")
+    assert spec.microbatch_images(32) == 32
+
+
+def test_cocoop_gradient_accumulation_under_trial_mesh(tmp_path, monkeypatch,
+                                                       capsys):
+    """Accumulation composes with trial-mesh sharding: micro-slicing the
+    image axis leaves the [T, ...] trial shards intact, so an over-budget
+    CoCoOp group sharded over a 2-device mesh must train finite with the
+    accumulation path active (sliced operands re-dispatch against the same
+    sharded params)."""
+    import jax
+    from jax.sharding import Mesh
+    from clip_gp_tpu.parallel.trial_vmap import run_vmapped_trials
+
+    monkeypatch.setenv("CLIP_GP_TPU_COCOOP_STEP_PROMPTS", "24")
+    config = _head_config(tmp_path, "Adapter-CoCoOp")
+    config.dataset.num_shots = 8
+    config.adapter.clip_adapter_epochs = 2
+    mesh = Mesh(np.array(jax.devices()[:2]), ("trial",))
+    seeds = [1, 2]
+    outdirs = [tmp_path / f"mesh/seed{s}" for s in seeds]
+    results = run_vmapped_trials(
+        config, seeds, outdirs, mesh=mesh, method="Adapter-CoCoOp"
+    )
+    out = capsys.readouterr().out
+    assert "gradient accumulation: 3 images/dispatch (batch 8)" in out
+    assert len(results) == 2
+    for result in results:
+        assert np.isfinite(result["metrics"]["top1_acc"])
+
+
 def test_decode_prefetcher_propagates_producer_errors(tmp_path, monkeypatch):
     """A producer-thread failure (splits sampling or union decode) must
     surface in the CONSUMER — wait_splits()/batches() re-raise instead of
