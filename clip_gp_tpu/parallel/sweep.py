@@ -435,6 +435,31 @@ def run_trials_vmapped(
                     "has no divisor >= 2 within the device budget; running "
                     "unsharded"
                 )
+        if (
+            method == "Adapter-CoCoOp"
+            and mesh is None
+            and not strict
+            and os.environ.get("CLIP_GP_TPU_VMAP_COCOOP") != "1"
+        ):
+            # MEASURED routing (BENCH_cocoop_vmap.json, 2026-08-20): a
+            # warm vmapped CoCoOp group ≈ T warm sequential trials (0.96×
+            # at T=5, K=50) — the per-step prompt batch B·K is already
+            # MXU-sized in-process, so the trial axis amortizes nothing —
+            # while the vmapped program's per-K compiles cost ~5× the
+            # whole in-process group cold. Trial-vmapping CoCoOp pays off
+            # only when the trial axis buys chip-parallelism, so on a
+            # single chip these groups run in-process; --trial-mesh (with
+            # a usable mesh), --strict-vmap, or CLIP_GP_TPU_VMAP_COCOOP=1
+            # selects the vmapped path.
+            print(
+                f"[vmap] group {key}: Adapter-CoCoOp routes to the "
+                "in-process backend on a single chip (measured: warm "
+                "vmapped group ~= sequential trials, cold pays ~5x in "
+                "compiles; BENCH_cocoop_vmap.json). --trial-mesh, "
+                "--strict-vmap or CLIP_GP_TPU_VMAP_COCOOP=1 forces vmap."
+            )
+            leftovers.extend(group)
+            continue
         work_items.append(
             (key, group, config, method, seeds, overrides, outdirs, mesh)
         )

@@ -138,7 +138,7 @@ def main():
     vmap_warm_s = min(vmap_w1, vmap_w2)
     warm_s = min(inproc_w1, inproc_w2)
     group_inproc_s = cold_s + warm_s * (len(SEEDS) - 1)
-    print(json.dumps({
+    payload = {
         "metric": "cocoop_seed_group_time_s",
         "seeds": len(SEEDS),
         "classes": CLASSES,
@@ -155,7 +155,18 @@ def main():
                          "speedup_warm compares steady states (warm vmapped "
                          "group vs T warm sequential trials) — the regime "
                          "every later cell of a multi-cell sweep runs in",
-    }))
+    }
+    print(json.dumps(payload))
+    # persist per-shape cells so repeated runs at different K accumulate
+    # into one artifact (the routing question is K-dependent)
+    artifact = Path(__file__).resolve().parents[1] / "BENCH_cocoop_vmap.json"
+    cells = {}
+    if artifact.exists():
+        cells = json.loads(artifact.read_text()).get("cells", {})
+    cells[f"k{CLASSES}_shots{SHOTS}_e{EPOCHS}"] = payload
+    artifact.write_text(json.dumps(
+        {"metric": "cocoop_seed_group_time_s", "cells": cells}
+    ) + "\n")
 
 
 if __name__ == "__main__":
