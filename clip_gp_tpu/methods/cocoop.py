@@ -78,10 +78,41 @@ def conditional_logits(text_params, arch, params, img_feats, prefix, suffix,
         eot_ck = jnp.tile(eot, c)
         from clip_gp_tpu.ops.flash_attention import flash_for_grad
 
-        # differentiated in the training loss (see coop.py rationale)
-        text = clip_model.text_features_from_embeddings(
-            text_params, arch, prompts, eot_ck, flash=flash_for_grad(),
-        ).reshape(c, k, -1)
+        n = c * k
+        sub = max(1, int(PROMPT_BUDGET))
+        if n > sub:
+            # The image-axis chunk floors at ONE image, whose k prompts can
+            # alone exceed the budget (k > PROMPT_BUDGET: sun397 k=397,
+            # ImageNet k=1000). A single differentiated tower call at that
+            # size stashes all 12 rematted layer inputs — fp32
+            # [12, n, 77, width] ≈ 1.8 MB/prompt, measured 8.8 GB OOM on a
+            # 16 GB chip at T=5 trials x k=1000 (BENCH r4). Enforce the
+            # budget on the flat prompt axis too: <=`sub`-prompt slices scan
+            # through the tower, remat per slice, so backward holds one
+            # slice's stash at a time.
+            nsub = -(-n // sub)
+            pad_n = nsub * sub - n
+            pp = jnp.pad(prompts, ((0, pad_n), (0, 0), (0, 0)))
+            ee = jnp.pad(eot_ck, (0, pad_n))
+
+            def tower(args):
+                p_s, e_s = args
+                return clip_model.text_features_from_embeddings(
+                    text_params, arch, p_s, e_s, flash=flash_for_grad(),
+                )
+
+            text = jax.lax.map(
+                jax.checkpoint(tower),
+                (
+                    pp.reshape(nsub, sub, *prompts.shape[1:]),
+                    ee.reshape(nsub, sub),
+                ),
+            ).reshape(nsub * sub, -1)[:n].reshape(c, k, -1)
+        else:
+            # differentiated in the training loss (see coop.py rationale)
+            text = clip_model.text_features_from_embeddings(
+                text_params, arch, prompts, eot_ck, flash=flash_for_grad(),
+            ).reshape(c, k, -1)
         text = common.l2_normalize(text)
         return scale * jnp.einsum("cd,ckd->ck", feats_c, text)
 

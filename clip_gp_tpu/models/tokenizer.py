@@ -92,8 +92,41 @@ _CONTROL_CHARS = re.compile(
     "\ufeff\u200b\u200c\u200d\u2060]"
 )
 _WIDTH_CHARS = re.compile("[\uff01-\uffee]")  # full/halfwidth forms block
+_SURROGATES = re.compile("[\ud800-\udfff]")
 
 _warned_non_ascii = False
+
+
+def _fix_surrogates(text: str) -> str:
+    """ftfy ``fix_surrogates`` semantics: a UTF-16 surrogate *pair* (which
+    can appear in a Python str via surrogatepass/surrogateescape decoding)
+    recombines into its astral character; a *lone* surrogate becomes U+FFFD.
+    (``str.encode(..., "replace")`` is NOT equivalent \u2014 it substitutes
+    ASCII ``?``.)"""
+    if not _SURROGATES.search(text):
+        return text
+    out = []
+    i = 0
+    while i < len(text):
+        c = text[i]
+        if (
+            "\ud800" <= c <= "\udbff"
+            and i + 1 < len(text)
+            and "\udc00" <= text[i + 1] <= "\udfff"
+        ):
+            out.append(chr(
+                0x10000
+                + ((ord(c) - 0xD800) << 10)
+                + (ord(text[i + 1]) - 0xDC00)
+            ))
+            i += 2
+        elif "\ud800" <= c <= "\udfff":
+            out.append("\ufffd")
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
 
 
 def _fix_text_lite(text: str) -> str:
@@ -113,8 +146,7 @@ def _fix_text_lite(text: str) -> str:
         )
     text = text.translate(_LINE_BREAKS)
     text = _TERMINAL_ESCAPES.sub("", text)
-    # lone surrogates (can appear via surrogateescape decoding) → U+FFFD
-    text = text.encode("utf-16", "replace").decode("utf-16")
+    text = _fix_surrogates(text)
     text = text.translate(_LIGATURES).translate(_CURLY_QUOTES)
     text = _WIDTH_CHARS.sub(lambda m: unicodedata.normalize("NFKC", m.group()),
                             text)
@@ -123,7 +155,21 @@ def _fix_text_lite(text: str) -> str:
 
 
 def _clean(text: str) -> str:
-    if not text.isascii():
+    # ftfy's unescape_html="auto" is the FIRST fixer in fix_text's chain
+    # (ref: clip/simple_tokenizer.py:50-53 → ftfy default config): entities
+    # unescape when the text has no '<', BEFORE ligature/quote fixing — so
+    # entity-encoded punctuation in pure-ASCII input ('&ldquo;' → '“') must
+    # leave the ASCII plane here to be uncurled like literal input. Total
+    # unescape count stays 3 (1 in fix_text + the reference's explicit 2).
+    if "&" in text and "<" not in text:
+        text = html.unescape(text)
+    if text.isascii():
+        # the only default ftfy fixers that touch ASCII: terminal escape
+        # sequences and control characters are removed (\t and \n survive
+        # into the whitespace collapse below, like the reference)
+        text = _TERMINAL_ESCAPES.sub("", text)
+        text = _CONTROL_CHARS.sub("", text)
+    else:
         text = _fix_text_lite(text)
     text = html.unescape(html.unescape(text)).strip()
     text = re.sub(r"\s+", " ", text)

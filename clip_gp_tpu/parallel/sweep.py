@@ -401,6 +401,20 @@ def run_trials_vmapped(
 
     import jax
 
+    # Would this sweep schedule groups concurrently (workers pinned to
+    # devices)? CoCoOp's in-process routing below must not demote groups out
+    # of a parallel schedule: in-process trials consume the global RNG
+    # (reference sampling parity) and can only run sequentially, so routing
+    # is a win only where the scheduler is sequential anyway (one device, or
+    # a single-dataset bucket). Over-counting datasets errs toward keeping
+    # the vmapped path (measured ~parity warm), never toward losing chips.
+    n_sweep_datasets = len({g[0].dataset for g in groups.values()})
+    parallel_scheduler = (group_parallel or 0) > 1 or (
+        not trial_mesh
+        and len(jax.local_devices()) > 1
+        and n_sweep_datasets > 1
+    )
+
     work_items: List[Tuple] = []
     for key, group in groups.items():
         config = configs[key]
@@ -439,6 +453,7 @@ def run_trials_vmapped(
             method == "Adapter-CoCoOp"
             and mesh is None
             and not strict
+            and not parallel_scheduler
             and os.environ.get("CLIP_GP_TPU_VMAP_COCOOP") != "1"
         ):
             # MEASURED routing (BENCH_cocoop_vmap.json, 2026-08-20): a
@@ -450,7 +465,10 @@ def run_trials_vmapped(
             # only when the trial axis buys chip-parallelism, so on a
             # single chip these groups run in-process; --trial-mesh (with
             # a usable mesh), --strict-vmap, or CLIP_GP_TPU_VMAP_COCOOP=1
-            # selects the vmapped path.
+            # selects the vmapped path. A parallel schedule (multi-device
+            # default or --group-parallel) also keeps vmap: in-process
+            # trials are global-RNG sequential, so routing there would
+            # trade chips for a measured ~1x warm win.
             print(
                 f"[vmap] group {key}: Adapter-CoCoOp routes to the "
                 "in-process backend on a single chip (measured: warm "
@@ -777,7 +795,13 @@ def main(argv=None):
         if str(args.trial_mesh).lower() == "auto":
             trial_mesh = 1 << 30  # capped at len(jax.local_devices())
         else:
-            trial_mesh = int(args.trial_mesh)
+            try:
+                trial_mesh = int(args.trial_mesh)
+            except ValueError:
+                ap.error(
+                    f"--trial-mesh expects an integer or 'auto', got "
+                    f"{args.trial_mesh!r}"
+                )
             if trial_mesh < 2:
                 ap.error("--trial-mesh needs >= 2 devices (or 'auto')")
 

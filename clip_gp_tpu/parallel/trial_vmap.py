@@ -83,6 +83,25 @@ def _stack(trees):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
 
 
+def _divisor_le(n: int, cap: int) -> int:
+    """Largest divisor of ``n`` that is <= ``cap`` (always >= 1).
+
+    Dispatch-bounding sizes (epoch-scan segments, gradient-accumulation
+    micro-slices) are snapped to divisors of their totals so every dispatch
+    of the heavy jitted program has ONE shape: a ragged tail would trace and
+    compile the program a second time (scan of a different length / slice of
+    a different width), and a CoCoOp-scale compile costs far more than the
+    extra per-dispatch RTTs of a slightly smaller size (measured: per-K
+    compiles ~5x a warm group, BENCH_cocoop_vmap.json; one tunnel RTT
+    ~0.35 s). Worst case (prime n) returns 1 — the plain per-step dispatch
+    path, which the worker-crash repro proved safe."""
+    cap = max(1, min(n, cap))
+    for d in range(cap, 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
 def vmapped_gp_prestage(runner, feats_train, labels_train,
                         text_embeddings=None,
                         mean_mode: str = "norm_of_raw_mean"):
@@ -1213,6 +1232,23 @@ class CoOpSpec(MethodSpec):
         )
 
 
+def cocoop_microbatch_images(t_trials: int, batch_size: int, k: int) -> int:
+    """Images per gradient dispatch for a vmapped CoCoOp step: the ONE
+    sizing rule for CLIP_GP_TPU_COCOOP_STEP_PROMPTS (<=0 disables), shared
+    by ``CoCoOpSpec.microbatch_images`` and the benches that report what
+    the runner did (scripts/bench_cocoop_imagenet_scale.py) — so the
+    artifact's `microbatch_images` can't drift from the measured run."""
+    budget = int(
+        os.environ.get("CLIP_GP_TPU_COCOOP_STEP_PROMPTS", "90000")
+    )
+    if budget <= 0:
+        return batch_size
+    per_image = t_trials * max(1, k)
+    if t_trials * batch_size * max(1, k) <= budget:
+        return batch_size  # whole step fits one dispatch: no split
+    return max(1, min(batch_size, budget // per_image))
+
+
 class CoCoOpSpec(CoOpSpec):
     """CoCoOp on the trial axis (ref: trainers/adapter_cocoop.py:14-82).
 
@@ -1350,15 +1386,9 @@ class CoCoOpSpec(CoOpSpec):
         scripts/run_experiment.sh CoCoOp rows) run on the vmap backend at
         all: one full step alone exceeds the worker's single-execution
         ceiling there."""
-        budget = int(
-            os.environ.get("CLIP_GP_TPU_COCOOP_STEP_PROMPTS", "90000")
+        return cocoop_microbatch_images(
+            self.r.t_trials, batch_size, self.r.k
         )
-        if budget <= 0:
-            return batch_size
-        per_image = self.r.t_trials * max(1, self.r.k)
-        if self.r.t_trials * batch_size * max(1, self.r.k) <= budget:
-            return batch_size  # whole step fits one dispatch: no split
-        return max(1, min(batch_size, budget // per_image))
 
     def eval_rows_per_dispatch(self, n_rows):
         """The final eval is one [T, n_test, K] conditional-prompt dispatch;
@@ -1948,7 +1978,12 @@ class VmappedTrials:
                 seg = max(
                     1, min(n_batches, spec.batches_per_dispatch(n_batches, b_sz))
                 )
-                mb = max(1, min(b_sz, spec.microbatch_images(b_sz)))
+                # snap to a divisor: equal-length segments / equal-width
+                # micro-slices keep ONE compiled shape (see _divisor_le)
+                seg = _divisor_le(n_batches, seg)
+                mb = _divisor_le(
+                    b_sz, max(1, min(b_sz, spec.microbatch_images(b_sz)))
+                )
                 if mb < b_sz:
                     # even one step exceeds the execution budget: bounded
                     # gradient-accumulation dispatches, one update per step
@@ -1989,7 +2024,10 @@ class VmappedTrials:
                     facs_b = {
                         g: jnp.asarray(v[b]) for g, v in factors.items()
                     }
-                    mb = max(1, min(hi - lo, spec.microbatch_images(hi - lo)))
+                    mb = _divisor_le(
+                        hi - lo,
+                        max(1, min(hi - lo, spec.microbatch_images(hi - lo))),
+                    )
                     if mb < hi - lo:
                         if epoch == 0 and b == 0:
                             print(
@@ -2034,15 +2072,24 @@ class VmappedTrials:
                 # bounded-execution eval: identical logits, one dispatch per
                 # row chunk (same per-trial keys — eval keys are class-/
                 # sample-shaped, never row-shaped, so chunk results equal
-                # the unchunked dispatch's)
+                # the unchunked dispatch's). Rows are independent, so the
+                # tail pads with zero rows to the chunk shape (trimmed
+                # below) — a ragged tail would compile the eval program a
+                # second time (see _divisor_le).
+                ft = shared["feats_test"]
+                pad = (-n_rows) % rows
+                if pad:
+                    ft = jnp.concatenate(
+                        [ft, jnp.zeros((pad,) + ft.shape[1:], ft.dtype)]
+                    )
                 parts = []
-                for lo in range(0, n_rows, rows):
+                for lo in range(0, n_rows + pad, rows):
                     sh = dict(shared)
-                    sh["feats_test"] = shared["feats_test"][lo:lo + rows]
+                    sh["feats_test"] = ft[lo:lo + rows]
                     parts.append(
                         np.asarray(eval_fn(params, eval_consts, eval_keys, sh))
                     )
-                logits = np.concatenate(parts, axis=1)
+                logits = np.concatenate(parts, axis=1)[:, :n_rows]
             else:
                 logits = np.asarray(
                     eval_fn(params, eval_consts, eval_keys, shared)

@@ -113,11 +113,12 @@ def main():
         r["metrics"]["top1_acc"] == r["metrics"]["top1_acc"] for r in results
     ), "NaN top1"
 
+    from clip_gp_tpu.parallel.trial_vmap import cocoop_microbatch_images
+
     t = len(SEEDS)
     b = config.dataloader.batch_size_train
     step_prompts = t * b * CLASSES
-    budget = int(os.environ.get("CLIP_GP_TPU_COCOOP_STEP_PROMPTS", "90000"))
-    mb = max(1, min(b, budget // (t * CLASSES))) if budget > 0 else b
+    mb = cocoop_microbatch_images(t, b, CLASSES)  # the runner's own rule
     out = {
         "metric": "cocoop_imagenet_scale_vmap_group_s",
         "value": round(group_s, 1),

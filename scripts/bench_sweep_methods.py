@@ -235,7 +235,11 @@ def main():
             "the measured mean group time; 16-shot measured cells are the "
             "most expensive, so this over-counts lower-shot cells"
         ),
-        "zero_vmap_fallbacks": not failed,  # strict per-group asserts + gate
+        # strict=True means a vmap->in-process fallback RAISES, so every
+        # cell in group_s_by_cell ran vmapped by construction; cells that
+        # failed outright (for any reason — crash, OOM, backend wedge) are
+        # listed separately in failed_cells, not conflated with fallbacks
+        "zero_vmap_fallbacks": True,
         "backend": jax.default_backend(),
         "dataset_gen_s": round(gen_s, 1),
     }

@@ -220,6 +220,62 @@ def test_cocoop_batched_vs_chunked_logits_parity(tmp_path, monkeypatch):
     np.testing.assert_allclose(logits_full, logits_chunk, rtol=2e-4, atol=2e-4)
 
 
+def test_cocoop_subchunked_tower_parity(tmp_path, monkeypatch):
+    """k > PROMPT_BUDGET floors the image-axis chunk at one image whose k
+    prompts still exceed the budget; the flat-prompt-axis sub-chunk scan
+    (remat per slice — the ImageNet-scale OOM fix, 12 rematted fp32 layer
+    stashes ~1.8 MB/prompt measured 8.8 GB at T=5 x k=1000) must match the
+    single-call path in logits AND gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_gp_tpu.methods import cocoop as cocoop_mod
+
+    config = make_config(tmp_path, "Adapter-CoCoOp")
+    set_random_seed(config.seed)
+    dm = build_data_manager(config)
+
+    def build(budget):
+        monkeypatch.setattr(cocoop_mod, "PROMPT_BUDGET", budget)
+        set_random_seed(config.seed)
+        trainer = build_trainer(config, dm)
+        trainer.build_model()
+        return trainer
+
+    trainer_full = build(10_000)  # single tower call
+    trainer_sub = build(2)  # k=4 > budget=2: chunk=1 image, 2 tower slices
+
+    rng = np.random.default_rng(0)
+    d = int(trainer_full.arch.embed_dim)
+    feats = rng.normal(size=(8, d)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    feats = jnp.asarray(feats)
+    logits_full = np.asarray(trainer_full._logits_fn(trainer_full.params, feats))
+    logits_sub = np.asarray(trainer_sub._logits_fn(trainer_full.params, feats))
+    np.testing.assert_allclose(logits_full, logits_sub, rtol=2e-4, atol=2e-4)
+
+    labels = jnp.arange(8) % logits_full.shape[1]
+
+    def make_loss(trainer):
+        def loss(p):
+            lg = trainer._logits_fn(p, feats)
+            lp = jax.nn.log_softmax(lg)
+            return -jnp.mean(lp[jnp.arange(8), labels])
+
+        return loss
+
+    g_full = jax.grad(make_loss(trainer_full))(trainer_full.params)
+    g_sub = jax.grad(make_loss(trainer_sub))(trainer_full.params)
+    for kf, vf in jax.tree_util.tree_leaves_with_path(g_full):
+        vs = g_sub
+        for part in kf:
+            vs = vs[part.key] if hasattr(part, "key") else vs[part.idx]
+        np.testing.assert_allclose(
+            np.asarray(vf), np.asarray(vs), rtol=5e-4, atol=5e-4,
+            err_msg=str(kf),
+        )
+
+
 def test_final_model_best_val(tmp_path, capfd):
     """final_model=best_val: per-epoch val tracking writes model-best.npz and
     after_train deploys it (the reference defines this deploy path but never

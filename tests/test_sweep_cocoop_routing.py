@@ -122,3 +122,44 @@ def test_cocoop_group_vmaps_on_env_optin(tmp_path, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert "routes to the in-process backend" not in out
     assert "[vmap] OK method=Adapter-CoCoOp" in out
+
+
+def test_cocoop_group_vmaps_under_parallel_schedule(tmp_path, capsys):
+    """A parallel schedule (multi-device default with >1 dataset bucket)
+    keeps CoCoOp vmapped: in-process trials are global-RNG sequential, so
+    routing would demote the groups out of their device workers (up to
+    n_devices x wall-clock). Measured warm vmap ~= in-process, so staying
+    vmapped costs ~nothing and keeps the chips."""
+    from test_dataset_catalogs import build_caltech101
+
+    from clip_gp_tpu.parallel import sweep as sweep_mod
+
+    root = tmp_path / "data"
+    build_caltech101(root)
+    out_root = tmp_path / "out_par"
+    spec = yaml.safe_load(
+        _experiment_yaml(tmp_path, out_root, seeds=[1, 2]).read_text()
+    )
+    spec["root"] = str(root)
+    spec["datasets"] = ["synthetic", "caltech101"]
+    cfg_path = tmp_path / "par.yaml"
+    cfg_path.write_text(yaml.safe_dump(spec))
+    feature_cache.memo_clear()
+    sweep_mod.main(["--config-file", str(cfg_path), "--backend", "vmap"])
+    out = capsys.readouterr().out
+    assert "routes to the in-process backend" not in out
+    assert out.count("[vmap] OK method=Adapter-CoCoOp") == 4
+    assert len(_metrics(out_root)) == 4
+
+
+def test_trial_mesh_rejects_non_integer(tmp_path, capsys):
+    from clip_gp_tpu.parallel import sweep as sweep_mod
+
+    cfg_path = _experiment_yaml(tmp_path, tmp_path / "out_bad", seeds=[1])
+    with pytest.raises(SystemExit):
+        sweep_mod.main([
+            "--config-file", str(cfg_path), "--backend", "vmap",
+            "--trial-mesh", "all",
+        ])
+    err = capsys.readouterr().err
+    assert "expects an integer or 'auto'" in err

@@ -140,3 +140,53 @@ def test_non_ascii_warns_once_and_tokenizes_normalized(capsys):
     tokenize("café")  # second non-ASCII input: no second warning
     assert "Mojibake" not in capsys.readouterr().err
     tkn._warned_non_ascii = False
+
+
+def test_surrogate_handling_matches_ftfy_semantics():
+    from clip_gp_tpu.models.tokenizer import _fix_surrogates, _fix_text_lite
+
+    # a surrogate PAIR recombines into its astral character (ftfy
+    # fix_surrogates), not '??' (which str.encode(...,'replace') produces)
+    assert _fix_surrogates("a\ud83d\ude00b") == "a\U0001f600b"
+    # a LONE surrogate becomes U+FFFD, not ASCII '?'
+    assert _fix_surrogates("a\ud800b") == "a�b"
+    assert _fix_surrogates("x\udfffy\ud800") == "x�y�"
+    # and through the full lite pass
+    assert _fix_text_lite("a\ud800b") == "a�b"
+
+
+def test_ascii_html_entities_uncurl_like_reference():
+    """ftfy's auto unescape_html runs BEFORE quote uncurling, so pure-ASCII
+    input carrying entity-encoded curly quotes must tokenize like the
+    literal punctuation (ref: clip/simple_tokenizer.py:50-53)."""
+    from clip_gp_tpu.models.tokenizer import _clean
+
+    assert _clean("&ldquo;bird&rdquo;") == '"bird"'
+    assert _clean("it&rsquo;s") == "it's"
+    # entity-encoded ligature expands too
+    assert _clean("&#xfb01;sh") == "fish"
+    np.testing.assert_array_equal(
+        tokenize("&ldquo;a photo&rdquo;"), tokenize('"a photo"')
+    )
+
+
+def test_clean_unescape_count_matches_reference():
+    """basic_clean = fix_text (1 auto unescape) + 2 explicit unescapes = 3
+    total; a 4th would over-decode nested '&amp;' escapes."""
+    from clip_gp_tpu.models.tokenizer import _clean
+
+    assert _clean("&amp;amp;amp;x") == "&x"
+    # '<' present: ftfy's auto heuristic skips ITS unescape (only the 2
+    # explicit ones run)
+    assert _clean("a < &amp;amp;x") == "a < &x"
+
+
+def test_ascii_control_chars_removed_like_ftfy():
+    from clip_gp_tpu.models.tokenizer import _clean
+
+    # ftfy remove_control_chars strips C0 controls (except \t, \n) on ASCII
+    # input too; \r folds into whitespace like fix_line_breaks + the
+    # whitespace collapse
+    assert _clean("a\x07b") == "ab"
+    assert _clean("a\x1b[31mred") == "ared"
+    assert _clean("a\rb") == "a b"

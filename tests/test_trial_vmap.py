@@ -752,9 +752,9 @@ def test_cocoop_gradient_accumulation_matches_unsplit(tmp_path, monkeypatch,
     Σ (n_i/B)·grad_i over image micro-slices and applies one optimizer
     update — the unsplit batch-mean gradient up to fp reduction order (the
     CoCoOp loss is batch-mean CE with an unused key). Forced here via
-    CLIP_GP_TPU_COCOOP_STEP_PROMPTS=24 at T=2, K=4, B=8: mb=3, so slices
-    of 3+3+2 cover the remainder branch; compared against the unsplit
-    run."""
+    CLIP_GP_TPU_COCOOP_STEP_PROMPTS=24 at T=2, K=4, B=8: the spec's mb=3
+    snaps to 2 (largest divisor of B — equal-width slices keep ONE compiled
+    grad_part shape, see _divisor_le); compared against the unsplit run."""
     from clip_gp_tpu.parallel.trial_vmap import run_vmapped_trials
     from clip_gp_tpu.runtime import feature_cache
 
@@ -772,7 +772,7 @@ def test_cocoop_gradient_accumulation_matches_unsplit(tmp_path, monkeypatch,
     monkeypatch.setenv("CLIP_GP_TPU_COCOOP_STEP_PROMPTS", "24")
     micro_results = build("micro")
     out = capsys.readouterr().out
-    assert "gradient accumulation: 3 images/dispatch (batch 8)" in out
+    assert "gradient accumulation: 2 images/dispatch (batch 8)" in out
 
     monkeypatch.delenv("CLIP_GP_TPU_COCOOP_STEP_PROMPTS")
     plain_results = build("plain")
@@ -834,7 +834,7 @@ def test_cocoop_gradient_accumulation_under_trial_mesh(tmp_path, monkeypatch,
         config, seeds, outdirs, mesh=mesh, method="Adapter-CoCoOp"
     )
     out = capsys.readouterr().out
-    assert "gradient accumulation: 3 images/dispatch (batch 8)" in out
+    assert "gradient accumulation: 2 images/dispatch (batch 8)" in out
     assert len(results) == 2
     for result in results:
         assert np.isfinite(result["metrics"]["top1_acc"])
@@ -888,3 +888,55 @@ def test_decode_prefetcher_propagates_producer_errors(tmp_path, monkeypatch):
                 pass
     finally:
         monkeypatch.setattr(pipeline_mod, "BatchLoader", real_loader)
+
+
+def test_divisor_le():
+    from clip_gp_tpu.parallel.trial_vmap import _divisor_le
+
+    assert _divisor_le(50, 11) == 10  # 16-shot K=100 segment shape
+    assert _divisor_le(47, 5) == 1  # prime: per-step dispatch path
+    assert _divisor_le(32, 18) == 16  # ImageNet-scale micro-slice
+    assert _divisor_le(8, 3) == 2
+    assert _divisor_le(8, 8) == 8  # cap >= n: unchanged
+    assert _divisor_le(8, 100) == 8
+    assert _divisor_le(1, 1) == 1
+
+
+def test_cocoop_segment_divisor_snap_identical(tmp_path, monkeypatch):
+    """A segment budget that does not divide n_batches snaps to the largest
+    divisor (4 batches, spec seg=3 -> 2+2) so the heavy epoch executable
+    compiles ONCE; results must match the unsegmented run exactly."""
+    import clip_gp_tpu.parallel.trial_vmap as tv
+    from clip_gp_tpu.parallel.trial_vmap import run_vmapped_trials
+    from clip_gp_tpu.runtime import feature_cache
+
+    def build(tag):
+        config = _head_config(tmp_path, "Adapter-CoCoOp")
+        config.dataset.num_shots = 8  # 4 batches of 8
+        config.adapter.clip_adapter_epochs = 2
+        seeds = [1, 2]
+        outdirs = [tmp_path / f"{tag}/seed{s}" for s in seeds]
+        feature_cache.memo_clear()
+        return run_vmapped_trials(
+            config, seeds, outdirs, method="Adapter-CoCoOp"
+        )
+
+    seg_calls = []
+    orig = tv.CoCoOpSpec.batches_per_dispatch
+
+    def spy(self, n_batches, batch_size):
+        seg = orig(self, n_batches, batch_size)
+        seg_calls.append((n_batches, seg))
+        return seg
+
+    monkeypatch.setattr(tv.CoCoOpSpec, "batches_per_dispatch", spy)
+    # T=2 * B=8 * K=4 = 64 prompts/step; budget 192 -> spec seg = 3
+    monkeypatch.setenv("CLIP_GP_TPU_COCOOP_DISPATCH_PROMPTS", "192")
+    seg_results = build("snap")
+    assert seg_calls and all(s == 3 and n == 4 for n, s in seg_calls), seg_calls
+
+    monkeypatch.delenv("CLIP_GP_TPU_COCOOP_DISPATCH_PROMPTS")
+    plain_results = build("plain")
+    for sr, pr in zip(seg_results, plain_results):
+        assert sr["metrics"]["top1_acc"] == pr["metrics"]["top1_acc"]
+        assert np.isclose(sr["metrics"]["ece"], pr["metrics"]["ece"], atol=1e-6)
