@@ -940,3 +940,33 @@ def test_cocoop_segment_divisor_snap_identical(tmp_path, monkeypatch):
     for sr, pr in zip(seg_results, plain_results):
         assert sr["metrics"]["top1_acc"] == pr["metrics"]["top1_acc"]
         assert np.isclose(sr["metrics"]["ece"], pr["metrics"]["ece"], atol=1e-6)
+
+
+def test_vmapped_cocoop_subchunked_tower_matches_default(tmp_path,
+                                                         monkeypatch):
+    """k > PROMPT_BUDGET under the trial vmap: the flat-prompt-axis
+    sub-chunk scan (the ImageNet-scale OOM fix — remat per <=budget prompt
+    slice) must reproduce the default single-call group's metrics. Forced
+    via PROMPT_BUDGET=2 at k=4: chunk floors at 1 image, n=4 > 2 -> two
+    tower slices per image."""
+    from clip_gp_tpu.methods import cocoop as cocoop_mod
+    from clip_gp_tpu.parallel.trial_vmap import run_vmapped_trials
+    from clip_gp_tpu.runtime import feature_cache
+
+    def build(tag, budget):
+        monkeypatch.setattr(cocoop_mod, "PROMPT_BUDGET", budget)
+        config = _head_config(tmp_path, "Adapter-CoCoOp")
+        config.adapter.clip_adapter_epochs = 2
+        seeds = [1, 2]
+        outdirs = [tmp_path / f"{tag}/seed{s}" for s in seeds]
+        feature_cache.memo_clear()
+        return run_vmapped_trials(
+            config, seeds, outdirs, method="Adapter-CoCoOp"
+        )
+
+    sub_results = build("sub", 2)
+    plain_results = build("plain", 10_000)
+    for sr, pr in zip(sub_results, plain_results):
+        assert sr["metrics"]["top1_acc"] == pr["metrics"]["top1_acc"]
+        assert np.isclose(sr["metrics"]["ece"], pr["metrics"]["ece"],
+                          atol=1e-5)
