@@ -103,8 +103,15 @@ from clip_gp_tpu.runtime.backend_guard import wait_for_backend  # noqa: E402
 # Last successful measurement, persisted so a wedged tunnel at driver time
 # still yields an artifact (clearly marked stale) instead of a hang. The
 # tunneled backend has wedged for 10+ hour stretches; the wait budget can't
-# always outlast one.
+# always outlast one. This file is COMMITTED (seeded from the round-3
+# measured number) so the fallback survives a fresh checkout — round 4 had
+# nothing on disk to fall back on; successful runs overwrite it in place.
 LAST_GOOD_PATH = Path(__file__).resolve().parent / "BENCH_LAST_GOOD.json"
+
+# Wedge-class child crashes (tunnel transport failures) are retried up to
+# this many times within the BENCH_BACKEND_WAIT_S budget before falling
+# back to the stale last-good number.
+MAX_WEDGE_RETRIES = 3
 
 # Marker another bench process (the re-measure queue) holds while running;
 # module-level so tests never wait on a real flag left in /tmp.
@@ -173,6 +180,33 @@ def compute_payload() -> dict:
 
 _CHILD_ENV = "CLIP_GP_TPU_BENCH_CHILD"
 
+# Stderr signatures of a TUNNEL TRANSPORT failure killing the child
+# mid-measurement. These are wedge-class events — the backend flapped, not a
+# code bug — and must be retried/fallen-back, never reported as a bench bug.
+# Round-4 evidence (BENCH_r04.json): `jax.errors.JaxRuntimeError: INTERNAL:
+# http://127.0.0.1:8093/remote_compile: read body: response body closed
+# before all bytes were read` crashed the child with 2610 s still left in
+# the wait budget, and the old classifier hard-coded "crashed child = code
+# bug" — erasing the round's headline number over a transient.
+WEDGE_STDERR_SIGNATURES = (
+    "remote_compile",          # the tunnel's compile RPC endpoint
+    "remote_execute",          # the tunnel's execute RPC endpoint
+    "response body closed",    # the exact r04 transport failure
+    "INTERNAL: http",          # JaxRuntimeError INTERNAL wrapping an HTTP url
+    "DEADLINE_EXCEEDED",       # RPC deadline — backend stalled mid-call
+    "UNAVAILABLE:",            # gRPC/absl transport unavailability
+    "Connection reset by peer",
+    "Socket closed",
+    "Failed to connect to remote server",
+)
+
+
+def stderr_indicates_wedge(stderr: str) -> bool:
+    """True when a crashed child's stderr carries a transport-failure
+    signature — i.e. the backend flapped mid-run and the crash is
+    wedge-class (retryable), not a code bug."""
+    return any(sig in stderr for sig in WEDGE_STDERR_SIGNATURES)
+
 
 def run_measurement_child(timeout_s: float) -> tuple[str, dict | None]:
     """Run ``compute_payload`` in a killable subprocess.
@@ -180,9 +214,10 @@ def run_measurement_child(timeout_s: float) -> tuple[str, dict | None]:
     The backend can wedge MID-measurement — after the health probe
     succeeded — and a wedged device call never returns, so the measurement
     itself must be boundable. Returns (status, payload): status is "ok"
-    (payload set), "timeout" (likely a mid-run wedge), or "crash" (the
-    child died or printed no payload — a code bug, NOT a wedge). The
-    child's stderr is forwarded either way."""
+    (payload set), "timeout" (likely a mid-run wedge), "wedge_crash" (the
+    child died with a tunnel-transport signature on stderr — retryable),
+    or "crash" (the child died without one, or printed no payload — a code
+    bug, NOT a wedge). The child's stderr is forwarded either way."""
     import os
     import subprocess
 
@@ -208,6 +243,13 @@ def run_measurement_child(timeout_s: float) -> tuple[str, dict | None]:
         return "timeout", None
     sys.stderr.write(proc.stderr)
     if proc.returncode != 0:
+        if stderr_indicates_wedge(proc.stderr):
+            print(
+                f"[bench] measurement child died (rc={proc.returncode}) on a "
+                "tunnel TRANSPORT failure — wedge-class, retryable",
+                file=sys.stderr,
+            )
+            return "wedge_crash", None
         print(
             f"[bench] measurement child failed (rc={proc.returncode})",
             file=sys.stderr,
@@ -271,7 +313,12 @@ def main():
         print(json.dumps(compute_payload()))
         return
     _wait_for_other_bench()
-    if not wait_for_backend():
+    # ONE overall backend-wait budget for the whole run: the initial health
+    # probe and any wedge-crash re-probes share it, so total wall time stays
+    # bounded no matter how often the tunnel flaps.
+    budget = float(os.environ.get("BENCH_BACKEND_WAIT_S", "2700"))
+    deadline = time.monotonic() + budget
+    if not wait_for_backend(budget_s=budget):
         stale = load_stale_fallback(LAST_GOOD_PATH)
         if stale is not None:
             print(json.dumps(stale))
@@ -279,7 +326,46 @@ def main():
         # never measured successfully: try anyway (the child below is
         # time-bounded) — no honest number exists to fall back on
     timeout_s = float(os.environ.get("BENCH_RUN_TIMEOUT_S", "2400"))
-    status, payload = run_measurement_child(timeout_s)
+    wedge_crashes = 0
+    while True:
+        status, payload = run_measurement_child(timeout_s)
+        if status != "wedge_crash":
+            break
+        # the child died on a tunnel TRANSPORT failure (remote_compile /
+        # HTTP body / RPC signatures): the backend flapped mid-run. Re-probe
+        # within the remaining budget and retry — round 4 lost its headline
+        # number by classifying exactly this as a code bug.
+        wedge_crashes += 1
+        remaining = deadline - time.monotonic()
+        if wedge_crashes >= MAX_WEDGE_RETRIES or remaining <= 60:
+            _emit_stale_or(
+                _error_payload(
+                    "measurement child repeatedly died on tunnel transport "
+                    "failures and no prior successful measurement exists to "
+                    "fall back on"
+                ),
+                reason=(
+                    f"{wedge_crashes} wedge-class child crash(es) exhausted "
+                    "the retry budget"
+                ),
+            )
+            return
+        print(
+            f"[bench] wedge-class crash {wedge_crashes}/{MAX_WEDGE_RETRIES}; "
+            f"re-probing backend ({remaining:.0f}s left in budget) and "
+            "retrying the measurement",
+            file=sys.stderr,
+        )
+        if not wait_for_backend(budget_s=remaining):
+            # the re-probe itself says wedged: don't burn another child
+            _emit_stale_or(
+                _error_payload(
+                    "backend stayed wedged after a mid-run transport "
+                    "failure and no prior successful measurement exists"
+                ),
+                reason="backend wedged after a wedge-class child crash",
+            )
+            return
     if status == "timeout":
         # a timed-out child is the mid-run-wedge signature: the stale
         # last-good number is the honest artifact
@@ -292,8 +378,8 @@ def main():
         )
         return
     if status == "crash":
-        # a crashed child is a CODE bug, not a wedge — surface it rather
-        # than masking it behind the stale number forever
+        # a crashed child WITHOUT a transport signature is a CODE bug —
+        # surface it rather than masking it behind the stale number forever
         print(
             json.dumps(
                 _error_payload(

@@ -72,7 +72,7 @@ def probe_device_count(
     return None
 
 
-def wait_for_backend() -> bool:
+def wait_for_backend(budget_s: float | None = None) -> bool:
     """Block until the backend answers a probe; bounded by the budget.
 
     Returns ``True`` when the backend answered (or failed fast with a real
@@ -80,12 +80,20 @@ def wait_for_backend() -> bool:
     budget ran out on probe timeouts — i.e. the backend is wedged and any
     device work the caller dispatches next will likely hang. Callers with a
     stale-but-honest fallback (bench.py) should take it on ``False``.
+
+    ``budget_s`` overrides the ``BENCH_BACKEND_WAIT_S`` budget — callers
+    that re-probe after a mid-run transport failure (bench.py's wedge-crash
+    retry) pass their REMAINING budget so the total wait stays bounded.
     """
     if os.environ.get("CLIP_GP_TPU_FORCE_CPU"):
         # the caller is pinned to the host CPU (train.py/sweep/bench guard);
         # probing the tunneled TPU would wait on hardware it won't use
         return True
-    budget = float(os.environ.get("BENCH_BACKEND_WAIT_S", "2700"))
+    budget = (
+        float(os.environ.get("BENCH_BACKEND_WAIT_S", "2700"))
+        if budget_s is None
+        else budget_s
+    )
     deadline = time.monotonic() + budget
     attempt = 0
     fast_failures = 0

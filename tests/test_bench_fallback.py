@@ -55,7 +55,9 @@ def test_main_emits_stale_line_when_wedged(tmp_path, monkeypatch, capsys):
     path = tmp_path / "BENCH_LAST_GOOD.json"
     bench.save_last_good({"metric": "m", "value": 99.0}, path)
     monkeypatch.setattr(bench, "LAST_GOOD_PATH", path)
-    monkeypatch.setattr(bench, "wait_for_backend", lambda: False)
+    monkeypatch.setattr(
+        bench, "wait_for_backend", lambda budget_s=None: False
+    )
     # measure() must never run on the wedged path
     monkeypatch.setattr(
         bench, "measure", lambda *a, **k: (_ for _ in ()).throw(AssertionError)
@@ -70,7 +72,9 @@ def test_main_emits_stale_line_when_wedged(tmp_path, monkeypatch, capsys):
 def test_main_success_path_persists_last_good(tmp_path, monkeypatch, capsys):
     path = tmp_path / "BENCH_LAST_GOOD.json"
     monkeypatch.setattr(bench, "LAST_GOOD_PATH", path)
-    monkeypatch.setattr(bench, "wait_for_backend", lambda: True)
+    monkeypatch.setattr(
+        bench, "wait_for_backend", lambda budget_s=None: True
+    )
     payload = {"metric": "m", "value": 123.0, "unit": "imgs/s"}
     monkeypatch.setattr(
         bench, "run_measurement_child", lambda t: ("ok", dict(payload))
@@ -89,7 +93,9 @@ def test_main_midrun_wedge_falls_back_to_stale(tmp_path, monkeypatch, capsys):
     path = tmp_path / "BENCH_LAST_GOOD.json"
     bench.save_last_good({"metric": "m", "value": 88.0}, path)
     monkeypatch.setattr(bench, "LAST_GOOD_PATH", path)
-    monkeypatch.setattr(bench, "wait_for_backend", lambda: True)
+    monkeypatch.setattr(
+        bench, "wait_for_backend", lambda budget_s=None: True
+    )
     monkeypatch.setattr(
         bench, "run_measurement_child", lambda t: ("timeout", None)
     )
@@ -103,7 +109,9 @@ def test_main_midrun_wedge_without_stale_reports_error(
     tmp_path, monkeypatch, capsys
 ):
     monkeypatch.setattr(bench, "LAST_GOOD_PATH", tmp_path / "absent.json")
-    monkeypatch.setattr(bench, "wait_for_backend", lambda: True)
+    monkeypatch.setattr(
+        bench, "wait_for_backend", lambda budget_s=None: True
+    )
     monkeypatch.setattr(
         bench, "run_measurement_child", lambda t: ("timeout", None)
     )
@@ -120,7 +128,9 @@ def test_main_child_crash_surfaces_error_not_stale(
     path = tmp_path / "BENCH_LAST_GOOD.json"
     bench.save_last_good({"metric": "m", "value": 88.0}, path)
     monkeypatch.setattr(bench, "LAST_GOOD_PATH", path)
-    monkeypatch.setattr(bench, "wait_for_backend", lambda: True)
+    monkeypatch.setattr(
+        bench, "wait_for_backend", lambda budget_s=None: True
+    )
     monkeypatch.setattr(
         bench, "run_measurement_child", lambda t: ("crash", None)
     )
@@ -128,6 +138,141 @@ def test_main_child_crash_surfaces_error_not_stale(
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["value"] is None and "bench bug" in rec["error"]
     assert "stale" not in rec
+
+
+# The exact stderr that killed round 4's measurement child (BENCH_r04.json):
+# a tunnel transport failure the old classifier mislabeled as a code bug.
+R04_WEDGE_TRACEBACK = """\
+Traceback (most recent call last):
+  File "/root/repo/bench.py", line 316, in <module>
+    main()
+  File "/root/repo/bench.py", line 85, in measure
+    x, out = step(params, x)
+jax.errors.JaxRuntimeError: INTERNAL: http://127.0.0.1:8093/remote_compile: \
+read body: response body closed before all bytes were read
+"""
+
+
+def test_wedge_signature_classification():
+    assert bench.stderr_indicates_wedge(R04_WEDGE_TRACEBACK)
+    # RPC-layer variants seen from the tunnel
+    assert bench.stderr_indicates_wedge("DEADLINE_EXCEEDED: remote call")
+    assert bench.stderr_indicates_wedge("UNAVAILABLE: connection dropped")
+    # a genuine code bug must NOT classify as a wedge
+    assert not bench.stderr_indicates_wedge(
+        "Traceback (most recent call last):\n"
+        '  File "bench.py", line 85, in measure\n'
+        "TypeError: unsupported operand type(s) for @: 'NoneType' and 'int'\n"
+    )
+    assert not bench.stderr_indicates_wedge("")
+
+
+def test_run_measurement_child_classifies_wedge_crash(monkeypatch):
+    import subprocess
+    from types import SimpleNamespace
+
+    def fake_run(*a, **k):
+        return SimpleNamespace(
+            returncode=1, stderr=R04_WEDGE_TRACEBACK, stdout=""
+        )
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    assert bench.run_measurement_child(10.0) == ("wedge_crash", None)
+
+    def fake_run_bug(*a, **k):
+        return SimpleNamespace(
+            returncode=1, stderr="TypeError: boom\n", stdout=""
+        )
+
+    monkeypatch.setattr(subprocess, "run", fake_run_bug)
+    assert bench.run_measurement_child(10.0) == ("crash", None)
+
+
+def test_main_wedge_crash_retries_then_succeeds(tmp_path, monkeypatch, capsys):
+    """A transport-failure child crash must re-probe and retry — round 4
+    lost its headline number by giving up on exactly this."""
+    path = tmp_path / "BENCH_LAST_GOOD.json"
+    monkeypatch.setattr(bench, "LAST_GOOD_PATH", path)
+    probes = []
+    monkeypatch.setattr(
+        bench, "wait_for_backend", lambda budget_s=None: probes.append(1) or True
+    )
+    statuses = iter([("wedge_crash", None), ("ok", {"metric": "m", "value": 42.0})])
+    monkeypatch.setattr(
+        bench, "run_measurement_child", lambda t: next(statuses)
+    )
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    assert json.loads(out[0])["value"] == 42.0
+    assert len(probes) == 2  # initial probe + the post-crash re-probe
+    assert json.loads(path.read_text())["value"] == 42.0  # persisted
+
+
+def test_main_wedge_crash_exhausts_retries_to_stale(
+    tmp_path, monkeypatch, capsys
+):
+    path = tmp_path / "BENCH_LAST_GOOD.json"
+    bench.save_last_good({"metric": "m", "value": 77.0}, path)
+    monkeypatch.setattr(bench, "LAST_GOOD_PATH", path)
+    monkeypatch.setattr(
+        bench, "wait_for_backend", lambda budget_s=None: True
+    )
+    calls = []
+    monkeypatch.setattr(
+        bench,
+        "run_measurement_child",
+        lambda t: calls.append(1) or ("wedge_crash", None),
+    )
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    rec = json.loads(out[0])
+    assert rec["stale"] is True and rec["value"] == 77.0
+    assert "wedge-class" in rec["stale_note"]
+    assert len(calls) == bench.MAX_WEDGE_RETRIES
+
+
+def test_main_wedge_crash_reprobe_failure_goes_stale(
+    tmp_path, monkeypatch, capsys
+):
+    """When the post-crash re-probe itself times out, don't burn another
+    child — emit the stale line immediately."""
+    path = tmp_path / "BENCH_LAST_GOOD.json"
+    bench.save_last_good({"metric": "m", "value": 66.0}, path)
+    monkeypatch.setattr(bench, "LAST_GOOD_PATH", path)
+    probe_results = iter([True, False])  # healthy at start, wedged on re-probe
+    monkeypatch.setattr(
+        bench, "wait_for_backend", lambda budget_s=None: next(probe_results)
+    )
+    calls = []
+    monkeypatch.setattr(
+        bench,
+        "run_measurement_child",
+        lambda t: calls.append(1) or ("wedge_crash", None),
+    )
+    bench.main()
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["stale"] is True and rec["value"] == 66.0
+    assert len(calls) == 1  # no second child after the failed re-probe
+
+
+def test_committed_last_good_survives_fresh_checkout():
+    """The durable-fallback contract: BENCH_LAST_GOOD.json is a COMMITTED
+    repo file with a real finite value, so a fresh checkout always has an
+    honest (stale-marked) number to fall back on."""
+    import math
+    import subprocess
+
+    payload = json.loads(bench.LAST_GOOD_PATH.read_text())
+    assert payload["metric"] == "vitb16_feature_extract_imgs_per_sec_per_chip"
+    assert math.isfinite(payload["value"]) and payload["value"] > 0
+    tracked = subprocess.run(
+        ["git", "ls-files", "--error-unmatch", bench.LAST_GOOD_PATH.name],
+        cwd=bench.LAST_GOOD_PATH.parent,
+        capture_output=True,
+    )
+    assert tracked.returncode == 0, "BENCH_LAST_GOOD.json must be git-tracked"
 
 
 def test_run_measurement_child_parses_payload_amid_noise(monkeypatch):
@@ -161,7 +306,7 @@ def test_child_mode_prints_payload_directly(monkeypatch, capsys):
     monkeypatch.setattr(
         bench,
         "wait_for_backend",
-        lambda: (_ for _ in ()).throw(AssertionError),
+        lambda budget_s=None: (_ for _ in ()).throw(AssertionError),
     )
     monkeypatch.setattr(
         bench,
