@@ -17,11 +17,13 @@ User-supplied vocabularies (``scripts/predict.py`` accepts arbitrary class
 names) may contain non-ASCII text: for those ``_fix_text_lite`` applies the
 deterministic subset of ftfy's default pipeline (NFC, latin ligatures,
 character width, quote uncurling, line breaks, surrogate/control removal,
-terminal escapes). The one part NOT ported is mojibake *repair*
-(``fix_encoding`` — re-decoding text that was mangled through a wrong
-codec); well-formed UTF-8 passes through it unchanged, and a one-time
-warning flags non-ASCII input so a user feeding mangled text knows the
-difference.
+terminal escapes) plus the HIGH-CONFIDENCE subset of mojibake repair
+(``fix_encoding``): maximal non-ASCII runs that round-trip through
+sloppy-windows-1252 or latin-1 back to valid multi-byte UTF-8 are re-decoded
+(the classic "CafÃ©"/"â€™" double-encoding class), iterated to a fixed
+point. Runs that do not round-trip exactly are left unchanged — ftfy's
+badness-heuristic arbitration of genuinely ambiguous bytes is not ported,
+and a one-time warning says so.
 """
 
 from __future__ import annotations
@@ -94,7 +96,72 @@ _CONTROL_CHARS = re.compile(
 _WIDTH_CHARS = re.compile("[\uff01-\uffee]")  # full/halfwidth forms block
 _SURROGATES = re.compile("[\ud800-\udfff]")
 
+# ftfy's fix_text divides its input at line breaks and runs the fixer chain
+# per segment \u2014 the unescape_html="auto" '<' gate included (ADVICE r4:
+# markup on one line must not suppress entity unescaping on another).
+_SEGMENT_BREAKS = re.compile("([\n\r\x85\u2028\u2029])")
+
+# --- mojibake repair (the high-confidence subset of ftfy.fix_encoding) ---
+# UTF-8 text decoded through windows-1252 or latin-1 produces recognizable
+# non-ASCII runs ("Caf\u00c3\u00a9", "\u00e2\u20ac\u2122") that re-encode through the same codec to
+# VALID multi-byte UTF-8 \u2014 an exact round-trip, so repair is deterministic.
+# ftfy's "sloppy-windows-1252" maps the five bytes cp1252 leaves undefined
+# (81 8D 8F 90 9D) to their C1 controls so such mangled text still encodes.
+_SLOPPY_1252: dict[str, int] = {}
+for _b in range(256):
+    try:
+        _SLOPPY_1252[bytes([_b]).decode("cp1252")] = _b
+    except UnicodeDecodeError:
+        _SLOPPY_1252[chr(_b)] = _b
+del _b
+_NON_ASCII_RUN = re.compile("[^\x00-\x7f]+")
+
 _warned_non_ascii = False
+
+
+def _encode_sloppy_1252(chunk: str) -> bytes | None:
+    try:
+        return bytes(_SLOPPY_1252[c] for c in chunk)
+    except KeyError:
+        return None
+
+
+def _encode_latin_1(chunk: str) -> bytes | None:
+    try:
+        return chunk.encode("latin-1")
+    except UnicodeEncodeError:
+        return None
+
+
+def _repair_chunk(chunk: str) -> str:
+    """Re-decode one maximal non-ASCII run iff it round-trips to valid
+    multi-byte UTF-8 through sloppy-1252 (cp1252-class mangling, tried
+    first \u2014 it covers '\u20ac'/'\u2122'-style chars latin-1 cannot encode) or
+    latin-1 (raw C1 controls cp1252 maps elsewhere)."""
+    for enc in (_encode_sloppy_1252, _encode_latin_1):
+        raw = enc(chunk)
+        if raw is None or len(raw) < 2:
+            continue
+        try:
+            fixed = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        if fixed != chunk:
+            return fixed
+    return chunk
+
+
+def _repair_mojibake(text: str, max_passes: int = 3) -> str:
+    """High-confidence subset of ``ftfy.fix_encoding`` (ref:
+    clip/simple_tokenizer.py:50-53 \u2192 ftfy default fixer chain): repair
+    applies per maximal non-ASCII run, only on an exact codec round-trip,
+    iterated because doubly-mangled text unwraps one layer per pass."""
+    for _ in range(max_passes):
+        new = _NON_ASCII_RUN.sub(lambda m: _repair_chunk(m.group()), text)
+        if new == text:
+            return text
+        text = new
+    return text
 
 
 def _fix_surrogates(text: str) -> str:
@@ -139,14 +206,19 @@ def _fix_text_lite(text: str) -> str:
         _warned_non_ascii = True
         print(
             "[WARN] tokenizer: non-ASCII input; applying the deterministic "
-            "subset of ftfy.fix_text (NFC/ligatures/width/quotes). Mojibake "
-            "repair is NOT ported — if this text was mangled through a wrong "
-            "codec it will tokenize differently from the reference.",
+            "subset of ftfy.fix_text (NFC/ligatures/width/quotes) plus "
+            "round-trip mojibake repair. Runs that don't round-trip exactly "
+            "through cp1252/latin-1 are left as-is — ftfy's badness "
+            "heuristics for those are not ported and such text may tokenize "
+            "differently from the reference.",
             file=sys.stderr,
         )
     text = text.translate(_LINE_BREAKS)
     text = _TERMINAL_ESCAPES.sub("", text)
     text = _fix_surrogates(text)
+    # fix_encoding runs before the character-level fixers in ftfy's chain:
+    # "â€™" must become ’ first so the quote uncurling below sees it
+    text = _repair_mojibake(text)
     text = text.translate(_LIGATURES).translate(_CURLY_QUOTES)
     text = _WIDTH_CHARS.sub(lambda m: unicodedata.normalize("NFKC", m.group()),
                             text)
@@ -154,15 +226,25 @@ def _fix_text_lite(text: str) -> str:
     return unicodedata.normalize("NFC", text)
 
 
-def _clean(text: str) -> str:
+def _auto_unescape(text: str) -> str:
     # ftfy's unescape_html="auto" is the FIRST fixer in fix_text's chain
     # (ref: clip/simple_tokenizer.py:50-53 → ftfy default config): entities
     # unescape when the text has no '<', BEFORE ligature/quote fixing — so
     # entity-encoded punctuation in pure-ASCII input ('&ldquo;' → '“') must
-    # leave the ASCII plane here to be uncurled like literal input. Total
-    # unescape count stays 3 (1 in fix_text + the reference's explicit 2).
-    if "&" in text and "<" not in text:
-        text = html.unescape(text)
+    # leave the ASCII plane here to be uncurled like literal input. The
+    # gate applies PER LINE SEGMENT (fix_text divides its input at line
+    # breaks): markup on one line must not suppress unescaping on another.
+    # Total unescape count stays 3 (1 here + the reference's explicit 2).
+    if "&" not in text:
+        return text
+    return "".join(
+        html.unescape(seg) if "&" in seg and "<" not in seg else seg
+        for seg in _SEGMENT_BREAKS.split(text)
+    )
+
+
+def _clean(text: str) -> str:
+    text = _auto_unescape(text)
     if text.isascii():
         # the only default ftfy fixers that touch ASCII: terminal escape
         # sequences and control characters are removed (\t and \n survive

@@ -1237,7 +1237,13 @@ def cocoop_microbatch_images(t_trials: int, batch_size: int, k: int) -> int:
     sizing rule for CLIP_GP_TPU_COCOOP_STEP_PROMPTS (<=0 disables), shared
     by ``CoCoOpSpec.microbatch_images`` and the benches that report what
     the runner did (scripts/bench_cocoop_imagenet_scale.py) — so the
-    artifact's `microbatch_images` can't drift from the measured run."""
+    artifact's `microbatch_images` can't drift from the measured run.
+
+    The result is the FULL rule including the divisor snap the runner
+    applies (micro-slices must divide the batch so every gradient dispatch
+    has one compiled shape — see ``_divisor_le``): at (T=5, B=32, K=1000)
+    the budget alone allows 18 images but the runner trains with 16, and
+    the artifact must say 16."""
     budget = int(
         os.environ.get("CLIP_GP_TPU_COCOOP_STEP_PROMPTS", "90000")
     )
@@ -1246,7 +1252,7 @@ def cocoop_microbatch_images(t_trials: int, batch_size: int, k: int) -> int:
     per_image = t_trials * max(1, k)
     if t_trials * batch_size * max(1, k) <= budget:
         return batch_size  # whole step fits one dispatch: no split
-    return max(1, min(batch_size, budget // per_image))
+    return _divisor_le(batch_size, max(1, budget // per_image))
 
 
 class CoCoOpSpec(CoOpSpec):

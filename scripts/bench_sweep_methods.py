@@ -2,9 +2,10 @@
 """BASELINE #3/#4 sweep-shape benchmark on the vmap backend, one command.
 
 Round 2 proved "all heads vmap" per-head; this artifact is the end-to-end
-measured witness: it drives the REAL sweep runner (`sweep.run_trials_vmapped`
-with ``strict=True`` — any vmap fallback raises instead of silently running
-in-process) over synthetic-backed datasets shaped like the BASELINE configs:
+measured witness: it drives `trial_vmap.run_vmapped_trials` DIRECTLY —
+bypassing the sweep router, so there is no in-process fallback path and
+every successful cell is vmapped by construction — over synthetic-backed
+datasets shaped like the BASELINE configs:
 
 - **#3**: OxfordPets(37) / DTD(47) / EuroSAT(10)-class datasets ×
   {CLIP-Adapter, TaskRes, Tip-Adapter-F} × 5 seeds;
@@ -235,10 +236,11 @@ def main():
             "the measured mean group time; 16-shot measured cells are the "
             "most expensive, so this over-counts lower-shot cells"
         ),
-        # strict=True means a vmap->in-process fallback RAISES, so every
-        # cell in group_s_by_cell ran vmapped by construction; cells that
-        # failed outright (for any reason — crash, OOM, backend wedge) are
-        # listed separately in failed_cells, not conflated with fallbacks
+        # run_cell calls trial_vmap.run_vmapped_trials directly (no sweep
+        # router, hence no fallback path exists): every cell in
+        # group_s_by_cell ran vmapped by construction; cells that failed
+        # outright (for any reason — crash, OOM, backend wedge) are listed
+        # separately in failed_cells, not conflated with fallbacks
         "zero_vmap_fallbacks": True,
         "backend": jax.default_backend(),
         "dataset_gen_s": round(gen_s, 1),

@@ -136,9 +136,9 @@ def test_non_ascii_warns_once_and_tokenizes_normalized(capsys):
     b = tokenize("a photo of a fish.")
     np.testing.assert_array_equal(a, b)
     err = capsys.readouterr().err
-    assert err.count("Mojibake repair is NOT ported") == 1
+    assert err.count("round-trip mojibake repair") == 1
     tokenize("café")  # second non-ASCII input: no second warning
-    assert "Mojibake" not in capsys.readouterr().err
+    assert "mojibake" not in capsys.readouterr().err
     tkn._warned_non_ascii = False
 
 
@@ -179,6 +179,47 @@ def test_clean_unescape_count_matches_reference():
     # '<' present: ftfy's auto heuristic skips ITS unescape (only the 2
     # explicit ones run)
     assert _clean("a < &amp;amp;x") == "a < &x"
+
+
+def test_unescape_gate_is_per_line_segment():
+    """ftfy applies fix_text (and the '<' unescape gate) PER LINE segment:
+    markup on one line must not suppress entity unescaping on another
+    (round-4 advisor case) — the reference yields ASCII quotes here."""
+    from clip_gp_tpu.models.tokenizer import _clean
+
+    assert _clean("foo <b>\n&ldquo;x&rdquo;") == 'foo <b> "x"'
+    # the gate still holds within the markup line itself
+    assert _clean("a <b> &amp;amp;x\nc&rsquo;d") == "a <b> &x c'd"
+    np.testing.assert_array_equal(
+        tokenize("foo <b>\n&ldquo;x&rdquo;"), tokenize('foo <b> "x"')
+    )
+
+
+def test_mojibake_repair_high_confidence_subset():
+    """The round-trip subset of ftfy.fix_encoding: UTF-8 mangled through
+    cp1252/latin-1 re-decodes exactly; ambiguous runs stay untouched
+    (ref: clip/simple_tokenizer.py:50-53 → ftfy default chain)."""
+    from clip_gp_tpu.models.tokenizer import _clean, _repair_mojibake
+
+    # the classic cp1252-class manglings (known stable ftfy outcomes)
+    assert _repair_mojibake("CafÃ©") == "Café"
+    assert _repair_mojibake("naÃ¯ve rÃ©sumÃ©") == "naïve résumé"
+    assert _repair_mojibake("donâ€™t") == "don’t"  # € is cp1252-only
+    # latin-1-class mangling: raw C1 continuation bytes
+    assert _repair_mojibake("caf\xc3\xa9") == "café"
+    # doubly-mangled text unwraps one layer per pass to a fixed point
+    doubly = "Café".encode("utf-8").decode("cp1252")
+    doubly = doubly.encode("utf-8").decode("cp1252")
+    assert _repair_mojibake(doubly) == "Café"
+    # NOT valid UTF-8 after re-encode: left alone (Ã + space)
+    assert _repair_mojibake("Ã la carte") == "Ã la carte"
+    # well-formed non-ASCII is untouched (é alone re-encodes to one byte)
+    assert _repair_mojibake("café niño ✓") == "café niño ✓"
+    # end-to-end: repaired curly apostrophe then uncurls like the reference
+    assert _clean("donâ€™t stop") == "don't stop"
+    np.testing.assert_array_equal(
+        tokenize("a photo of a CafÃ©."), tokenize("a photo of a Café.")
+    )
 
 
 def test_ascii_control_chars_removed_like_ftfy():

@@ -902,6 +902,30 @@ def test_divisor_le():
     assert _divisor_le(1, 1) == 1
 
 
+def test_cocoop_microbatch_images_includes_divisor_snap(monkeypatch):
+    """The shared sizing rule must report what the runner actually trains
+    with — INCLUDING the divisor snap. At (T=5, B=32, K=1000) the 90k
+    prompt budget alone allows 18 images/dispatch but the runner snaps to
+    the largest divisor 16; the ImageNet-scale bench artifact reports this
+    function, so 18 here would disagree with the measured run (r4 advisor
+    finding)."""
+    from clip_gp_tpu.parallel.trial_vmap import (
+        _divisor_le,
+        cocoop_microbatch_images,
+    )
+
+    monkeypatch.delenv("CLIP_GP_TPU_COCOOP_STEP_PROMPTS", raising=False)
+    mb = cocoop_microbatch_images(5, 32, 1000)
+    assert mb == 16  # not the raw budget quotient 18
+    assert 32 % mb == 0
+    # idempotent under the runner's outer snap: one shared rule
+    assert _divisor_le(32, mb) == mb
+    # fits-in-one-dispatch and disabled paths still return the full batch
+    assert cocoop_microbatch_images(1, 8, 10) == 8
+    monkeypatch.setenv("CLIP_GP_TPU_COCOOP_STEP_PROMPTS", "0")
+    assert cocoop_microbatch_images(5, 32, 1000) == 32
+
+
 def test_cocoop_segment_divisor_snap_identical(tmp_path, monkeypatch):
     """A segment budget that does not divide n_batches snaps to the largest
     divisor (4 batches, spec seg=3 -> 2+2) so the heavy epoch executable
