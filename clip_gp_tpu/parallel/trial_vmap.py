@@ -57,6 +57,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from clip_gp_tpu.core.seeding import set_random_seed
+from clip_gp_tpu.parallel import k_bucket
+from clip_gp_tpu.runtime import dispatch_budget
 from clip_gp_tpu.runtime.profiling import phase_timer
 from clip_gp_tpu.data.templates import get_templates
 from clip_gp_tpu.gp import svgp
@@ -347,6 +349,12 @@ class MethodSpec:
         executable, crashed the worker 3/3 while the same 50 steps as
         per-step dispatches pass; see BENCH_sweep_methods.json
         failed_cells)."""
+        return n_batches
+
+    def padded_n_batches(self, n_batches: int, batch_size: int) -> int:
+        """Epoch step count including no-op padding steps (K-bucketed
+        prompt specs override — parallel/k_bucket.py). Default: no
+        padding."""
         return n_batches
 
     def eval_rows_per_dispatch(self, n_rows: int) -> int:
@@ -1164,9 +1172,33 @@ class CoOpSpec(MethodSpec):
         )
         self._ctx0 = ctx0  # phrase-derived when ctx_init, else ignored
         self._ctx_dim = int(ctx0.shape[-1])
+        # K-bucketing (parallel/k_bucket.py): pad the class axis to the
+        # bucket size so the differentiated-tower programs are
+        # shape-identical across datasets sharing a bucket — the prompt
+        # parts were built from the REAL classnames first (identical key
+        # consumption to the in-process trainer), then padded with copies
+        # of class 0's rows (values never receive probability or gradient:
+        # the loss masks padded logits to −inf and eval slices them off)
+        self.k_pad = k_bucket.bucket_k(runner.k)
+        eot = tokenized.argmax(axis=-1)
+        pad = self.k_pad - runner.k
+        if pad:
+            rep = lambda a: jnp.concatenate(  # noqa: E731
+                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])]
+            )
+            prefix, suffix, eot = rep(prefix), rep(suffix), rep(eot)
         runner.shared["coop_prefix"] = prefix
         runner.shared["coop_suffix"] = suffix
-        runner.shared["coop_eot"] = tokenized.argmax(axis=-1)
+        runner.shared["coop_eot"] = eot
+        # the mask rides `shared` as a traced argument, so the SAME compiled
+        # program serves every dataset in the bucket (K_real is data here,
+        # not shape). Present whenever bucketing is on — exact-fit datasets
+        # (all-True mask) must trace the identical where-masked program as
+        # their padded bucket-mates or the sharing breaks
+        if k_bucket.enabled():
+            runner.shared["coop_class_mask"] = (
+                jnp.arange(self.k_pad) < runner.k
+            )
         runner.shared["coop_text_params"] = {
             k: runner.clip_params[k]
             for k in ("pos_embed", "transformer", "ln_final", "text_projection")
@@ -1191,7 +1223,37 @@ class CoOpSpec(MethodSpec):
             if self._use_csc
             else (self._n_ctx, self._ctx_dim)
         )
-        return {"ctx": 0.02 * jax.random.normal(jax.random.key(int(seed)), shape)}
+        ctx = 0.02 * jax.random.normal(jax.random.key(int(seed)), shape)
+        if self._use_csc and self.k_pad > self.r.k:
+            # draw with the REAL class shape (identical values to the
+            # unpadded/in-process init), then pad rows — padded rows never
+            # receive gradient (masked logits), so zeros are fine
+            ctx = jnp.concatenate([
+                ctx,
+                jnp.zeros((self.k_pad - self.r.k,) + ctx.shape[1:], ctx.dtype),
+            ])
+        return {"ctx": ctx}
+
+    def padded_n_batches(self, n_batches: int, batch_size: int) -> int:
+        """Bucket-canonical epoch length: datasets sharing a bucket pad
+        their epoch to the same step count with no-op (state-passthrough)
+        steps so the epoch-scan executable is shared (parallel/k_bucket.py).
+        Never below the real count (a dataset whose shot count was capped
+        by availability keeps its own length as the floor)."""
+        if not k_bucket.enabled():
+            return n_batches
+        return max(n_batches, k_bucket.padded_batches(
+            self.k_pad, int(self.r.config.dataset.num_shots), batch_size
+        ))
+
+    def eval_rows_per_dispatch(self, n_rows):
+        """Fixed row chunk so the eval executable is also bucket-shared
+        (test-set sizes differ per dataset; the runner zero-pads the tail
+        row chunk and trims after). 2048 rows × k_pad prompts per dispatch
+        is far under the execution budget for a forward-only program."""
+        if not k_bucket.enabled():
+            return n_rows
+        return min(n_rows, 2048)
 
     def export_state(self, params_t, consts_t):
         # methods/coop.py trainable_state layout
@@ -1204,7 +1266,7 @@ class CoOpSpec(MethodSpec):
         from clip_gp_tpu.ops.flash_attention import flash_for_grad
 
         prompts = assemble_prompts(
-            p["ctx"], shared["coop_prefix"], shared["coop_suffix"], self.r.k
+            p["ctx"], shared["coop_prefix"], shared["coop_suffix"], self.k_pad
         )
         # differentiated in loss(); eval shares it (see methods/coop.py)
         feats = clip_model.text_features_from_embeddings(
@@ -1213,14 +1275,26 @@ class CoOpSpec(MethodSpec):
         )
         return common.l2_normalize(feats)
 
+    def _mask_padded(self, logits, shared):
+        """−inf on padded classes: zero probability in CE (exp(−inf) = 0
+        adds nothing to the softmax denominator) and zero gradient to the
+        padded prompt rows (`where` blocks the cotangent). Applied whenever
+        bucketing is on (mask present) so exact-fit and padded bucket-mates
+        trace the same program."""
+        mask = shared.get("coop_class_mask")
+        if mask is None:
+            return logits
+        return jnp.where(mask, logits, -jnp.inf)
+
     def loss(self, p, c, feats, labels, key, hps, shared):
         text = self._text_features(p, shared)
         logits = self.r.logit_scale * feats @ text.T
-        return common.cross_entropy(logits, labels)
+        return common.cross_entropy(self._mask_padded(logits, shared), labels)
 
     def eval_logits(self, p, c, key, shared):
         text = self._text_features(p, shared)
-        return self.r.logit_scale * shared["feats_test"] @ text.T
+        logits = self.r.logit_scale * shared["feats_test"] @ text.T
+        return self._mask_padded(logits, shared)
 
     def zero_shot_logits(self, eval_fn, zs_params, consts, shared):
         # the reference's zero-shot block uses the template classifier at
@@ -1244,8 +1318,9 @@ def cocoop_microbatch_images(t_trials: int, batch_size: int, k: int) -> int:
     has one compiled shape — see ``_divisor_le``): at (T=5, B=32, K=1000)
     the budget alone allows 18 images but the runner trains with 16, and
     the artifact must say 16."""
-    budget = int(
-        os.environ.get("CLIP_GP_TPU_COCOOP_STEP_PROMPTS", "90000")
+    budget = dispatch_budget.resolve(
+        "CLIP_GP_TPU_COCOOP_STEP_PROMPTS",
+        dispatch_budget.DEFAULT_DISPATCH_PROMPTS,
     )
     if budget <= 0:
         return batch_size
@@ -1287,20 +1362,30 @@ class CoCoOpSpec(CoOpSpec):
     # dispatch, i.e. T·K prompt encodes): at the measured ~0.43 ms per
     # differentiated prompt encode (chunk=1 worst case) it alone
     # approaches the tunneled worker's ~60 s single-execution ceiling
-    # (see batches_per_dispatch)
-    SINGLE_STEP_CEILING = 115_000
+    # (see batches_per_dispatch). The class attribute is the tunneled-v5e
+    # constant; __init__ rescales it from the per-backend calibration when
+    # one exists (runtime/dispatch_budget.py).
+    SINGLE_STEP_CEILING = dispatch_budget.DEFAULT_STEP_CEILING
 
     def __init__(self, runner):
         super().__init__(runner)  # prompt parts + shared text-tower wiring
         self._vis_dim = int(runner.arch.embed_dim)
+        # an overridden class attribute (tests, subclasses) wins; otherwise
+        # the ceiling rescales from the per-backend calibration
+        self.single_step_ceiling = (
+            self.SINGLE_STEP_CEILING
+            if self.SINGLE_STEP_CEILING != dispatch_budget.DEFAULT_STEP_CEILING
+            else dispatch_budget.single_step_ceiling()
+        )
         # one image's conditional prompts are the accumulation floor
-        work_floor = runner.t_trials * max(1, runner.k)
-        if work_floor > self.SINGLE_STEP_CEILING:
+        # (k_pad: padded prompts are real compute even though masked)
+        work_floor = runner.t_trials * max(1, self.k_pad)
+        if work_floor > self.single_step_ceiling:
             print(
                 f"[vmap-trials:{self.name}] WARNING: ONE image's "
                 f"conditional prompts move {work_floor} differentiated "
                 f"encodes (T={runner.t_trials} x K={runner.k}) — above the "
-                f"~{self.SINGLE_STEP_CEILING} single-execution ceiling "
+                f"~{self.single_step_ceiling} single-execution ceiling "
                 "measured on tunneled TPU workers, and gradient "
                 "accumulation cannot split below one image. This group may "
                 "crash the worker; prefer the in-process/subprocess "
@@ -1349,11 +1434,12 @@ class CoCoOpSpec(CoOpSpec):
         return conditional_logits(
             shared["coop_text_params"], self._arch, p, feats,
             shared["coop_prefix"], shared["coop_suffix"], shared["coop_eot"],
-            self.r.k, self.r.logit_scale,
+            self.k_pad, self.r.logit_scale,
         )
 
     def loss(self, p, c, feats, labels, key, hps, shared):
-        return common.cross_entropy(self._cond_logits(p, feats, shared), labels)
+        logits = self._mask_padded(self._cond_logits(p, feats, shared), shared)
+        return common.cross_entropy(logits, labels)
 
     def batches_per_dispatch(self, n_batches, batch_size):
         """Bound the per-epoch scan so one dispatched executable stays under
@@ -1369,13 +1455,16 @@ class CoCoOpSpec(CoOpSpec):
         CLIP_GP_TPU_COCOOP_DISPATCH_PROMPTS (<=0 disables the bound).
         A SINGLE step over the budget (e.g. vmapped ImageNet-scale K at
         T=5: 160k prompts) cannot be segmented away — microbatch_images
-        then bounds it with exact gradient accumulation instead."""
-        budget = int(
-            os.environ.get("CLIP_GP_TPU_COCOOP_DISPATCH_PROMPTS", "90000")
+        then bounds it with exact gradient accumulation instead. The
+        default scales with the per-backend calibration when one exists
+        (runtime/dispatch_budget.py; scripts/calibrate_dispatch.py)."""
+        budget = dispatch_budget.resolve(
+            "CLIP_GP_TPU_COCOOP_DISPATCH_PROMPTS",
+            dispatch_budget.DEFAULT_DISPATCH_PROMPTS,
         )
         if budget <= 0:
             return n_batches
-        work = self.r.t_trials * batch_size * max(1, self.r.k)
+        work = self.r.t_trials * batch_size * max(1, self.k_pad)
         return max(1, budget // work)
 
     def microbatch_images(self, batch_size):
@@ -1393,7 +1482,7 @@ class CoCoOpSpec(CoOpSpec):
         all: one full step alone exceeds the worker's single-execution
         ceiling there."""
         return cocoop_microbatch_images(
-            self.r.t_trials, batch_size, self.r.k
+            self.r.t_trials, batch_size, self.k_pad
         )
 
     def eval_rows_per_dispatch(self, n_rows):
@@ -1403,15 +1492,18 @@ class CoCoOpSpec(CoOpSpec):
         ceiling the training scan hit. Forward-only prompt encodes measure
         ≈2-3× cheaper than train steps, so twice the train budget stays
         well under it."""
-        budget = int(
-            os.environ.get("CLIP_GP_TPU_COCOOP_DISPATCH_PROMPTS", "90000")
+        budget = dispatch_budget.resolve(
+            "CLIP_GP_TPU_COCOOP_DISPATCH_PROMPTS",
+            dispatch_budget.DEFAULT_DISPATCH_PROMPTS,
         )
         if budget <= 0:
             return n_rows
-        return max(1, (2 * budget) // (self.r.t_trials * max(1, self.r.k)))
+        return max(1, (2 * budget) // (self.r.t_trials * max(1, self.k_pad)))
 
     def eval_logits(self, p, c, key, shared):
-        return self._cond_logits(p, shared["feats_test"], shared)
+        return self._mask_padded(
+            self._cond_logits(p, shared["feats_test"], shared), shared
+        )
 
     def zero_shot_logits(self, eval_fn, zs_params, consts, shared):
         # the in-process CoCoOp trainer computes NO zero-shot block
@@ -1822,6 +1914,36 @@ class VmappedTrials:
 
         epoch_jit = jax.jit(epoch_scan, donate_argnums=(0, 1))
 
+        def epoch_scan_valid(params, opt_state, consts, feats_e, labels_e,
+                             keys_e, factors, valid, shared):
+            """K-bucketed variant of ``epoch_scan``: a per-step ``valid``
+            flag makes padding steps state-passthrough no-ops (`where`
+            keeps the carried params/opt state), so every dataset sharing
+            a class bucket scans identical [seg, ...] shapes and reuses
+            ONE compiled epoch program (parallel/k_bucket.py). Real steps
+            compute exactly as in ``epoch_scan`` (`where(True, new, old)`
+            is the new state)."""
+
+            def body(carry, batch):
+                params, opt_state = carry
+                f, l, k, fac, v = batch
+                p2, o2, losses = step(
+                    params, opt_state, consts, f, l, k, fac, shared
+                )
+                keep = lambda a, b: jnp.where(v, a, b)  # noqa: E731
+                return (
+                    jax.tree.map(keep, p2, params),
+                    jax.tree.map(keep, o2, opt_state),
+                ), losses
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state),
+                (feats_e, labels_e, keys_e, factors, valid),
+            )
+            return params, opt_state, losses
+
+        epoch_valid_jit = jax.jit(epoch_scan_valid, donate_argnums=(0, 1))
+
         def trial_eval(p, c, key, shared):
             return spec.eval_logits(p, c, key, shared)
 
@@ -1981,18 +2103,30 @@ class VmappedTrials:
                 # scan construct entirely (plain per-step dispatches — the
                 # path the worker-crash repro proves safe) while consuming
                 # the exact key/factor streams the scan would.
-                seg = max(
-                    1, min(n_batches, spec.batches_per_dispatch(n_batches, b_sz))
+                # K-bucketed prompt specs pad the epoch to the bucket's
+                # canonical step count S (no-op steps, state passthrough)
+                # so the scan executable is shape-shared across datasets in
+                # the bucket (parallel/k_bucket.py); everything else keeps
+                # S == n_batches and the original paths.
+                bucketed = (
+                    k_bucket.enabled()
+                    and getattr(spec, "k_pad", None) is not None
                 )
+                S = (
+                    max(n_batches, spec.padded_n_batches(n_batches, b_sz))
+                    if bucketed else n_batches
+                )
+                seg = max(1, min(S, spec.batches_per_dispatch(S, b_sz)))
                 # snap to a divisor: equal-length segments / equal-width
                 # micro-slices keep ONE compiled shape (see _divisor_le)
-                seg = _divisor_le(n_batches, seg)
+                seg = _divisor_le(S, seg)
                 mb = _divisor_le(
                     b_sz, max(1, min(b_sz, spec.microbatch_images(b_sz)))
                 )
                 if mb < b_sz:
                     # even one step exceeds the execution budget: bounded
                     # gradient-accumulation dispatches, one update per step
+                    # (host loop over real batches — padding never runs)
                     if epoch == 0:
                         print(
                             f"[vmap-trials:{self.method}] gradient "
@@ -2012,6 +2146,35 @@ class VmappedTrials:
                                 fb[b], lb[b], keys_e[b],
                                 {g: v[b] for g, v in facs_j.items()}, shared,
                             )
+                elif bucketed:
+                    pad_steps = S - n_batches
+                    if pad_steps:
+                        fb = jnp.concatenate([fb, jnp.zeros(
+                            (pad_steps,) + fb.shape[1:], fb.dtype)])
+                        lb = jnp.concatenate([lb, jnp.zeros(
+                            (pad_steps,) + lb.shape[1:], lb.dtype)])
+                        keys_e = jnp.concatenate(
+                            [keys_e] + [keys_e[:1]] * pad_steps
+                        )
+                        facs_j = {
+                            g: jnp.concatenate([v, jnp.zeros(
+                                (pad_steps,) + v.shape[1:], v.dtype)])
+                            for g, v in facs_j.items()
+                        }
+                    valid = jnp.arange(S) < n_batches
+                    for lo in range(0, S, seg):
+                        if lo >= n_batches:
+                            break  # all-padding segments: nothing to run
+                        hi = lo + seg
+                        with phase_timer("vmap.train.dispatch"):
+                            params, opt_state, losses = epoch_valid_jit(
+                                params, opt_state, consts,
+                                fb[lo:hi], lb[lo:hi], keys_e[lo:hi],
+                                {g: v[lo:hi] for g, v in facs_j.items()},
+                                valid[lo:hi], shared,
+                            )
+                    # the print cadence wants the last REAL batch's loss
+                    losses = losses[(n_batches - 1) % seg]
                 else:
                     for lo in range(0, n_batches, seg):
                         hi = min(n_batches, lo + seg)
@@ -2100,6 +2263,11 @@ class VmappedTrials:
                 logits = np.asarray(
                     eval_fn(params, eval_consts, eval_keys, shared)
                 )
+            # K-bucketed specs emit [T, n, k_pad] logits with -inf padding;
+            # slicing back to the real K makes every downstream metric
+            # (top-1/ECE/macro-F1 class universe) EXACTLY the unpadded
+            # computation. A no-op for everything else (last axis == k).
+            logits = logits[..., : self.k]
         results = []
         for t, seed in enumerate(self.seeds):
             acc = compute_accuracy(logits[t], labels_test)[0]

@@ -796,15 +796,21 @@ def test_cocoop_microbatch_budget_math(monkeypatch):
     import clip_gp_tpu.parallel.trial_vmap as tv
 
     spec = tv.CoCoOpSpec.__new__(tv.CoCoOpSpec)
-    spec.r = types.SimpleNamespace(t_trials=5, k=1000)
-    # ImageNet shape: 5*32*1000 = 160k > 90k -> 90k // 5k = 18 images
+
+    def shape(t, k):
+        spec.r = types.SimpleNamespace(t_trials=t, k=k)
+        spec.k_pad = tv.k_bucket.bucket_k(k)  # as CoOpSpec.__init__ sets it
+
+    shape(5, 1000)  # -> k_pad 1024 under the default ladder
+    # ImageNet shape: 5*32*1024 = 163.8k > 90k -> 90k // 5120 = 17
+    # images, snapped to the largest divisor of 32 -> 16
     monkeypatch.delenv("CLIP_GP_TPU_COCOOP_STEP_PROMPTS", raising=False)
-    assert spec.microbatch_images(32) == 18
+    assert spec.microbatch_images(32) == 16
     # whole step under budget: no split even though B*T*K > per-image work
-    spec.r = types.SimpleNamespace(t_trials=2, k=4)
+    shape(2, 4)
     assert spec.microbatch_images(8) == 8
     # explicit budget below one image's work floors at 1
-    spec.r = types.SimpleNamespace(t_trials=5, k=1000)
+    shape(5, 1000)
     monkeypatch.setenv("CLIP_GP_TPU_COCOOP_STEP_PROMPTS", "100")
     assert spec.microbatch_images(32) == 1
     # <=0 disables
