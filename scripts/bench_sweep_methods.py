@@ -64,9 +64,16 @@ IMG = 224 if BACKBONE.startswith("ViT-B") or BACKBONE.startswith("RN") else 32
 DATASETS_3 = {"oxford_pets": 37, "dtd": 47, "eurosat": 10}
 METHODS_3 = ["CLIP-Adapter", "TaskRes", "Tip-Adapter"]
 # BASELINE #4: representative class counts of the 11-dataset CoOp suite
-# (eurosat 10, dtd 47, food101/caltech101 ~100); imagenet-scale K is covered
-# by the throughput model, not re-run per bench
-DATASETS_4 = {"eurosat": 10, "dtd": 47, "caltech101_like": 100}
+# (eurosat 10, dtd 47, and the FIVE ~100-class datasets — caltech101/
+# fgvc_aircraft 100, food101/ucf101 101, oxford_flowers 102 — that share
+# the 102 K-bucket, parallel/k_bucket.py); the 100/101/102 trio measures
+# bucket amortization: the first cell compiles the bucket's programs, the
+# other two must run warm. imagenet-scale K is covered by the throughput
+# model, not re-run per bench
+DATASETS_4 = {
+    "eurosat": 10, "dtd": 47,
+    "caltech101_like": 100, "food101_like": 101, "flowers_like": 102,
+}
 METHODS_4 = ["Adapter-CoOp"] + (
     [] if os.environ.get("BENCH_METHODS_SKIP_COCOOP") == "1"
     else ["Adapter-CoCoOp"]
@@ -264,9 +271,22 @@ def main():
             f"{len(METHODS_4)} prompt method(s) x {FULL_SUITE_DATASETS_4} "
             f"datasets x {FULL_SUITE_SHOTS} shot-counts at each method's "
             "measured mean group time over representative class counts "
-            f"(10/47/100) at {PROMPT_EPOCHS} epochs (group time scales "
-            "~linearly in epochs); ImageNet-scale K not re-run per bench"
+            f"(10/47/100/101/102) at {PROMPT_EPOCHS} epochs (group time "
+            "scales ~linearly in epochs); ImageNet-scale K not re-run per "
+            "bench. The 100/101/102 cells share the 102 K-bucket "
+            "(parallel/k_bucket.py): the first pays the bucket's compile, "
+            "the other two run warm, so this mean includes the "
+            "amortization the full suite would see."
         )
+        # bucket-amortization witness: within the 102 bucket, cells after
+        # the first should be warm-dominated (no per-K recompile)
+        payload["k_bucket_trio_s"] = {
+            f"{m}/{ds}": round(cells[key], 1)
+            for m in METHODS_4
+            for ds in ("caltech101_like", "food101_like", "flowers_like")
+            for key in (f"{m}/{ds}/{SHOTS[0]}shot",)
+            if key in cells
+        }
     if only:
         payload["cells_filtered_by"] = only  # triage run, partial grid
     out = json.dumps(payload)
