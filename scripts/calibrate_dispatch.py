@@ -2,9 +2,13 @@
 """Calibrate the per-backend single-dispatch prompt budgets.
 
 Times DIFFERENTIATED prompt encodes (value_and_grad through the ViT-B/16
-text tower at the CoCoOp worst-case chunking, bf16 like the training path)
-with the dependency-chain protocol, derives cost-per-prompt, and persists
-it next to the compile cache (runtime/dispatch_budget.py). After this runs
+text tower at the CoCoOp chunked shape, bf16 like the training path) with
+the dependency-chain protocol and persists the reading next to the compile
+cache. The reading is a SPEED INDEX, not an absolute step cost: budgets
+scale by reference-v5e-reading / this-reading (runtime/dispatch_budget.py
+V5E_PROBE_COST_S), so the probe's proxy-vs-deployed bias cancels and on
+the reference backend the budgets stay exactly the measured-safe
+constants. After this runs
 once on a backend, the CoCoOp dispatch/step budgets and the
 SINGLE_STEP_CEILING warning threshold scale to THAT backend's speed
 instead of the hard-coded tunneled-v5e constants (round-4 verdict #6:
@@ -49,12 +53,33 @@ def measure_cost_per_prompt(n_prompts: int, steps: int = 6) -> float:
     width = arch.transformer_width
     eot = jnp.full((n_prompts,), PROMPT_LEN - 1, dtype=jnp.int32)
 
-    # the CoCoOp hot op: grads of a scalar of the text features w.r.t. the
-    # injected embeddings — same tower, same remat-free worst case
+    # the CoCoOp hot op at its DEPLOYED worst-case shape: the budgets bound
+    # work for conditional_logits' chunked path (≈PROMPT_BUDGET prompts per
+    # rematted tower call — methods/cocoop.py), which runs ~1.6× slower per
+    # prompt than one fully-batched call; calibrating on the batched rate
+    # would produce dispatch budgets that overshoot the ~60 s worker-kill
+    # deadline when the real chunked workload runs
+    from clip_gp_tpu.methods.cocoop import PROMPT_BUDGET
+
+    chunk = max(1, int(PROMPT_BUDGET))
+    n_chunks = max(1, n_prompts // chunk)
+
     def loss(embeds, params):
-        feats = clip_model.text_features_from_embeddings(
-            params, arch, embeds, eot, compute_dtype=jnp.bfloat16,
-            flash=flash_for_grad(),
+        def tower(args):
+            e_s, eo_s = args
+            return clip_model.text_features_from_embeddings(
+                params, arch, e_s, eo_s, compute_dtype=jnp.bfloat16,
+                flash=flash_for_grad(),
+            )
+
+        feats = jax.lax.map(
+            jax.checkpoint(tower),
+            (
+                embeds[: n_chunks * chunk].reshape(
+                    n_chunks, chunk, *embeds.shape[1:]
+                ),
+                eot[: n_chunks * chunk].reshape(n_chunks, chunk),
+            ),
         )
         return jnp.sum(feats * feats)
 
@@ -75,7 +100,7 @@ def measure_cost_per_prompt(n_prompts: int, steps: int = 6) -> float:
         embeds, val = step(embeds, params)
     float(val)  # materializes the whole chain
     elapsed = time.perf_counter() - start
-    return elapsed / (steps * n_prompts)
+    return elapsed / (steps * n_chunks * chunk)
 
 
 def main() -> None:
@@ -99,16 +124,14 @@ def main() -> None:
     out = {
         "device_key": key,
         "cost_per_prompt_s": cost,
-        "dispatch_prompts": dispatch_budget._budget_from_cost(
-            dispatch_budget.DISPATCH_SECONDS, cost,
-            dispatch_budget.DEFAULT_DISPATCH_PROMPTS,
+        "dispatch_prompts": dispatch_budget._scale_by_speed_index(
+            dispatch_budget.DEFAULT_DISPATCH_PROMPTS, cost
         ),
-        "single_step_ceiling": dispatch_budget._budget_from_cost(
-            dispatch_budget.HARD_CEILING_SECONDS, cost,
-            dispatch_budget.DEFAULT_STEP_CEILING,
+        "single_step_ceiling": dispatch_budget._scale_by_speed_index(
+            dispatch_budget.DEFAULT_STEP_CEILING, cost
         ),
-        "vs_v5e_reference": round(
-            dispatch_budget.V5E_COST_PER_PROMPT_S / cost, 2
+        "speed_index_vs_v5e": round(
+            dispatch_budget.V5E_PROBE_COST_S / cost, 2
         ),
     }
     if not args.dry_run:

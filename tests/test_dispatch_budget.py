@@ -44,11 +44,11 @@ def test_uncalibrated_falls_back_to_default(calib_dir, monkeypatch):
 def test_calibration_rescales_budgets(calib_dir, monkeypatch):
     monkeypatch.delenv("CLIP_GP_TPU_COCOOP_DISPATCH_PROMPTS", raising=False)
     # a backend 2x FASTER than the v5e reference: budgets double
-    db.save_calibration(db.V5E_COST_PER_PROMPT_S / 2, key="fast")
+    db.save_calibration(db.V5E_PROBE_COST_S / 2, key="fast")
     b = db.resolve("CLIP_GP_TPU_COCOOP_DISPATCH_PROMPTS", 90_000, key="fast")
     assert b == pytest.approx(180_000, rel=0.01)
     # a 2x SLOWER backend halves them (crash avoidance)
-    db.save_calibration(db.V5E_COST_PER_PROMPT_S * 2, key="slow")
+    db.save_calibration(db.V5E_PROBE_COST_S * 2, key="slow")
     b = db.resolve("CLIP_GP_TPU_COCOOP_DISPATCH_PROMPTS", 90_000, key="slow")
     assert b == pytest.approx(45_000, rel=0.01)
     # the ceiling scales the same way
@@ -58,10 +58,10 @@ def test_calibration_rescales_budgets(calib_dir, monkeypatch):
 
 def test_suspect_calibrations_are_clamped(calib_dir):
     # absurdly fast measurement: clamped at 16x the default
-    db.save_calibration(db.V5E_COST_PER_PROMPT_S / 1000, key="toofast")
+    db.save_calibration(db.V5E_PROBE_COST_S / 1000, key="toofast")
     assert db.resolve("X_UNSET_ENV", 90_000, key="toofast") == 90_000 * 16
     # absurdly slow: floored at default/4, never a degenerate budget
-    db.save_calibration(db.V5E_COST_PER_PROMPT_S * 1000, key="tooslow")
+    db.save_calibration(db.V5E_PROBE_COST_S * 1000, key="tooslow")
     assert db.resolve("X_UNSET_ENV", 90_000, key="tooslow") == 90_000 // 4
 
 
@@ -95,6 +95,6 @@ def test_cocoop_microbatch_uses_calibration(calib_dir, monkeypatch):
 
     monkeypatch.delenv("CLIP_GP_TPU_COCOOP_STEP_PROMPTS", raising=False)
     base = cocoop_microbatch_images(5, 32, 1000)  # uncalibrated: 16
-    db.save_calibration(db.V5E_COST_PER_PROMPT_S / 2, key=db.device_key())
+    db.save_calibration(db.V5E_PROBE_COST_S / 2, key=db.device_key())
     fast = cocoop_microbatch_images(5, 32, 1000)  # 180k budget -> 32
     assert base == 16 and fast == 32
