@@ -99,6 +99,7 @@ def conditional_logits(text_params, arch, params, img_feats, prefix, suffix,
                 p_s, e_s = args
                 return clip_model.text_features_from_embeddings(
                     text_params, arch, p_s, e_s, flash=flash_for_grad(),
+                    compute_dtype=clip_model.prompt_tower_dtype(),
                 )
 
             text = jax.lax.map(
@@ -112,6 +113,7 @@ def conditional_logits(text_params, arch, params, img_feats, prefix, suffix,
             # differentiated in the training loss (see coop.py rationale)
             text = clip_model.text_features_from_embeddings(
                 text_params, arch, prompts, eot_ck, flash=flash_for_grad(),
+                compute_dtype=clip_model.prompt_tower_dtype(),
             ).reshape(c, k, -1)
         text = common.l2_normalize(text)
         return scale * jnp.einsum("cd,ckd->ck", feats_c, text)

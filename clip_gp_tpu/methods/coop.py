@@ -121,7 +121,8 @@ class Trainer(BaseTrainer):
             # + standard AD measured fastest there (flash_for_grad docstring);
             # eval shares the path so train/eval numerics stay identical
             feats = clip_model.text_features_from_embeddings(
-                clip_params, arch, prompts, eot, flash=flash_for_grad()
+                clip_params, arch, prompts, eot, flash=flash_for_grad(),
+                compute_dtype=clip_model.prompt_tower_dtype(),
             )
             return common.l2_normalize(feats)
 

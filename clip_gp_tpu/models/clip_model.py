@@ -391,6 +391,20 @@ def causal_mask(n: int) -> jnp.ndarray:
     return jnp.triu(jnp.full((n, n), -jnp.inf, dtype=jnp.float32), k=1)
 
 
+def prompt_tower_dtype():
+    """Compute dtype for the DIFFERENTIATED prompt tower (CoOp/CoCoOp
+    train+eval text encodes). ``CLIP_GP_TPU_PROMPT_TOWER_DTYPE``:
+    ``float32`` (default — reproduces the reference's fp32 tower within the
+    executed-golden tolerances) or ``bf16``/``bfloat16`` (MXU-native mixed
+    precision: bf16 matmuls with fp32 LN/softmax and fp32 master params —
+    the same discipline as every frozen encode path). Read at trace time.
+    """
+    import os
+
+    v = os.environ.get("CLIP_GP_TPU_PROMPT_TOWER_DTYPE", "float32").lower()
+    return jnp.bfloat16 if v in ("bf16", "bfloat16") else jnp.float32
+
+
 def text_features_from_embeddings(
     params: Params,
     arch: ClipArchitecture,

@@ -1272,6 +1272,7 @@ class CoOpSpec(MethodSpec):
         feats = clip_model.text_features_from_embeddings(
             shared["coop_text_params"], self._arch, prompts,
             shared["coop_eot"], flash=flash_for_grad(),
+            compute_dtype=clip_model.prompt_tower_dtype(),
         )
         return common.l2_normalize(feats)
 

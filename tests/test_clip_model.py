@@ -222,3 +222,41 @@ def test_grouped_imagenet_templates_bank():
     assert all(len(g) == 10 for g in GROUPED_IMAGENET_TEMPLATES)
     flat = [t for g in GROUPED_IMAGENET_TEMPLATES for t in g]
     assert flat == list(IMAGENET_TEMPLATES[:80])
+
+
+def test_prompt_tower_dtype_knob(monkeypatch):
+    """CLIP_GP_TPU_PROMPT_TOWER_DTYPE selects the differentiated prompt
+    tower's compute dtype: fp32 default (reference-parity), bf16 opt-in
+    (MXU mixed precision with fp32 LN/softmax) — outputs stay close."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_gp_tpu.models import clip_model
+    from clip_gp_tpu.models.clip_loader import init_clip_params
+
+    monkeypatch.delenv("CLIP_GP_TPU_PROMPT_TOWER_DTYPE", raising=False)
+    assert clip_model.prompt_tower_dtype() == jnp.float32
+    monkeypatch.setenv("CLIP_GP_TPU_PROMPT_TOWER_DTYPE", "bf16")
+    assert clip_model.prompt_tower_dtype() == jnp.bfloat16
+    monkeypatch.setenv("CLIP_GP_TPU_PROMPT_TOWER_DTYPE", "bfloat16")
+    assert clip_model.prompt_tower_dtype() == jnp.bfloat16
+    monkeypatch.setenv("CLIP_GP_TPU_PROMPT_TOWER_DTYPE", "float32")
+    assert clip_model.prompt_tower_dtype() == jnp.float32
+
+    arch = clip_model.ARCHITECTURES["TEST-ViT"]
+    params = init_clip_params(jax.random.key(0), arch)
+    embeds = jax.random.normal(jax.random.key(1), (6, 77, 64))
+    eot = jnp.full((6,), 76, dtype=jnp.int32)
+    f32 = clip_model.text_features_from_embeddings(
+        params, arch, embeds, eot, compute_dtype=jnp.float32
+    )
+    bf16 = clip_model.text_features_from_embeddings(
+        params, arch, embeds, eot, compute_dtype=jnp.bfloat16
+    )
+    assert f32.dtype == jnp.float32 and bf16.dtype == jnp.float32
+    cos = jnp.sum(
+        (f32 / jnp.linalg.norm(f32, axis=-1, keepdims=True))
+        * (bf16 / jnp.linalg.norm(bf16, axis=-1, keepdims=True)),
+        axis=-1,
+    )
+    assert float(cos.min()) > 0.995
