@@ -1812,6 +1812,19 @@ class VmappedTrials:
         opt_state = tx.init(params)
 
         shared = self.shared
+        # TRAIN dispatches get a pruned view without the eval-only entries:
+        # jit caches key on EVERY argument's shape, so an unused
+        # dataset-sized feats_test riding along would recompile the heavy
+        # train program per dataset — defeating K-bucketing's whole point
+        # (observed live: the 102-bucket CoCoOp trio re-paid its ~380 s
+        # compile per dataset until this split). Specs only read eval-only
+        # keys inside eval_logits/zero_shot — every method's e2e test
+        # trains through this pruned view, so a loss that reached for one
+        # would KeyError there.
+        _EVAL_ONLY_SHARED = ("feats_test", "zs_weights")
+        shared_train = {
+            k: v for k, v in shared.items() if k not in _EVAL_ONLY_SHARED
+        }
 
         def _bc(vec, ndim):
             return vec.reshape((vec.shape[0],) + (1,) * (ndim - 1))
@@ -1888,7 +1901,7 @@ class VmappedTrials:
                 with phase_timer("vmap.train.dispatch"):
                     part = grad_part_jit(
                         params, consts, f_step[:, lo:hi], l_step[:, lo:hi],
-                        keys, (hi - lo) / b_full, shared,
+                        keys, (hi - lo) / b_full, shared_train,
                     )
                 acc = part if acc is None else tree_add_jit(acc, part)
             with phase_timer("vmap.train.dispatch"):
@@ -2044,7 +2057,7 @@ class VmappedTrials:
             with phase_timer("vmap.train.dispatch"):
                 params, opt_state, losses_hist = whole_jit(
                     params, opt_state, consts, feats_train, labels_train,
-                    perms_all, keys_all, factors_all, shared,
+                    perms_all, keys_all, factors_all, shared_train,
                 )
             with phase_timer("vmap.train.epoch_end"):
                 losses_np = np.asarray(losses_hist)  # ONE host transfer
@@ -2145,7 +2158,8 @@ class VmappedTrials:
                             params, opt_state, losses = step_jit(
                                 params, opt_state, consts,
                                 fb[b], lb[b], keys_e[b],
-                                {g: v[b] for g, v in facs_j.items()}, shared,
+                                {g: v[b] for g, v in facs_j.items()},
+                                shared_train,
                             )
                 elif bucketed:
                     pad_steps = S - n_batches
@@ -2172,7 +2186,7 @@ class VmappedTrials:
                                 params, opt_state, consts,
                                 fb[lo:hi], lb[lo:hi], keys_e[lo:hi],
                                 {g: v[lo:hi] for g, v in facs_j.items()},
-                                valid[lo:hi], shared,
+                                valid[lo:hi], shared_train,
                             )
                     # the print cadence wants the last REAL batch's loss
                     losses = losses[(n_batches - 1) % seg]
@@ -2184,7 +2198,7 @@ class VmappedTrials:
                                 params, opt_state, consts,
                                 fb[lo:hi], lb[lo:hi], keys_e[lo:hi],
                                 {g: v[lo:hi] for g, v in facs_j.items()},
-                                shared,
+                                shared_train,
                             )
                     losses = losses[-1]
             else:
@@ -2214,7 +2228,7 @@ class VmappedTrials:
                         params, opt_state, losses = step_jit(
                             params, opt_state, consts,
                             feats_e[:, lo:hi], labels_e[:, lo:hi],
-                            keys, facs_b, shared,
+                            keys, facs_b, shared_train,
                         )
             with phase_timer("vmap.train.epoch_end"):
                 spec.on_epoch_end(params, consts, shared, epoch)
