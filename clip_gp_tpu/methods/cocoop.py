@@ -157,6 +157,11 @@ class Trainer(BaseTrainer):
             # user's setting in metrics.json/config.json
             force_shared_ctx=True,
         )
+        from clip_gp_tpu.methods.coop import trim_prompt_parts
+
+        self.token_suffix = trim_prompt_parts(
+            self.token_suffix, self.tokenized, self.n_ctx
+        )
         vis_dim = int(arch.embed_dim)
         ctx_dim = int(arch.transformer_width)
         hidden = max(1, vis_dim // 16)

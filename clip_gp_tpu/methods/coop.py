@@ -10,6 +10,7 @@ constant (ref: adapter_coop.py:514-522).
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict
 
@@ -62,6 +63,30 @@ def build_prompt_parts(config, classnames, clip_params, key, force_shared_ctx=Fa
     return ctx_vectors, token_prefix, token_suffix, jnp.asarray(tokenized), n_ctx
 
 
+def trim_prompt_parts(token_suffix, tokenized, n_ctx):
+    """Trim the prompt suffix so assembled prompts cover only the smallest
+    8-aligned length containing every EOT position.
+
+    The text transformer is causally masked, so position p depends only on
+    positions ≤ p — the pooled feature (taken at EOT) is EXACTLY the
+    full-77 computation's (fp reduction order aside) while the
+    differentiated tower moves ~77/L′ fewer FLOPs. The reference encodes
+    all 77 positions every step (ref: clip/model.py:343-356 via
+    trainers/adapter_coop.py:516); this is a pure TPU-side saving applied
+    by the prompt-method consumers, NOT inside build_prompt_parts — the
+    executed goldens pin that function's untrimmed reference layout.
+    Typical prompts put EOT at position ~8-15, so L′ = 16/24 vs 77 ≈ a
+    3-5× tower-FLOP cut (measured: scripts/bench_cocoop_profile.py).
+    Disable with ``CLIP_GP_TPU_TRIM_PROMPTS=0``.
+    """
+    if os.environ.get("CLIP_GP_TPU_TRIM_PROMPTS", "1") == "0":
+        return token_suffix
+    max_eot = int(np.asarray(jnp.asarray(tokenized).argmax(axis=-1)).max())
+    full_len = 1 + n_ctx + token_suffix.shape[1]
+    trimmed = min(full_len, -(-(max_eot + 1) // 8) * 8)
+    return token_suffix[:, : max(1, trimmed - 1 - n_ctx)]
+
+
 def assemble_prompts(ctx, token_prefix, token_suffix, num_classes):
     if ctx.ndim == 2:
         ctx = jnp.broadcast_to(ctx[None], (num_classes,) + ctx.shape)
@@ -85,6 +110,9 @@ class Trainer(BaseTrainer):
             self.tokenized,
             self.n_ctx,
         ) = build_prompt_parts(config, classnames, clip_params, self.keys.next())
+        self.token_suffix = trim_prompt_parts(
+            self.token_suffix, self.tokenized, self.n_ctx
+        )
         self.params: Dict = {"ctx": ctx_vectors}
         self.num_classes_k = len(classnames)
         self.opt = EpochOptimizer(config.optim)

@@ -422,7 +422,10 @@ def text_features_from_embeddings(
     differentiate through this tower pass ``flash_for_grad()``.
     """
     x = token_embeds.astype(compute_dtype)
-    x = x + params["pos_embed"].astype(x.dtype)
+    # slice to the (possibly trimmed) sequence length: prompt learners trim
+    # positions past every EOT (methods/coop.py trim_prompt_parts) — the
+    # causal mask makes the pooled features exact either way
+    x = x + params["pos_embed"][: x.shape[1]].astype(x.dtype)
     mask = causal_mask(x.shape[1])
     x = transformer(params["transformer"], x, arch.transformer_heads, mask,
                     flash=flash)

@@ -1172,6 +1172,11 @@ class CoOpSpec(MethodSpec):
         )
         self._ctx0 = ctx0  # phrase-derived when ctx_init, else ignored
         self._ctx_dim = int(ctx0.shape[-1])
+        # sequence trim first (exact — see methods/coop.py
+        # trim_prompt_parts), then class-axis padding below
+        from clip_gp_tpu.methods.coop import trim_prompt_parts
+
+        suffix = trim_prompt_parts(suffix, tokenized, self._n_ctx)
         # K-bucketing (parallel/k_bucket.py): pad the class axis to the
         # bucket size so the differentiated-tower programs are
         # shape-identical across datasets sharing a bucket — the prompt

@@ -197,3 +197,48 @@ def test_bucketed_padding_internals(tmp_path, monkeypatch):
         == runner.shared["coop_prefix"].shape
     )
     assert spec5.padded_n_batches(5, 4) == spec.padded_n_batches(4, 4)
+
+
+def test_prompt_trim_is_exact(tmp_path, monkeypatch):
+    """Sequence-trimmed prompts (methods/coop.py trim_prompt_parts) yield
+    the full-77 computation's pooled features exactly (causal mask: EOT
+    position never attends past itself) up to fp reduction order."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_gp_tpu.methods.coop import (
+        assemble_prompts,
+        build_prompt_parts,
+        trim_prompt_parts,
+    )
+    from clip_gp_tpu.models import clip_model
+    from clip_gp_tpu.models.clip_loader import init_clip_params
+
+    monkeypatch.delenv("CLIP_GP_TPU_TRIM_PROMPTS", raising=False)
+    config = _prompt_config(tmp_path, "Adapter-CoOp")
+    arch = clip_model.ARCHITECTURES["TEST-ViT"]
+    clip_params = init_clip_params(jax.random.key(0), arch)
+    names = ["golden retriever", "x", "air conditioner unit thing"]
+    ctx, prefix, suffix, tokenized, n_ctx = build_prompt_parts(
+        config, names, clip_params, jax.random.key(1)
+    )
+    eot = tokenized.argmax(axis=-1)
+    trimmed = trim_prompt_parts(suffix, tokenized, n_ctx)
+    assert trimmed.shape[1] < suffix.shape[1]
+    lp = 1 + n_ctx + trimmed.shape[1]
+    assert lp % 8 == 0 and lp > int(np.asarray(eot).max())
+
+    full = clip_model.text_features_from_embeddings(
+        clip_params, arch,
+        assemble_prompts(ctx, prefix, suffix, len(names)), eot,
+    )
+    cut = clip_model.text_features_from_embeddings(
+        clip_params, arch,
+        assemble_prompts(ctx, prefix, trimmed, len(names)), eot,
+    )
+    np.testing.assert_allclose(
+        np.asarray(cut), np.asarray(full), rtol=2e-5, atol=2e-6
+    )
+    # the disable knob restores the untrimmed layout
+    monkeypatch.setenv("CLIP_GP_TPU_TRIM_PROMPTS", "0")
+    assert trim_prompt_parts(suffix, tokenized, n_ctx).shape == suffix.shape
