@@ -96,14 +96,22 @@ def profile_dtype(dtype_name, feats, labels, eval_feats):
         for k in ("pos_embed", "transformer", "ln_final", "text_projection")
     }
 
+    # prompt parts/weights are explicit jit ARGUMENTS (closure leaves bake
+    # into the HLO as constants — CLAUDE.md hard rule; the first version of
+    # this bench closed over them and measured a 22x phantom on the fp32
+    # forward)
     @jax.jit
-    def fwd(params, f):
+    def fwd_fn(text_params, params, f, prefix, suffix, eot):
         return cocoop_mod.conditional_logits(
-            text_params, arch, params, f,
-            trainer.token_prefix, trainer.token_suffix,
-            jnp.asarray(trainer.tokenized.argmax(axis=-1)), K,
+            text_params, arch, params, f, prefix, suffix, eot, K,
             trainer.logit_scale,
         )
+
+    eot_j = jnp.asarray(trainer.tokenized.argmax(axis=-1))
+
+    def fwd(params, f):
+        return fwd_fn(text_params, params, f, trainer.token_prefix,
+                      trainer.token_suffix, eot_j)
 
     out = fwd(params, feats)
     jax.block_until_ready(out)
