@@ -79,12 +79,20 @@ def trim_prompt_parts(token_suffix, tokenized, n_ctx):
     3-5× tower-FLOP cut (measured: scripts/bench_cocoop_profile.py).
     Disable with ``CLIP_GP_TPU_TRIM_PROMPTS=0``.
     """
+    lp = trimmed_prompt_len(tokenized, n_ctx, token_suffix.shape[1])
+    return token_suffix[:, : max(1, lp - 1 - n_ctx)]
+
+
+def trimmed_prompt_len(tokenized, n_ctx, token_suffix_width):
+    """The assembled-prompt length ``trim_prompt_parts`` produces — also
+    the basis for duration-derived dispatch budgets (a trimmed prompt
+    costs ~L'/77 of a full-length encode; parallel/trial_vmap.py scales
+    the token-position budgets by it)."""
+    full_len = 1 + n_ctx + token_suffix_width
     if os.environ.get("CLIP_GP_TPU_TRIM_PROMPTS", "1") == "0":
-        return token_suffix
+        return full_len
     max_eot = int(np.asarray(jnp.asarray(tokenized).argmax(axis=-1)).max())
-    full_len = 1 + n_ctx + token_suffix.shape[1]
-    trimmed = min(full_len, -(-(max_eot + 1) // 8) * 8)
-    return token_suffix[:, : max(1, trimmed - 1 - n_ctx)]
+    return min(full_len, -(-(max_eot + 1) // 8) * 8)
 
 
 def assemble_prompts(ctx, token_prefix, token_suffix, num_classes):

@@ -1177,6 +1177,9 @@ class CoOpSpec(MethodSpec):
         from clip_gp_tpu.methods.coop import trim_prompt_parts
 
         suffix = trim_prompt_parts(suffix, tokenized, self._n_ctx)
+        # assembled-prompt length: duration-derived budgets scale by it
+        # (a trimmed prompt costs ~L'/77 of the budget unit)
+        self.prompt_len = 1 + self._n_ctx + int(suffix.shape[1])
         # K-bucketing (parallel/k_bucket.py): pad the class axis to the
         # bucket size so the differentiated-tower programs are
         # shape-identical across datasets sharing a bucket — the prompt
@@ -1312,7 +1315,26 @@ class CoOpSpec(MethodSpec):
         )
 
 
-def cocoop_microbatch_images(t_trials: int, batch_size: int, k: int) -> int:
+def _length_scaled_budget(env_name: str, prompt_len: int) -> int:
+    """The CoCoOp dispatch budget in prompts, at this prompt length.
+
+    The default/calibrated budgets are denominated in FULL-LENGTH
+    (77-position) differentiated prompt encodes — the crash-bisection
+    provenance of the constants. Trimmed prompts (methods/coop.py
+    trim_prompt_parts) cost ~L'/77 of that, so the same safe duration
+    admits proportionally more of them (measured 3.3× at L'=16,
+    BENCH_cocoop_profile.json). An EXPLICIT env knob stays raw — it is
+    the exact-count override tests and crash triage rely on."""
+    budget = dispatch_budget.resolve(
+        env_name, dispatch_budget.DEFAULT_DISPATCH_PROMPTS
+    )
+    if budget <= 0 or os.environ.get(env_name) is not None:
+        return budget
+    return budget * 77 // max(1, min(77, prompt_len))
+
+
+def cocoop_microbatch_images(t_trials: int, batch_size: int, k: int,
+                             prompt_len: int = 77) -> int:
     """Images per gradient dispatch for a vmapped CoCoOp step: the ONE
     sizing rule for CLIP_GP_TPU_COCOOP_STEP_PROMPTS (<=0 disables), shared
     by ``CoCoOpSpec.microbatch_images`` and the benches that report what
@@ -1324,9 +1346,8 @@ def cocoop_microbatch_images(t_trials: int, batch_size: int, k: int) -> int:
     has one compiled shape — see ``_divisor_le``): at (T=5, B=32, K=1000)
     the budget alone allows 18 images but the runner trains with 16, and
     the artifact must say 16."""
-    budget = dispatch_budget.resolve(
-        "CLIP_GP_TPU_COCOOP_STEP_PROMPTS",
-        dispatch_budget.DEFAULT_DISPATCH_PROMPTS,
+    budget = _length_scaled_budget(
+        "CLIP_GP_TPU_COCOOP_STEP_PROMPTS", prompt_len
     )
     if budget <= 0:
         return batch_size
@@ -1384,13 +1405,17 @@ class CoCoOpSpec(CoOpSpec):
             else dispatch_budget.single_step_ceiling()
         )
         # one image's conditional prompts are the accumulation floor
-        # (k_pad: padded prompts are real compute even though masked)
-        work_floor = runner.t_trials * max(1, self.k_pad)
+        # (k_pad: padded prompts are real compute even though masked;
+        # trimmed prompts cost ~L'/77 of the ceiling's full-length unit)
+        work_floor = (
+            runner.t_trials * max(1, self.k_pad) * self.prompt_len / 77.0
+        )
         if work_floor > self.single_step_ceiling:
             print(
                 f"[vmap-trials:{self.name}] WARNING: ONE image's "
-                f"conditional prompts move {work_floor} differentiated "
-                f"encodes (T={runner.t_trials} x K={runner.k}) — above the "
+                f"conditional prompts move ~{work_floor:.0f} full-length-equivalent "
+                f"encodes (T={runner.t_trials} x K={runner.k} x "
+                f"L'={self.prompt_len}/77) — above the "
                 f"~{self.single_step_ceiling} single-execution ceiling "
                 "measured on tunneled TPU workers, and gradient "
                 "accumulation cannot split below one image. This group may "
@@ -1464,9 +1489,8 @@ class CoCoOpSpec(CoOpSpec):
         then bounds it with exact gradient accumulation instead. The
         default scales with the per-backend calibration when one exists
         (runtime/dispatch_budget.py; scripts/calibrate_dispatch.py)."""
-        budget = dispatch_budget.resolve(
-            "CLIP_GP_TPU_COCOOP_DISPATCH_PROMPTS",
-            dispatch_budget.DEFAULT_DISPATCH_PROMPTS,
+        budget = _length_scaled_budget(
+            "CLIP_GP_TPU_COCOOP_DISPATCH_PROMPTS", self.prompt_len
         )
         if budget <= 0:
             return n_batches
@@ -1488,7 +1512,7 @@ class CoCoOpSpec(CoOpSpec):
         all: one full step alone exceeds the worker's single-execution
         ceiling there."""
         return cocoop_microbatch_images(
-            self.r.t_trials, batch_size, self.k_pad
+            self.r.t_trials, batch_size, self.k_pad, self.prompt_len
         )
 
     def eval_rows_per_dispatch(self, n_rows):
@@ -1498,9 +1522,8 @@ class CoCoOpSpec(CoOpSpec):
         ceiling the training scan hit. Forward-only prompt encodes measure
         ≈2-3× cheaper than train steps, so twice the train budget stays
         well under it."""
-        budget = dispatch_budget.resolve(
-            "CLIP_GP_TPU_COCOOP_DISPATCH_PROMPTS",
-            dispatch_budget.DEFAULT_DISPATCH_PROMPTS,
+        budget = _length_scaled_budget(
+            "CLIP_GP_TPU_COCOOP_DISPATCH_PROMPTS", self.prompt_len
         )
         if budget <= 0:
             return n_rows

@@ -113,18 +113,34 @@ def main():
         r["metrics"]["top1_acc"] == r["metrics"]["top1_acc"] for r in results
     ), "NaN top1"
 
+    from clip_gp_tpu.methods.coop import trimmed_prompt_len
+    from clip_gp_tpu.models.tokenizer import tokenize
+    from clip_gp_tpu.parallel.k_bucket import bucket_k
     from clip_gp_tpu.parallel.trial_vmap import cocoop_microbatch_images
 
     t = len(SEEDS)
     b = config.dataloader.batch_size_train
-    step_prompts = t * b * CLASSES
-    mb = cocoop_microbatch_images(t, b, CLASSES)  # the runner's own rule
+    # the runner's FULL sizing rule, inputs derived exactly as the spec
+    # derives them (k_pad bucketing + trimmed prompt length from the same
+    # prompt strings) so this artifact cannot drift from the measured run
+    dm = build_data_manager(copy.deepcopy(config))
+    n_ctx = int(config.adapter.n_ctx)
+    prompt_prefix = " ".join(["X"] * n_ctx)
+    tokenized = tokenize(
+        [f"{prompt_prefix} {n}." for n in dm.dataset.classnames]
+    )
+    prompt_len = trimmed_prompt_len(tokenized, n_ctx, 77 - 1 - n_ctx)
+    k_pad = bucket_k(CLASSES)
+    step_prompts = t * b * k_pad
+    mb = cocoop_microbatch_images(t, b, k_pad, prompt_len)
     out = {
         "metric": "cocoop_imagenet_scale_vmap_group_s",
         "value": round(group_s, 1),
         "unit": "s",
         "seeds": t,
         "classes": CLASSES,
+        "k_pad": k_pad,
+        "prompt_len": prompt_len,
         "shots": SHOTS,
         "epochs": EPOCHS,
         "batch_size": b,

@@ -680,7 +680,10 @@ def test_vmapped_cocoop_multi_seed_and_chunked(tmp_path, monkeypatch, capsys):
     from clip_gp_tpu.parallel.trial_vmap import run_vmapped_trials
 
     monkeypatch.setattr(cocoop_mod, "PROMPT_BUDGET", 8)  # k=4 -> chunk=2
-    monkeypatch.setattr(tv.CoCoOpSpec, "SINGLE_STEP_CEILING", 1)
+    # 0: any work floor crosses it (the real floor is now measured in
+    # FULL-LENGTH-equivalent encodes — 8 trimmed prompts ~ 0.8, so the
+    # old threshold of 1 is no longer crossed at this tiny shape)
+    monkeypatch.setattr(tv.CoCoOpSpec, "SINGLE_STEP_CEILING", 0)
     config = _head_config(tmp_path, "Adapter-CoCoOp")
     config.adapter.clip_adapter_epochs = 2
     seeds = [1, 2]
@@ -797,15 +800,21 @@ def test_cocoop_microbatch_budget_math(monkeypatch):
 
     spec = tv.CoCoOpSpec.__new__(tv.CoCoOpSpec)
 
-    def shape(t, k):
+    def shape(t, k, prompt_len=77):
         spec.r = types.SimpleNamespace(t_trials=t, k=k)
         spec.k_pad = tv.k_bucket.bucket_k(k)  # as CoOpSpec.__init__ sets it
+        spec.prompt_len = prompt_len
 
     shape(5, 1000)  # -> k_pad 1024 under the default ladder
     # ImageNet shape: 5*32*1024 = 163.8k > 90k -> 90k // 5120 = 17
     # images, snapped to the largest divisor of 32 -> 16
     monkeypatch.delenv("CLIP_GP_TPU_COCOOP_STEP_PROMPTS", raising=False)
     assert spec.microbatch_images(32) == 16
+    # trimmed prompts (L'=16) cost 16/77 of the budget unit: the same
+    # duration admits 77/16 ~ 4.8x the prompts -> 90k*77//16 = 433k budget
+    # -> 433k // 5120 = 84 >= 32: the whole batch fits one dispatch
+    shape(5, 1000, prompt_len=16)
+    assert spec.microbatch_images(32) == 32
     # whole step under budget: no split even though B*T*K > per-image work
     shape(2, 4)
     assert spec.microbatch_images(8) == 8
