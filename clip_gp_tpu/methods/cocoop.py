@@ -28,11 +28,13 @@ from clip_gp_tpu.runtime.trainer_base import BaseTrainer
 
 # Max conditional prompts (images × classes) in flight per text-tower call.
 # Measured on v5e (ViT-B/16 text tower, K=100, B=32, scripts/bench_cocoop.py):
-# small chunks win the full train step (1025 ms at chunk=1 vs 1844 ms fully
-# batched — backward HBM traffic dominates), while single-call wins when
-# B·K fits the budget outright (small-K datasets). Benches/tests may override
-# before build_model().
-PROMPT_BUDGET = 128
+# small chunks win the full train step (backward HBM traffic dominates the
+# fully-batched encode), while single-call wins when B·K fits the budget
+# outright (small-K datasets). With the round-5 prompt trim (default on)
+# each prompt moves ~L'/77 of the data, and the measured optimum moved
+# 128 → 256 prompts/chunk (213.0 → 185.0 ms/step; 512 is 204.7, fully
+# batched 328.5). Benches/tests may override before build_model().
+PROMPT_BUDGET = 256
 
 
 def conditional_logits(text_params, arch, params, img_feats, prefix, suffix,
