@@ -150,9 +150,12 @@ def main():
         "dataset_gen_s": round(gen_s, 1),
         "backend": jax.default_backend(),
         "note": "production run_vmapped_trials at the BASELINE #4 "
-                "ImageNet shape; one unsplit step (~69 s device) exceeds "
-                "the TPU worker's single-execution ceiling — completion "
-                "without a worker crash is the result being measured",
+                "ImageNet shape. Pre-trim, one unsplit step (~69 s device) "
+                "exceeded the worker's single-execution ceiling and needed "
+                "gradient accumulation; with the round-5 prompt trim "
+                "(L'=16) the same step fits ONE dispatch under the "
+                "length-scaled budget — completion without a worker crash "
+                "is the result being measured",
     }
     print(json.dumps(out))
     (REPO / "BENCH_cocoop_imagenet_scale.json").write_text(
