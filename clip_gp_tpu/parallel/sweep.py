@@ -456,24 +456,27 @@ def run_trials_vmapped(
             and not parallel_scheduler
             and os.environ.get("CLIP_GP_TPU_VMAP_COCOOP") != "1"
         ):
-            # MEASURED routing (BENCH_cocoop_vmap.json, 2026-08-20): a
-            # warm vmapped CoCoOp group ≈ T warm sequential trials (0.96×
-            # at T=5, K=50) — the per-step prompt batch B·K is already
-            # MXU-sized in-process, so the trial axis amortizes nothing —
-            # while the vmapped program's per-K compiles cost ~5× the
-            # whole in-process group cold. Trial-vmapping CoCoOp pays off
-            # only when the trial axis buys chip-parallelism, so on a
-            # single chip these groups run in-process; --trial-mesh (with
-            # a usable mesh), --strict-vmap, or CLIP_GP_TPU_VMAP_COCOOP=1
-            # selects the vmapped path. A parallel schedule (multi-device
-            # default or --group-parallel) also keeps vmap: in-process
-            # trials are global-RNG sequential, so routing there would
-            # trade chips for a measured ~1x warm win.
+            # MEASURED routing (BENCH_cocoop_vmap.json; re-measured
+            # 2026-08-21 post-prompt-trim): a warm vmapped CoCoOp group ≈
+            # T warm sequential trials (0.96× pre-trim, 1.1× post-trim at
+            # T=5, K=50) — the per-step prompt batch B·K is already
+            # MXU-sized in-process, so the trial axis amortizes little —
+            # while the vmapped group COLD costs ~2× the in-process group
+            # cold (243.5 vs 119.8 s post-trim). Trial-vmapping CoCoOp
+            # pays off when the trial axis buys chip-parallelism (or when
+            # K-bucketing lets many cells share the vmapped compile), so
+            # on a single chip these groups run in-process; --trial-mesh
+            # (with a usable mesh), --strict-vmap, or
+            # CLIP_GP_TPU_VMAP_COCOOP=1 selects the vmapped path. A
+            # parallel schedule (multi-device default or --group-parallel)
+            # also keeps vmap: in-process trials are global-RNG
+            # sequential, so routing there would trade chips for a
+            # measured ~1.1x warm win.
             print(
                 f"[vmap] group {key}: Adapter-CoCoOp routes to the "
                 "in-process backend on a single chip (measured: warm "
-                "vmapped group ~= sequential trials, cold pays ~5x in "
-                "compiles; BENCH_cocoop_vmap.json). --trial-mesh, "
+                "vmapped group ~= sequential trials, cold pays ~2x; "
+                "BENCH_cocoop_vmap.json). --trial-mesh, "
                 "--strict-vmap or CLIP_GP_TPU_VMAP_COCOOP=1 forces vmap."
             )
             leftovers.extend(group)
