@@ -19,11 +19,13 @@ The ladder is tuned to the reference's 11-dataset suite
     397  ← SUN397 397
     1024 ← ImageNet 1000
 
-K below the ladder (EuroSAT 10) or above it stays EXACT: a bucket with a
-single occupant saves no compile and only pays padding compute. Worst-case
-padded work is OxfordPets (+73% epoch prompt-encodes for DTD's compile —
-one saved cold compile ≈ 4 warm groups, measured BENCH_cocoop_vmap.json,
-so still net-positive); the five-way 102 bucket at ≈+5% is the payoff.
+A waste cap keeps padding bounded: when the smallest covering rung
+exceeds 1.5×K (EuroSAT 10→48 would be 4.8×, K=50→102 would be 2.04×), or
+K is above the ladder, K stays EXACT — a lone bucket occupant saves no
+compile and only pays padding compute (measured live: a padded lone K=50
+CoOp group ran 1.5× slower warm). Worst-case padded work is OxfordPets
+(+73% epoch prompt-encodes for DTD's shared compile); the five-way 102
+bucket at ≈+5% is the payoff.
 ``CLIP_GP_TPU_K_BUCKET_LADDER="4,8,..."`` overrides the ladder (tests).
 
 Parity: padded logits are masked to −inf (zero probability, zero gradient
@@ -55,18 +57,20 @@ def _ladder() -> tuple[int, ...]:
 
 
 def bucket_k(k: int) -> int:
-    """Smallest bucket ≥ k; k itself when bucketing is disabled or k is
-    outside the ladder (below the smallest bucket or above the largest —
-    a lone occupant saves no compile and only pays padding)."""
+    """Smallest bucket ≥ k, unless that bucket exceeds the waste cap
+    (1.5×k) or k is above the ladder — then k stays exact.
+
+    The waste cap bounds padded prompt-encode compute at +50% for ANY k:
+    a k just above a rung (e.g. 50 → 102 would be 2.04×) stays exact
+    instead — measured live: a lone K=50 CoOp group padded to 102 ran
+    1.5× SLOWER warm than unpadded (doubled steps × doubled prompts with
+    no bucket-mate to share the compile with). Every 11-suite dataset
+    still lands where the ladder intends (Pets 37→48 is 1.30×)."""
     if not enabled():
         return int(k)
-    ladder = _ladder()
-    if not ladder or k <= ladder[0] // 2:
-        # well below the smallest bucket: padding waste dominates
-        return int(k)
-    for b in ladder:
+    for b in _ladder():
         if k <= b:
-            return b
+            return b if 2 * b <= 3 * k else int(k)
     return int(k)
 
 

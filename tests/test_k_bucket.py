@@ -45,11 +45,15 @@ def test_bucket_ladder_mapping(monkeypatch):
     monkeypatch.setenv("CLIP_GP_TPU_K_BUCKETS", "0")
     assert k_bucket.bucket_k(100) == 100
     monkeypatch.delenv("CLIP_GP_TPU_K_BUCKETS", raising=False)
+    # the 1.5x waste cap: a covering rung that over-pads stays exact
+    assert k_bucket.bucket_k(50) == 50   # 102 would be 2.04x (measured bad)
+    assert k_bucket.bucket_k(75) == 102  # 1.36x: bucketed
     # env ladder override (tests use tiny buckets)
     monkeypatch.setenv("CLIP_GP_TPU_K_BUCKET_LADDER", "6,12")
-    assert k_bucket.bucket_k(4) == 6
-    assert k_bucket.bucket_k(3) == 3  # <= smallest/2: exact
-    assert k_bucket.bucket_k(7) == 12
+    assert k_bucket.bucket_k(4) == 6    # 1.5x: exactly at the cap
+    assert k_bucket.bucket_k(3) == 3    # 6 would be 2x: exact
+    assert k_bucket.bucket_k(7) == 7    # 12 would be 1.71x: exact
+    assert k_bucket.bucket_k(9) == 12   # 1.33x: bucketed
 
 
 def test_padded_batches_matches_batch_slices():
